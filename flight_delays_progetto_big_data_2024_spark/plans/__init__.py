@@ -1,0 +1,8 @@
+"""Import all plan modules so their ``@register`` decorators populate the
+registry. ``from ...plans import registry`` is the single entry point."""
+
+from flight_delays_progetto_big_data_2024_spark.plans import registry
+
+from flight_delays_progetto_big_data_2024_spark.plans import analog  # noqa: F401
+
+__all__ = ["registry"]

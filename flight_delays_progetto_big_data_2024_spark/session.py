@@ -1,0 +1,54 @@
+"""Session factory (SURVEY.md §2.1 S3).
+
+The reference builds its session inline with fixed memory/core configs
+(reference main.py:15-21) and no tuning — no AQE, no explicit shuffle
+partitioning, no Arrow. This factory turns those on by default:
+
+- AQE (runtime partition coalescing + skew-join splitting) so plans
+  re-optimize from real shuffle statistics — the single most important
+  knob for the 100 TB target, where static partition counts are wrong;
+- Arrow for the pandas-UDF / toPandas edges;
+- a shuffle-partition default sized for the local harness but meant to be
+  overridden (on a real cluster AQE coalesces from a high initial count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "flight-delays-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver harness contract)
+    falling back to ``*``. All settings are conf-level so a cluster
+    deployment can override them via spark-submit.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # dims here are tiny; on a cluster raise/lower per executor memory
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,79 @@
+"""Readers (SURVEY.md §2.1 S1/S2).
+
+The reference loads CSV with ``inferSchema=True`` (reference
+main.py:24-29), which costs a full extra scan of every file before any
+query runs. Here:
+
+- parquet is the primary format (self-describing schema; column pruning
+  and predicate pushdown reach the scan);
+- CSV is supported only with an **explicit** schema (``read_csv``), no
+  inference;
+- ``Catalog`` memoizes table handles per (session, dir) so repeated
+  ``queries()`` calls reuse one logical scan definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata parquet table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with an explicit schema — never ``inferSchema`` (which
+    double-scans; reference main.py:24-29 anti-pattern, SURVEY.md §4.3-1).
+    """
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for key, value in options.items():
+        reader = reader.option(key, value)
+    return reader.csv(path)
+
+
+class Catalog:
+    """Lazy, memoized handle set over one testdata directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._tables: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TESTDATA_TABLES:
+            raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+        if name not in self._tables:
+            self._tables[name] = load_table(self.spark, self.sf_dir, name)
+        return self._tables[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TESTDATA_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for ``spark.sql`` use."""
+        for name in TESTDATA_TABLES:
+            self.table(name).createOrReplaceTempView(name)
