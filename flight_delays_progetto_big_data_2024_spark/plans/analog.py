@@ -15,12 +15,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flight_delays_progetto_big_data_2024_spark.functions.timeparts import (
+    hhmm_to_timestamp,
+    time_slot,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.prep import null_profile
 from flight_delays_progetto_big_data_2024_spark.operators.relational import (
     avg_by,
     count_by,
+    decode_map,
     popular_groups,
     sum_by,
     top_k,
+    top_k_per_group,
+    two_sided_totals,
     unpivot_measures,
     with_pct_of_total,
 )
@@ -152,8 +160,9 @@ def q03_priority_share_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pct_of_total(counts, "num_orders", "pct").orderBy("priority")
 
 
-_ROUTED_SQL = """
-    SELECT sn.n_name || '-' || cn.n_name AS route, l.l_discount
+_NATION_PAIR_SQL = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           l.l_discount, l.l_quantity
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -162,13 +171,18 @@ _ROUTED_SQL = """
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
 """
 
+_ROUTED_SQL = f"""
+    SELECT supp_nation || '-' || cust_nation AS route, l_discount
+    FROM ({_NATION_PAIR_SQL})
+"""
 
-def _routed_lineitems(cat: Catalog) -> DataFrame:
-    """Route key = supplier-nation → customer-nation, the analog of the
-    reference's ORIGIN-DESTINATION route (reference
-    delayed_flights.py:174-175 ``concat_ws('-', ...)``). nation is joined
-    twice under different aliases (the reference renames columns to dodge
-    ambiguity, its :95-96; aliasing is the idiomatic fix)."""
+
+def _nation_pair_lineitems(cat: Catalog) -> DataFrame:
+    """(supplier nation, customer nation) per lineitem — the analog of the
+    reference's ORIGIN/DESTINATION airport pair (graph edges, routes).
+    nation is joined twice under different aliases (the reference renames
+    columns to dodge ambiguity, its delayed_flights.py:95-96; aliasing is
+    the idiomatic fix)."""
     cust_n = cat.nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
@@ -181,10 +195,16 @@ def _routed_lineitems(cat: Catalog) -> DataFrame:
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
-        .select(
-            F.concat_ws("-", "supp_nation", "cust_nation").alias("route"),
-            "l_discount",
-        )
+        .select("supp_nation", "cust_nation", "l_discount", "l_quantity")
+    )
+
+
+def _routed_lineitems(cat: Catalog) -> DataFrame:
+    """Route key = supplier-nation → customer-nation (reference
+    delayed_flights.py:174-175 ``concat_ws('-', ...)``)."""
+    return _nation_pair_lineitems(cat).select(
+        F.concat_ws("-", "supp_nation", "cust_nation").alias("route"),
+        "l_discount",
     )
 
 
@@ -248,3 +268,407 @@ def q05_nation_delay_totals_unpivot(spark: SparkSession, sf_dir: str) -> DataFra
     return unpivot_measures(
         sums, ["nation"], ["total_discount", "total_tax"], "delay_type", "total_delay"
     )
+
+
+@register(
+    "q06_supplier_volume_vs_quantity",
+    sql="""
+    WITH counts AS (
+        SELECT l_suppkey, count(*) AS num_lineitems FROM lineitem GROUP BY l_suppkey
+    ),
+    sums AS (
+        SELECT l_suppkey, round(sum(l_quantity), 4) AS total_qty
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT c.l_suppkey, c.num_lineitems, s.total_qty
+    FROM counts c JOIN sums s USING (l_suppkey)
+    """,
+)
+def q06_supplier_volume_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg⋈agg on the same key — the reference's volume-vs-delay feed
+    (reference delayed_flights.py:221-248, SURVEY.md J4)."""
+    cat = Catalog(spark, sf_dir)
+    counts = count_by(cat.lineitem, ["l_suppkey"], "num_lineitems")
+    sums = sum_by(cat.lineitem, ["l_suppkey"], {"l_quantity": "total_qty"})
+    return counts.join(sums, "l_suppkey")
+
+
+@register(
+    "q07_shipped_vs_received_by_nation",
+    sql=f"""
+    WITH base AS ({_NATION_PAIR_SQL}),
+    dep AS (
+        SELECT supp_nation AS k, round(sum(l_quantity), 4) AS shipped_total
+        FROM base GROUP BY supp_nation
+    ),
+    arr AS (
+        SELECT cust_nation AS k, round(sum(l_quantity), 4) AS received_total
+        FROM base GROUP BY cust_nation
+    )
+    SELECT coalesce(dep.k, arr.k) AS nation,
+           coalesce(shipped_total, 0) AS shipped_total,
+           coalesce(received_total, 0) AS received_total
+    FROM dep FULL OUTER JOIN arr ON dep.k = arr.k
+    """,
+)
+def q07_shipped_vs_received_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregates of the same input on different keys, merged
+    full-outer with coalesced keys + 0-fill — the reference's
+    departures-vs-arrivals per airport (reference
+    delayed_flights.py:255-284, SURVEY.md J5)."""
+    cat = Catalog(spark, sf_dir)
+    pairs = _nation_pair_lineitems(cat)
+    return two_sided_totals(
+        pairs,
+        left_key="supp_nation",
+        right_key="cust_nation",
+        measure="l_quantity",
+        left_alias="shipped_total",
+        right_alias="received_total",
+        key_alias="nation",
+    )
+
+
+@register(
+    "q08_hourly_event_traffic",
+    sql="""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           count(*) AS num_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY hour(ts)
+    ORDER BY hour_of_day
+    """,
+)
+def q08_hourly_event_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts + means in ONE groupBy — the reference computes the
+    count agg and the two avg aggs separately and outer-joins them on
+    HOUR (reference delayed_flights.py:455-491); same key domain, so a
+    single aggregate is semantics-preserving (SURVEY.md A4/J6)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("num_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+@register(
+    "q09_time_slot_mean_of_means",
+    sql="""
+    WITH hourly AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               round(avg(value), 6) AS hourly_avg
+        FROM events GROUP BY hour(ts)
+    ),
+    slotted AS (
+        SELECT CASE
+                 WHEN hour_of_day BETWEEN 6 AND 11 THEN 'Morning'
+                 WHEN hour_of_day BETWEEN 12 AND 18 THEN 'Afternoon'
+                 WHEN hour_of_day BETWEEN 19 AND 23 THEN 'Evening'
+                 ELSE 'Night'
+               END AS time_slot,
+               hourly_avg
+        FROM hourly
+    )
+    SELECT time_slot, round(avg(hourly_avg), 6) AS avg_of_hourly_avgs
+    FROM slotted GROUP BY time_slot
+    """,
+)
+def q09_time_slot_mean_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed two-level aggregation: mean over HOURLY means, not over
+    rows — the reference's driver-side pandas re-aggregation by time
+    slot (reference delayed_flights.py:500-546, SURVEY.md A10/F10),
+    pushed into Spark with a when-chain bucket."""
+    cat = Catalog(spark, sf_dir)
+    hourly = cat.events.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.round(F.avg("value"), 6).alias("hourly_avg"))
+    return (
+        hourly.withColumn("time_slot", time_slot("hour_of_day"))
+        .groupBy("time_slot")
+        .agg(F.round(F.avg("hourly_avg"), 6).alias("avg_of_hourly_avgs"))
+    )
+
+
+@register(
+    "q10_order_status_decode_pct",
+    sql="""
+    SELECT CASE o_orderstatus
+             WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+             WHEN 'P' THEN 'Pending' ELSE o_orderstatus
+           END AS status_label,
+           count(*) AS num_orders,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status_label
+    """,
+)
+def q10_order_status_decode_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code decode + share — the reference's cancellation-reason decode
+    is a driver-side pandas dict map (reference cancelled_flights.py:
+    25-34, 64-82); here a when-chain, Spark-side (SURVEY.md F10/A11)."""
+    cat = Catalog(spark, sf_dir)
+    decoded = decode_map(
+        cat.orders,
+        "o_orderstatus",
+        {"O": "Open", "F": "Fulfilled", "P": "Pending"},
+        alias="status_label",
+    )
+    counts = count_by(decoded, ["status_label"], "num_orders")
+    return with_pct_of_total(counts, "num_orders", "pct").orderBy("status_label")
+
+
+@register(
+    "q11_fulfilled_orders_per_month",
+    sql="""
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           count(*) AS num_orders
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY month(o_orderdate)
+    ORDER BY order_month
+    """,
+)
+def q11_fulfilled_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered monthly counts — the reference's cancellations-per-month
+    (reference cancelled_flights.py:103-137)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.month("o_orderdate").cast("long").alias("order_month"))
+        .agg(F.count("*").alias("num_orders"))
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "q12_orders_per_weekday",
+    sql="""
+    SELECT CAST(isodow(o_orderdate) AS BIGINT) AS day_of_week,
+           count(*) AS num_orders
+    FROM orders
+    GROUP BY isodow(o_orderdate)
+    ORDER BY day_of_week
+    """,
+)
+def q12_orders_per_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week counts (reference cancelled_flights.py:140-173).
+    ISO numbering (1=Mon..7=Sun) on both engines: Spark ``weekday()+1``
+    == DuckDB ``isodow`` (Spark ``dayofweek`` is 1=Sun — a classic
+    cross-engine off-by-one)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.groupBy(
+            (F.weekday("o_orderdate") + 1).cast("long").alias("day_of_week")
+        )
+        .agg(F.count("*").alias("num_orders"))
+        .orderBy("day_of_week")
+    )
+
+
+@register(
+    "q13_return_ratio_by_priority",
+    sql="""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS num_lineitems,
+           count(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS num_returned,
+           round(count(CASE WHEN l.l_returnflag = 'R' THEN 1 END) * 100.0
+                 / count(*), 4) AS return_pct
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q13_return_ratio_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional count + ratio per group — the reference's
+    cancelled-share per airline with ``count(col)`` null-skipping
+    (reference cancelled_flights.py:176-249, SURVEY.md A6)."""
+    cat = Catalog(spark, sf_dir)
+    returned = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("num_lineitems"),
+            returned.alias("num_returned"),
+            F.round(returned * 100.0 / F.count("*"), 4).alias("return_pct"),
+        )
+        .orderBy("priority")
+    )
+
+
+_PROFILE_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+_NULL_PROFILE_SQL = (
+    "SELECT "
+    + ", ".join(
+        f"count(CASE WHEN {c} IS NULL THEN 1 END) AS {c}_nulls" for c in _PROFILE_COLS
+    )
+    + ", count(*) AS total_rows FROM lineitem"
+)
+
+
+@register("q14_null_profile_lineitem", sql=_NULL_PROFILE_SQL)
+def q14_null_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column null profile + row count — the reference runs
+    a count() action plus a conditional select per table, 4 times with
+    no cache (reference preprocessing.py:14-26, SURVEY.md P1/P2/A8/S7)."""
+    cat = Catalog(spark, sf_dir)
+    return null_profile(cat.lineitem, _PROFILE_COLS)
+
+
+@register(
+    "q15_timestamp_rebuild_roundtrip",
+    sql="""
+    SELECT count(CASE WHEN strptime(
+                   strftime(ts, '%Y-%m-%d ')
+                     || lpad(CAST(hour(ts) AS VARCHAR), 2, '0') || ':'
+                     || lpad(CAST(minute(ts) AS VARCHAR), 2, '0') || ':00',
+                   '%Y-%m-%d %H:%M:%S') = date_trunc('minute', ts)
+                 THEN 1 END) AS matched,
+           count(*) AS total_rows
+    FROM events
+    """,
+)
+def q15_timestamp_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHMM-int → timestamp assembly (lpad/substr/concat/to_timestamp,
+    reference preprocessing.py:35-53, SURVEY.md F1-F4): rebuild each
+    event's minute-truncated timestamp from integer parts and count
+    exact round-trips."""
+    cat = Catalog(spark, sf_dir)
+    hhmm = F.hour("ts") * 100 + F.minute("ts")
+    rebuilt = hhmm_to_timestamp(F.year("ts"), F.month("ts"), F.dayofmonth("ts"), hhmm)
+    return cat.events.agg(
+        F.count(F.when(rebuilt == F.date_trunc("minute", F.col("ts")), 1)).alias(
+            "matched"
+        ),
+        F.count("*").alias("total_rows"),
+    )
+
+
+@register(
+    "q16_nation_in_degree",
+    sql=f"""
+    WITH edges AS (
+        SELECT DISTINCT supp_nation AS src, cust_nation AS dst
+        FROM ({_NATION_PAIR_SQL})
+    )
+    SELECT dst, count(*) AS in_degree
+    FROM edges GROUP BY dst
+    ORDER BY in_degree DESC, dst
+    LIMIT 15
+    """,
+)
+def q16_nation_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph in-degree natively: distinct edges then groupBy(dst).count —
+    exactly GraphFrames' inDegrees semantics without the library
+    (reference graphframes_flights.py:37-41, 119-123; SURVEY.md G2)."""
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        _nation_pair_lineitems(cat)
+        .select(F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst"))
+        .distinct()
+    )
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+    return top_k(in_deg, [F.desc("in_degree"), F.col("dst")], 15)
+
+
+@register(
+    "q17_top_customers_per_nation",
+    sql=f"""
+    WITH spend AS (
+        SELECT nation, c_name, round(sum(l_extendedprice), 2) AS total_spend
+        FROM (
+            SELECT n.n_name AS nation, c.c_name, l.l_extendedprice
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) GROUP BY nation, c_name
+    )
+    SELECT nation, c_name, total_spend, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT nation, c_name, total_spend,
+               row_number() OVER (
+                   PARTITION BY nation
+                   ORDER BY total_spend DESC, c_name
+               ) AS rnk
+        FROM spend
+    ) WHERE rnk <= 3
+    """,
+)
+def q17_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the windowed variant the
+    reference lacks entirely (SURVEY.md §2.9)."""
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "c_name", "l_extendedprice")
+    )
+    spend = sum_by(joined, ["nation", "c_name"], {"l_extendedprice": "total_spend"}, scale=2)
+    return top_k_per_group(
+        spend,
+        partition_keys=["nation"],
+        order=[F.desc("total_spend"), F.col("c_name")],
+        k=3,
+        rank_alias="rank",
+    )
+
+
+@register(
+    "q18_nation_order_counts_left_join",
+    sql="""
+    WITH counts AS (
+        SELECT c.c_nationkey, count(*) AS num_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    )
+    SELECT n.n_name AS nation, coalesce(counts.num_orders, 0) AS num_orders
+    FROM nation n LEFT JOIN counts ON n.n_nationkey = counts.c_nationkey
+    ORDER BY nation
+    """,
+)
+def q18_nation_order_counts_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-preserving left join + coalesce(0) — the reference's airport
+    totals ⟵ airports dim decorate (reference delayed_flights.py:287-296,
+    SURVEY.md J7/F7)."""
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("__num"))
+    )
+    return (
+        cat.nation.join(counts, F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("__num"), F.lit(0)).alias("num_orders"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q19_active_nations_union_distinct",
+    sql=f"""
+    WITH base AS ({_NATION_PAIR_SQL})
+    SELECT supp_nation AS nation FROM base
+    UNION
+    SELECT cust_nation AS nation FROM base
+    """,
+)
+def q19_active_nations_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union + distinct — the reference's graph vertex set (origin states
+    ∪ destination states, reference graphframes_flights.py:108-109,
+    SURVEY.md U1). ``unionByName`` preferred over positional union."""
+    cat = Catalog(spark, sf_dir)
+    pairs = _nation_pair_lineitems(cat)
+    supp = pairs.select(F.col("supp_nation").alias("nation"))
+    cust = pairs.select(F.col("cust_nation").alias("nation"))
+    return supp.unionByName(cust).distinct()

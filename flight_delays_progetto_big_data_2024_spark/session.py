@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet carries TIMESTAMP(NANOS), which the Spark
+        # vectorized reader rejects outright; read as epoch-nanos longs
+        # and let sources.readers rebuild proper timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -15,6 +15,7 @@ query runs. Here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 #: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
@@ -32,9 +33,37 @@ TESTDATA_TABLES = (
 )
 
 
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (from the footer).
+
+    Spark's parquet reader has no nanos timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` those columns surface as
+    epoch-nano longs and need rebuilding. Footer-sniffing keeps this
+    generic instead of hard-coding per-table column lists.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata parquet table."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one testdata parquet table, rebuilding any TIMESTAMP(NANOS)
+    columns into real Spark timestamps (micro precision; data here is
+    post-1970 so integer ``div 1000`` truncation is exact)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def read_csv(
