@@ -1,0 +1,143 @@
+"""Native DataFrame graph algorithms (SURVEY.md §2.8).
+
+The reference delegates to GraphFrames 0.6 (a Scala package + runtime
+JAR) for in-degree, PageRank and triangle counting (reference
+graphframes_flights.py:34-49, 116-133). Here each is plain DataFrame
+algebra — no extra JAR, deterministic, testable against hand-computed
+golden graphs:
+
+- degrees: groupBy + count (exactly GraphFrames' inDegrees semantics);
+- pagerank: GraphX-style iterate ``rank = reset + (1-reset) * Σ
+  rank_u/outdeg_u`` starting from rank=1 (ranks sum ≤ |V|, dangling
+  mass is dropped — same as GraphX's static PageRank, which GraphFrames
+  wraps with these exact semantics);
+- triangle_count: canonicalize to an undirected simple graph, enumerate
+  each triangle once via a double self-join with ``u < v < w``, then
+  credit all three corners.
+
+Scale posture: the per-iteration state of PageRank is one row per
+vertex; each iteration is one shuffle (groupBy dst) plus a broadcast-
+able join against the out-degree table. ``localCheckpoint`` truncates
+the 10-iteration lineage so plan size stays constant. Triangle
+enumeration shuffles on edge endpoints; worst-case cost is bounded by
+sum-of-squared-degrees — salting/AQE handles hub skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _vertices_from_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex (in_degree, out_degree) over the directed edge set —
+    GraphFrames' inDegrees/outDegrees as one aggregation each
+    (reference graphframes_flights.py:37-41; SURVEY.md G2)."""
+    in_deg = edges.groupBy(F.col(dst).alias("id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    verts = _vertices_from_edges(edges, src, dst)
+    return (
+        verts.join(in_deg, "id", "left")
+        .join(out_deg, "id", "left")
+        .na.fill(0, ["in_degree", "out_degree"])
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    reset_prob: float = 0.15,
+    max_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Static PageRank with GraphX/GraphFrames semantics (reference
+    graphframes_flights.py:44-46: resetProbability=0.15, maxIter=10).
+
+    Returns (id, pagerank). ``vertices`` (an ``id`` column) defaults to
+    src ∪ dst. Distinct parallel edges are kept as distinct contribution
+    channels only if present in ``edges`` — pass a deduped edge set for
+    simple-graph semantics.
+    """
+    verts = (vertices or _vertices_from_edges(edges, src, dst)).select("id")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
+    # out-degree table is |V|-sized: broadcast-join it onto edges once.
+    contrib_base = e.join(F.broadcast(out_deg), "src")
+
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(max_iter):
+        contribs = (
+            contrib_base.join(F.broadcast(ranks), contrib_base["src"] == ranks["id"])
+            .select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = verts.join(contribs, verts["id"] == contribs["dst"], "left").select(
+            "id",
+            (
+                F.lit(reset_prob)
+                + F.lit(1.0 - reset_prob) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint:
+            # truncate lineage so the plan doesn't grow per iteration
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("id", F.col("rank").alias("pagerank"))
+
+
+def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonical simple undirected edge set: (u, v) with u < v, self-loops
+    dropped, duplicates and reverse duplicates collapsed — the
+    canonicalization GraphFrames' triangleCount applies internally
+    (SURVEY.md §7 risk register)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle membership count, GraphFrames semantics
+    (reference graphframes_flights.py:48-49): each triangle of the
+    canonicalized undirected graph credits all three corners once.
+
+    Enumeration: edges (u<v) joined (v,w) then closed by (u,w); the
+    ``u < v < w`` ordering guarantees each triangle appears exactly once.
+    """
+    und = undirected_edges(edges, src, dst)
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    triangles = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corner_counts = (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangle_count"))
+    )
+    verts = _vertices_from_edges(edges, src, dst)
+    return (
+        verts.join(corner_counts, "id", "left").na.fill(0, ["triangle_count"])
+    )

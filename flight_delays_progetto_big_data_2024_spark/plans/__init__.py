@@ -4,5 +4,6 @@ registry. ``from ...plans import registry`` is the single entry point."""
 from flight_delays_progetto_big_data_2024_spark.plans import registry
 
 from flight_delays_progetto_big_data_2024_spark.plans import analog  # noqa: F401
+from flight_delays_progetto_big_data_2024_spark.plans import graph_plans  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,152 @@
+"""Graph queries over the nation-pair edge set (the analog of the
+reference's airport/state route graphs, reference
+graphframes_flights.py).
+
+PageRank is iterative, but with a FIXED iteration count it is still
+SQL-expressible: the oracle SQL below unrolls the 10 iterations into
+chained CTEs, so even PageRank gets a full value-hash check rather than
+a rows-only one. Triangle counting is plain joins on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+    degrees,
+    pagerank,
+    triangle_count,
+)
+from flight_delays_progetto_big_data_2024_spark.plans.analog import (
+    _NATION_PAIR_SQL,
+    _nation_pair_lineitems,
+)
+from flight_delays_progetto_big_data_2024_spark.plans.registry import register
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+RESET_PROB = 0.15
+MAX_ITER = 10
+
+_EDGES_SQL = f"""
+    SELECT DISTINCT supp_nation AS src, cust_nation AS dst
+    FROM ({_NATION_PAIR_SQL})
+"""
+
+
+def _nation_edges(cat: Catalog) -> DataFrame:
+    """Distinct directed nation→nation edges (the reference builds its
+    edge list the same way from ORIGIN/DESTINATION columns, reference
+    graphframes_flights.py:30-31, 112-113)."""
+    return (
+        _nation_pair_lineitems(cat)
+        .select(F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst"))
+        .distinct()
+    )
+
+
+def _pagerank_unrolled_sql(iters: int = MAX_ITER, reset: float = RESET_PROB) -> str:
+    damp = 1.0 - reset
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),",
+        "r0 AS (SELECT id, 1.0 AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+                SELECT v.id, {reset} + {damp} * coalesce(m.mass, 0) AS rank
+                FROM verts v LEFT JOIN (
+                    SELECT e.dst AS id, sum(r.rank / o.od) AS mass
+                    FROM edges e
+                    JOIN r{i - 1} r ON e.src = r.id
+                    JOIN outdeg o ON e.src = o.src
+                    GROUP BY e.dst
+                ) m ON v.id = m.id
+            )"""
+        )
+    parts.append(
+        f" SELECT id AS nation, round(rank, 6) AS pagerank FROM r{iters}"
+        " ORDER BY pagerank DESC, nation"
+    )
+    return "\n".join(parts)
+
+
+@register("q20_nation_pagerank", sql=_pagerank_unrolled_sql())
+def q20_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (reset=0.15, 10 iters — reference
+    graphframes_flights.py:44,131) as an iterative DataFrame loop with
+    lineage truncation; GraphX/GraphFrames static semantics."""
+    cat = Catalog(spark, sf_dir)
+    ranks = pagerank(_nation_edges(cat), RESET_PROB, MAX_ITER)
+    return (
+        ranks.select(
+            F.col("id").alias("nation"), F.round("pagerank", 6).alias("pagerank")
+        )
+        .orderBy(F.desc("pagerank"), "nation")
+    )
+
+
+@register(
+    "q21_nation_triangle_count",
+    sql=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e1.v = e2.u
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT x AS id, count(*) AS triangle_count FROM (
+            SELECT a AS x FROM tri
+            UNION ALL SELECT b AS x FROM tri
+            UNION ALL SELECT c AS x FROM tri
+        ) GROUP BY x
+    ),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
+    SELECT v.id AS nation, coalesce(c.triangle_count, 0) AS triangle_count
+    FROM verts v LEFT JOIN corners c ON v.id = c.id
+    ORDER BY nation
+    """,
+)
+def q21_nation_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the canonicalized undirected graph
+    (reference graphframes_flights.py:48-49; GraphFrames semantics)."""
+    cat = Catalog(spark, sf_dir)
+    counts = triangle_count(_nation_edges(cat))
+    return counts.select(F.col("id").alias("nation"), "triangle_count").orderBy(
+        "nation"
+    )
+
+
+@register(
+    "q22_nation_degrees",
+    sql=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    ind AS (SELECT dst AS id, count(*) AS in_degree FROM edges GROUP BY dst),
+    outd AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src)
+    SELECT v.id AS nation,
+           coalesce(ind.in_degree, 0) AS in_degree,
+           coalesce(outd.out_degree, 0) AS out_degree
+    FROM verts v
+    LEFT JOIN ind ON v.id = ind.id
+    LEFT JOIN outd ON v.id = outd.id
+    ORDER BY nation
+    """,
+)
+def q22_nation_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree per vertex — GraphFrames' inDegrees/outDegrees as
+    plain aggregations (reference graphframes_flights.py:37-41, 119-123;
+    SURVEY.md G2)."""
+    cat = Catalog(spark, sf_dir)
+    deg = degrees(_nation_edges(cat))
+    return deg.select(
+        F.col("id").alias("nation"), "in_degree", "out_degree"
+    ).orderBy("nation")

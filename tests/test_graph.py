@@ -1,0 +1,87 @@
+"""Golden-graph tests for the native graph algorithms (FIXTURES.md §3):
+6 vertices, a dangling vertex (no out-edges), two triangles, a duplicate
+edge, and a self-loop, with expected values computed by an independent
+pure-Python evaluator of the same declared semantics."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+    degrees,
+    pagerank,
+    triangle_count,
+    undirected_edges,
+)
+
+# directed multigraph: A→B duplicated, D self-loop, F dangling
+EDGES = [
+    ("A", "B"),
+    ("A", "B"),  # duplicate edge
+    ("B", "C"),
+    ("C", "A"),
+    ("A", "C"),
+    ("D", "D"),  # self-loop
+    ("B", "D"),
+    ("D", "E"),
+    ("E", "B"),
+    ("E", "F"),  # F has no out-edges (dangling)
+]
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGES, ["src", "dst"])
+
+
+def py_pagerank(edges, iters=10, reset=0.15):
+    """Independent evaluator of the declared semantics: rank=1 init,
+    rank = reset + (1-reset)·Σ rank_u/outdeg_u, dangling mass dropped."""
+    edges = sorted(set(edges))
+    verts = sorted({x for e in edges for x in e})
+    outdeg = Counter(u for u, _ in edges)
+    rank = {v: 1.0 for v in verts}
+    for _ in range(iters):
+        mass = {v: 0.0 for v in verts}
+        for u, v in edges:
+            mass[v] += rank[u] / outdeg[u]
+        rank = {v: reset + (1 - reset) * mass[v] for v in verts}
+    return rank
+
+
+def test_degrees_count_parallel_edges(edge_df):
+    got = {r["id"]: (r["in_degree"], r["out_degree"]) for r in degrees(edge_df).collect()}
+    # A→B twice: B in-degree includes both; self-loop counts both ways
+    assert got["B"] == (3, 2)  # A,A,E in; C,D out
+    assert got["A"] == (1, 3)
+    assert got["D"] == (2, 2)  # B,D(self) in; D(self),E out
+    assert got["F"] == (1, 0)  # dangling: no out-edges
+
+
+def test_pagerank_matches_independent_evaluator(edge_df):
+    distinct = edge_df.distinct()
+    got = {r["id"]: r["pagerank"] for r in pagerank(distinct).collect()}
+    want = py_pagerank(EDGES)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_undirected_canonicalization(edge_df):
+    und = {(r["u"], r["v"]) for r in undirected_edges(edge_df).collect()}
+    # duplicates + reverse duplicates collapsed, self-loop dropped
+    assert und == {("A", "B"), ("B", "C"), ("A", "C"), ("B", "D"), ("D", "E"), ("B", "E"), ("E", "F")}
+
+
+def test_triangle_count_golden(edge_df):
+    got = {r["id"]: r["triangle_count"] for r in triangle_count(edge_df).collect()}
+    # triangles: {A,B,C} and {B,D,E}
+    assert got == {"A": 1, "B": 2, "C": 1, "D": 1, "E": 1, "F": 0}
+
+
+def test_pagerank_no_edges_vertex_gets_reset_only(spark):
+    # a vertex that is never a destination converges to the reset prob
+    df = spark.createDataFrame([("X", "Y")], ["src", "dst"])
+    got = {r["id"]: r["pagerank"] for r in pagerank(df).collect()}
+    assert got["X"] == pytest.approx(0.15, abs=1e-12)

@@ -1,0 +1,124 @@
+"""Unit tests pinning the semantic corner cases SURVEY.md §2 / FIXTURES.md
+§4 call out: strict popularity cutoff, outer-join key merge + 0-fill,
+null-skipping counts, decode defaults, time-slot boundaries, unpivot."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.functions.timeparts import (
+    hhmm_to_time_string,
+    hhmm_to_timestamp,
+    time_slot,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.prep import (
+    null_profile,
+    null_pct_profile,
+    split_by_flag,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.relational import (
+    count_by,
+    decode_map,
+    popular_groups,
+    top_k_per_group,
+    two_sided_totals,
+    unpivot_measures,
+    with_pct_of_total,
+)
+
+
+def test_popular_groups_strict_excludes_exact_mean(spark):
+    # counts 1, 2, 3 -> mean 2; strict keeps only 3 (FIXTURES.md §4)
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["k", "num_rows"]
+    )
+    strict = {r["k"] for r in popular_groups(df, "num_rows").collect()}
+    assert strict == {"c"}
+    loose = {r["k"] for r in popular_groups(df, "num_rows", strict=False).collect()}
+    assert loose == {"b", "c"}
+
+
+def test_two_sided_totals_merges_one_sided_keys(spark):
+    # 'x' appears only as left key, 'z' only as right key (J5 key merge)
+    df = spark.createDataFrame(
+        [("x", "y", 10.0), ("y", "z", 5.0)], ["l", "r", "m"]
+    )
+    out = {
+        r["key"]: (r["left_total"], r["right_total"])
+        for r in two_sided_totals(df, "l", "r", "m").collect()
+    }
+    assert out == {"x": (10.0, 0.0), "y": (5.0, 10.0), "z": (0.0, 5.0)}
+
+
+def test_null_profile_counts_and_total(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (None, None)], ["x", "y"]
+    )
+    row = null_profile(df).collect()[0]
+    assert row["x_nulls"] == 1 and row["y_nulls"] == 2 and row["total_rows"] == 3
+    pct = null_pct_profile(df).collect()[0]
+    assert pct["y_null_pct"] == pytest.approx(66.666667)
+
+
+def test_decode_map_default_passthrough_and_override(spark):
+    df = spark.createDataFrame([("A",), ("Z",)], ["code"])
+    kept = {r["label"] for r in decode_map(df, "code", {"A": "Alpha"}, "label").collect()}
+    assert kept == {"Alpha", "Z"}  # unknown codes pass through by default
+    dflt = {
+        r["label"]
+        for r in decode_map(df, "code", {"A": "Alpha"}, "label", default="other").collect()
+    }
+    assert dflt == {"Alpha", "other"}
+
+
+def test_time_slot_boundaries(spark):
+    hours = [0, 5, 6, 11, 12, 18, 19, 23]
+    df = spark.createDataFrame([(h,) for h in hours], ["h"])
+    got = {r["h"]: r["slot"] for r in df.withColumn("slot", time_slot("h")).collect()}
+    assert got == {
+        0: "Night", 5: "Night", 6: "Morning", 11: "Morning",
+        12: "Afternoon", 18: "Afternoon", 19: "Evening", 23: "Evening",
+    }
+
+
+def test_hhmm_helpers(spark):
+    df = spark.createDataFrame([(2015, 2, 3, 637), (2015, 12, 31, 5)], ["y", "m", "d", "hhmm"])
+    rows = df.select(
+        hhmm_to_time_string("hhmm").alias("t"),
+        hhmm_to_timestamp("y", "m", "d", "hhmm").cast("string").alias("ts"),
+    ).collect()
+    assert rows[0]["t"] == "06:37:00" and rows[0]["ts"] == "2015-02-03 06:37:00"
+    assert rows[1]["t"] == "00:05:00" and rows[1]["ts"] == "2015-12-31 00:05:00"
+
+
+def test_unpivot_shape(spark):
+    df = spark.createDataFrame([("a", 1.0, 2.0)], ["k", "m1", "m2"])
+    out = unpivot_measures(df, ["k"], ["m1", "m2"], "which", "val").collect()
+    assert {(r["k"], r["which"], r["val"]) for r in out} == {("a", "m1", 1.0), ("a", "m2", 2.0)}
+
+
+def test_top_k_per_group_with_ties_breaks_deterministically(spark):
+    df = spark.createDataFrame(
+        [("g", "a", 5.0), ("g", "b", 5.0), ("g", "c", 1.0)], ["grp", "name", "v"]
+    )
+    out = top_k_per_group(df, ["grp"], [F.desc("v"), F.col("name")], 2)
+    got = [(r["name"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [("a", 1), ("b", 2)]
+
+
+def test_split_by_flag_partitions_rows(spark):
+    df = spark.createDataFrame([(1, "x"), (0, "y"), (1, "z")], ["flag", "v"])
+    ones, zeros = split_by_flag(df, "flag", 1)
+    assert {r["v"] for r in ones.collect()} == {"x", "z"}
+    assert {r["v"] for r in zeros.collect()} == {"y"}
+
+
+def test_with_pct_of_total_sums_to_100(spark):
+    df = spark.createDataFrame([("a", 25), ("b", 75)], ["k", "n"])
+    got = {r["k"]: r["pct"] for r in with_pct_of_total(df, "n").collect()}
+    assert got == {"a": 25.0, "b": 75.0}
+
+
+def test_count_by_alias(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    got = {r["k"]: r["n"] for r in count_by(df, ["k"], "n").collect()}
+    assert got == {"a": 2, "b": 1}
