@@ -1,0 +1,147 @@
+"""Text-analysis column expressions for LLM-training-data pipelines.
+
+All JVM-side (built-in functions + higher-order array functions): no
+Python in the hot path, so these run at full codegen speed over 100 TB.
+Every expression has a direct ANSI/DuckDB equivalent so the oracle can
+check it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Lowercase, collapse whitespace runs, trim — the canonical form for
+    fingerprinting/dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (hex string — identical in DuckDB: ``md5(...)``)."""
+    return F.md5(normalize_text(col))
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the standard near-dup unit). Texts with
+    fewer than k tokens contribute their full token span as one shingle."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+    )
+
+
+def char_shingles(col: str | Column, k: int = 5) -> Column:
+    """Distinct k-character shingles over the normalized text."""
+    n = normalize_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(n) - (k - 1), F.lit(1))),
+            lambda i: n.substr(i, F.lit(k)),
+        )
+    )
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = _c(col)
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[.,!?;:'\"]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def lexical_diversity(col: str | Column) -> Column:
+    """Distinct tokens / tokens — a cheap repetition signal."""
+    return distinct_token_count(col) / token_count(col)
+
+
+def avg_token_length(col: str | Column) -> Column:
+    """Mean token length in characters."""
+    t = tokens(col)
+    return F.aggregate(
+        t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    ) / F.size(t)
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards lexical diversity and
+    medium-length tokens, penalizes punctuation soup. Deterministic and
+    SQL-expressible; weights are convention, not learned."""
+    div = lexical_diversity(col)
+    atl = avg_token_length(col)
+    len_term = F.when((atl >= 3.0) & (atl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(0.6 * div + 0.4 * len_term - punct_ratio(col), 6)
+
+
+#: Tiny per-language stopword lists for the n-gram language heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "una"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "les", "et", "des", "du", "une", "dans", "est"),
+}
+
+
+def stopword_hits(col: str | Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language (word-boundary
+    regex; RE2/Java compatible so DuckDB computes the identical value)."""
+    pattern = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(_c(col), F.lit(pattern))
+
+
+def cjk_char_count(col: str | Column) -> Column:
+    return F.regexp_count(_c(col), F.lit(r"[\x{4e00}-\x{9fff}]"))
+
+
+def lang_id(col: str | Column) -> Column:
+    """Deterministic n-gram/stopword language heuristic: CJK chars win
+    outright; otherwise the max stopword-hit language with a fixed
+    precedence (en > es > de > fr); no hits at all -> 'unknown'."""
+    en, es, de, fr = (stopword_hits(col, lang) for lang in ("en", "es", "de", "fr"))
+    return (
+        F.when(cjk_char_count(col) > 0, F.lit("zh"))
+        .when(F.greatest(en, es, de, fr) == 0, F.lit("unknown"))
+        .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def lang_id_sql(text_expr: str = "text") -> str:
+    """The DuckDB-equivalent CASE expression for :func:`lang_id`."""
+    scores = {
+        lang: f"len(regexp_extract_all({text_expr}, '\\b(" + "|".join(words) + ")\\b'))"
+        for lang, words in STOPWORDS.items()
+    }
+    en, es, de, fr = scores["en"], scores["es"], scores["de"], scores["fr"]
+    return f"""CASE
+        WHEN len(regexp_extract_all({text_expr}, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+        WHEN greatest({en}, {es}, {de}, {fr}) = 0 THEN 'unknown'
+        WHEN {en} >= {es} AND {en} >= {de} AND {en} >= {fr} THEN 'en'
+        WHEN {es} >= {de} AND {es} >= {fr} THEN 'es'
+        WHEN {de} >= {fr} THEN 'de'
+        ELSE 'fr'
+    END"""

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB design requires:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the distributed corpus, one scan, windowed top-k per query.
+  The honest baseline and the correctness oracle for everything else.
+- ``lsh_topk`` — random-hyperplane LSH: corpus and queries are hashed
+  to sign-bit buckets; candidates come from an equi-join on bucket
+  (with optional multi-probe over 1-bit flips), then exact cosine
+  re-ranks. Sub-linear per query at scale; recall < 1 by construction.
+
+Hyperplanes are generated from a seeded RNG and embedded as literal
+arrays — deterministic across runs, no fit/transform state to manage.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.functions.vectors import (
+    as_double_array,
+    cosine_prenormed,
+    dot,
+    l2_norm,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.relational import (
+    top_k_per_group,
+)
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = as_double_array(vec_col)
+    return df.select(
+        F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine: for each query vector, the k nearest corpus
+    vectors (self-matches excluded). Ranking uses the ROUNDED cosine with
+    id tiebreak so ordering is reproducible across engines.
+
+    Plan shape: broadcast(queries) nested-loop against the corpus scan —
+    a single distributed pass over the corpus, no corpus shuffle; the
+    only shuffle is the per-query top-k window over k·|queries| rows.
+    """
+    c = _prep(corpus, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            cosine_prenormed("qv", "v", "qn", "nrm", scale=scale).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_keys=["query_id"],
+        order=[F.desc("cosine"), F.col("candidate_id")],
+        k=k,
+        rank_alias="rank",
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id (long) from fixed hyperplanes: bit i is set when
+    vec · plane_i > 0. Literal plane arrays keep this JVM-side."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(
+            dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    seed: int = 42,
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates from hyperplane-bucket equality
+    (plus all 1-bit-flip probes when ``multiprobe``), re-ranked by exact
+    cosine. Returns the same schema as :func:`cosine_topk`; per-query
+    result may have < k rows when buckets are sparse — at real scale
+    buckets hold thousands of vectors and this is the scan-saving path."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = _prep(corpus, id_col, vec_col).withColumn(
+        "bucket", hyperplane_bucket(F.col("v"), planes)
+    )
+    q = (
+        _prep(queries, id_col, vec_col)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            hyperplane_bucket(F.col("v"), planes).alias("qbucket"),
+        )
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        q = q.withColumn("bucket", F.col("qbucket"))
+    scored = (
+        c.join(F.broadcast(q.drop("qbucket")), on="bucket")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            cosine_prenormed("qv", "v", "qn", "nrm", scale=scale).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "candidate_id"])
+    )
+    return top_k_per_group(
+        scored,
+        partition_keys=["query_id"],
+        order=[F.desc("cosine"), F.col("candidate_id")],
+        k=k,
+        rank_alias="rank",
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding-based near-dedup).
+    Brute-force variant: exact, one self-join; swap in hyperplane
+    blocking (as in lsh_topk) when n² is unaffordable."""
+    a = _prep(df, id_col, vec_col)
+    b = a.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            cosine_prenormed("v", "vb", "nrm", "nb", scale=scale).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,346 @@
+"""LLM-training-data pipeline queries over ``documents`` and
+``embeddings`` (the north-star extension surface, BASELINE.json):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search, and text analysis.
+
+Oracle coverage: everything except the two hash-signature ops is exact
+SQL (DuckDB list comprehensions mirror the Spark higher-order
+functions). MinHash-LSH and SimHash depend on xxhash64, which DuckDB
+lacks — those register rows-only for the driver and get recall/precision
+checks against the exact-Jaccard result in pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.functions.text import (
+    avg_token_length,
+    fingerprint,
+    lang_id,
+    lang_id_sql,
+    lexical_diversity,
+    quality_score,
+    token_count,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    keep_first,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from flight_delays_progetto_big_data_2024_spark.plans.registry import register
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+#: DuckDB needs the 'g' flag for global regexp_replace (Spark replaces
+#: all occurrences by default).
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "q23_dedup_exact_documents",
+    sql=f"""
+    SELECT md5({_NORM_SQL}) AS text_hash,
+           min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5({_NORM_SQL})
+    """,
+)
+def q23_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5, deterministic
+    min-id representative + duplicate count."""
+    cat = Catalog(spark, sf_dir)
+    return dedup_exact(cat.documents, "text", "doc_id")
+
+
+@register(
+    "q24_token_stats_by_lang",
+    sql=f"""
+    SELECT lang,
+           count(*) AS num_docs,
+           round(avg(len({_TOKS_SQL})), 6) AS avg_tokens,
+           round(avg(len(list_distinct({_TOKS_SQL}))::DOUBLE
+                     / len({_TOKS_SQL})), 6) AS avg_diversity
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q24_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count + lexical-diversity profile per language tag."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("num_docs"),
+            F.round(F.avg(token_count("text")), 6).alias("avg_tokens"),
+            F.round(F.avg(lexical_diversity("text")), 6).alias("avg_diversity"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q25_doc_quality_scores",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id,
+               {_TOKS_SQL} AS toks,
+               len(text) AS n,
+               len(text) - len(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
+                   / len(toks) AS atl,
+               len(list_distinct(toks))::DOUBLE / len(toks) AS diversity,
+               CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS pr
+        FROM base
+    )
+    SELECT doc_id, n_tokens,
+           round(atl, 6) AS avg_token_len,
+           round(diversity, 6) AS diversity,
+           round(0.6 * diversity
+                 + 0.4 * (CASE WHEN atl >= 3.0 AND atl <= 8.0
+                               THEN 1.0 ELSE 0.5 END)
+                 - pr, 6) AS quality
+    FROM m
+    """,
+)
+def q25_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics (length/diversity/punctuation) —
+    all higher-order column expressions, zero UDFs."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(avg_token_length("text"), 6).alias("avg_token_len"),
+        F.round(lexical_diversity("text"), 6).alias("diversity"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "q26_lang_id_distribution",
+    sql=f"""
+    SELECT {lang_id_sql("text")} AS predicted_lang, count(*) AS num_docs
+    FROM documents
+    GROUP BY predicted_lang
+    ORDER BY predicted_lang
+    """,
+)
+def q26_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK language-ID heuristic, aggregated. (Both engines run
+    the same deterministic heuristic — the parity check validates the
+    expression, independent of whether predictions match the lang tag.)"""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("num_docs"))
+        .orderBy("predicted_lang")
+    )
+
+
+@register(
+    "q27_doc_fingerprints",
+    sql=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def q27_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint (md5 of normalized text)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "q28_cardinality_profile",
+    sql="""
+    SELECT count(DISTINCT l_orderkey) AS n_orderkeys,
+           count(DISTINCT l_partkey) AS n_partkeys,
+           count(DISTINCT l_suppkey) AS n_suppkeys,
+           count(DISTINCT l_returnflag) AS n_returnflags,
+           count(*) AS total_rows
+    FROM lineitem
+    """,
+)
+def q28_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count profile of join/grouping keys."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.agg(
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+        F.countDistinct("l_partkey").alias("n_partkeys"),
+        F.countDistinct("l_suppkey").alias("n_suppkeys"),
+        F.countDistinct("l_returnflag").alias("n_returnflags"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+@register("q29_cardinality_profile_approx")
+def q29_cardinality_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality profile — the 100 TB path (single pass,
+    constant memory, no sort/shuffle of distinct values). No SQL oracle:
+    HLL estimates are engine-specific; pytest bounds its relative error
+    against q28's exact counts."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_orderkeys"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_partkeys"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_suppkeys"),
+    )
+
+
+_EMB_PREP_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+"""
+
+
+@register(
+    "q30_embedding_topk_cosine",
+    sql=f"""
+    WITH n AS ({_EMB_PREP_SQL}),
+    q AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, candidate_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q30_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id<5:
+    broadcast queries against one distributed corpus scan."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "q31_embedding_cosine_histogram",
+    sql=f"""
+    WITH n AS ({_EMB_PREP_SQL}),
+    pairs AS (
+        SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(cosine * 10) AS BIGINT) AS bucket, count(*) AS n_pairs
+    FROM pairs GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q31_embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine distribution, histogrammed by 0.1 bucket — the
+    profiling pass that picks a near-dup threshold."""
+    cat = Catalog(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(cat.embeddings, threshold=-1.0)
+    return (
+        pairs.select(F.floor(F.col("cosine") * 10).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks)-2, 1))]) AS s
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+
+@register(
+    "q32_ngram_jaccard_pairs",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
+def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs (J ≥ 0.5) via the
+    inverted shingle index — no crossJoin; this is also the ground truth
+    the LSH variants are tested against."""
+    cat = Catalog(spark, sf_dir)
+    return jaccard_pairs(cat.documents, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register("q33_minhash_lsh_near_dups")
+def q33_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard —
+    the sub-quadratic near-dedup path. xxhash64-based signatures have no
+    DuckDB equivalent → rows-only for the driver; pytest checks
+    precision=1 and recall vs q32 on the same data."""
+    cat = Catalog(spark, sf_dir)
+    return minhash_near_dups(cat.documents, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register("q34_simhash_near_dups")
+def q34_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 pairs within Hamming ≤ 7 via pigeonhole block join —
+    exact for that radius by construction (rows-only: xxhash64)."""
+    cat = Catalog(spark, sf_dir)
+    return simhash_near_dups(cat.documents, "doc_id", "text")
+
+
+@register("q35_embedding_lsh_topk")
+def q35_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (multi-probe) — the scale path
+    for similarity search. Rows-only for the driver (recall < 1 by
+    design); pytest measures recall against exact q30."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4)
+
+
+@register(
+    "q36_event_dedup_earliest",
+    sql="""
+    SELECT event_type, count(*) AS num_rows
+    FROM (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q36_event_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-earliest dedup per (user, event_type) — the
+    row_number form of dropDuplicates (which keeps an arbitrary row)."""
+    cat = Catalog(spark, sf_dir)
+    deduped = keep_first(
+        cat.events, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count("*").alias("num_rows"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,155 @@
+"""Dedup + similarity operator tests: planted duplicates on tiny data,
+and recall/precision of the hash-based ops against the exact-Jaccard
+ground truth on the real documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    other = "completely different content about spark dataframes and shuffle plans"
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1 (modulo nothing)
+        (3, "  " + base.upper() + "  "),  # exact dup after normalization
+        (4, near),          # near dup of 1
+        (5, other),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_normalizes(docs):
+    out = dedup_exact(docs).collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    # 1,2,3 collapse to representative 1 with 3 copies
+    assert by_id == {1: 3, 4: 1, 5: 1}
+
+
+def test_jaccard_pairs_finds_planted_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_near_dups_matches_exact_on_planted(docs):
+    got = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    want = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert got == want  # identical dup (J=1) always collides; near-dup should too here
+
+
+def test_minhash_recall_on_documents_table(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(cat.documents, threshold=0.5).collect()
+    }
+    assert exact, "testdata should contain planted near-duplicates"
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(cat.documents, threshold=0.5).collect()
+    }
+    # precision 1.0 by construction (verified candidates)
+    assert lsh <= exact
+    # banding curve at 64/16: collision prob at J=0.5 ≈ 1-(1-0.5^4)^16 ≈ .65;
+    # planted dups are mostly J≈1 so empirical recall is far higher — bound loosely
+    assert len(lsh) / len(exact) >= 0.6
+
+
+def test_simhash_pairs_subset_sanity(docs):
+    got = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs).collect()}
+    assert (1, 2) in got  # identical text -> identical simhash -> hamming 0
+    assert not any((p[0] == 5 or p[1] == 5) for p in got)
+
+
+def test_simhash_blocking_is_exact_for_radius(spark, sf_dir):
+    """Pigeonhole blocking must find EXACTLY the pairs with hamming<=7 —
+    cross-check against a brute-force O(n²) pass on a sample."""
+    cat = Catalog(spark, sf_dir)
+    sample = cat.documents.limit(120)
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        simhash_signature,
+    )
+    from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
+
+    sigs = sample.select(
+        F.col("doc_id").alias("id"), simhash_signature(tokens("text")).alias("sh")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .filter(F.col("h") <= 7)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_dups(sample).collect()
+    }
+    assert blocked == brute
+
+
+def test_cosine_topk_shape_and_selfexclusion(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    out = cosine_topk(cat.embeddings, cat.embeddings.filter(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    assert all(r["candidate_id"] != r["query_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        cosines = [c for _, c in rs]
+        assert cosines == sorted(cosines, reverse=True), q
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    queries = cat.embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["candidate_id"])
+        for r in cosine_topk(cat.embeddings, queries, k=5).collect()
+    }
+    # 4 planes → 16 buckets: right granularity for a 500-vector corpus
+    # (at real scale more planes keep buckets in the thousands)
+    approx = {
+        (r["query_id"], r["candidate_id"])
+        for r in lsh_topk(cat.embeddings, queries, k=5, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-orthogonal random vectors are LSH's worst case; require clear
+    # signal over the ~30%-of-corpus-probed baseline (measured: ~0.58)
+    assert recall >= 0.4, recall
+
+
+def test_embedding_near_dup_pairs_planted(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, 0.95).collect()}
+    assert got == {(1, 2)}
