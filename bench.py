@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query wall
+times. Results are fully materialized via collect() (all headline
+queries return bounded output — aggregates / top-k / pair sets).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+#: Headline set: one per operator family — core join+agg shapes, window
+#: top-k, graph (PageRank/triangles), dedup (exact/Jaccard/MinHash/
+#: SimHash), similarity search, text profiling, windowed events.
+HEADLINE = [
+    "q01_popular_nations_avg_delay",
+    "q04_popular_routes_avg_delay",
+    "q07_shipped_vs_received_by_nation",
+    "q13_return_ratio_by_priority",
+    "q17_top_customers_per_nation",
+    "q20_nation_pagerank",
+    "q21_nation_triangle_count",
+    "q23_dedup_exact_documents",
+    "q25_doc_quality_scores",
+    "q30_embedding_topk_cosine",
+    "q32_ngram_jaccard_pairs",
+    "q33_minhash_lsh_near_dups",
+    "q34_simhash_near_dups",
+    "q39_tumbling_hourly_events",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from flight_delays_progetto_big_data_2024_spark.plans import registry
+    from flight_delays_progetto_big_data_2024_spark.session import get_spark
+
+    spark = get_spark("flight-delays-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warm-up: JVM JIT + parquet footer/file cache
+    registry.QUERIES[HEADLINE[0]](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - start, 3)
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

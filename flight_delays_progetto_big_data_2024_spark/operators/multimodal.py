@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery here is real and tested — schemas, batch
+iteration, partition-preserving UDF signatures; only the *codec* step is
+stubbed (this container has no image/audio libraries), behind
+``try import`` gates that raise a clearly-marked NotImplementedError.
+``fake_decode_images`` substitutes a deterministic metadata extractor so
+the distributed plumbing is exercised end-to-end and oracle-checkable
+(its formula is pure arithmetic on byte length).
+
+Scale notes: mapInPandas streams Arrow record batches — constant memory
+per task regardless of partition size; binary payloads never pass
+through Python row-by-row. Real pipelines should store payloads in
+their own parquet column (dictionary-disabled) and keep metadata columns
+alongside for pruning, which this module's attach/extract split mirrors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, channels int"
+)
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint"
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Opaque binary payload column (UTF-8 bytes of the text here; stands
+    in for image/audio bytes, which arrive the same way)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def fake_decode_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """'Decode' each payload to image metadata with a deterministic fake
+    (dims derived from byte length). Exercises the REAL decode pipeline
+    shape: Arrow batches in, new-schema batches out."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n.astype("int64"),
+                    "width": (n % 64 + 1).astype("int32"),
+                    "height": (n % 37 + 1).astype("int32"),
+                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def decode_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode (PIL) — STUB: the execution container has no
+    imaging libraries. The mapInPandas plumbing is identical to
+    :func:`fake_decode_images`; only the codec differs."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decode requires Pillow, which is not available in this "
+            "environment; use fake_decode_images for plumbing tests"
+        ) from exc
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        import PIL.Image as Image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = Image.open(io.BytesIO(payload))
+                rows.append((doc_id, len(payload), img.width, img.height, len(img.getbands())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "channels"]
+            )
+
+    return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Evenly-strided frame sampling from a fake video container whose
+    frame count derives from byte length (real codecs slot into the same
+    batch loop). Emits (doc_id, frame_idx, frame_offset) rows — a
+    row-expanding mapInPandas (out rows ≠ in rows)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_bytes = len(payload)
+                n_frames = n_bytes % 10 + 1
+                take = min(k, n_frames)
+                for j in range(take):
+                    ids.append(doc_id)
+                    idxs.append(j * n_frames // take)
+                    offs.append((j * n_frames // take) * 1024)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)

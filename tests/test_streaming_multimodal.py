@@ -1,0 +1,91 @@
+"""Structured Streaming equivalence (stream result == batch result on
+the same files) and multimodal mapInPandas plumbing tests."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_images,
+    fake_decode_images,
+    sample_frames,
+)
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
+    read_event_stream,
+    stream_tumbling_counts,
+    tumbling_counts,
+)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    """availableNow micro-batch run over the events parquet must produce
+    exactly the batch aggregation (the same logical plan, incremental)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+
+    raw_schema = spark.read.parquet(str(src / "part-000.parquet")).schema
+    stream = read_event_stream(
+        spark, str(src), raw_schema, ts_is_nanos_long=True
+    )
+    agg = stream_tumbling_counts(stream, window="1 hour", watermark="0 seconds")
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["num_events"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    cat = Catalog(spark, sf_dir)
+    want = {
+        (r["window_start"], r["num_events"], r["avg_value"])
+        for r in tumbling_counts(cat.events, "1 hour").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_fake_decode_images_schema_and_determinism(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    out = fake_decode_images(attach_binary_payload(cat.documents))
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_bytes", "width", "height", "channels",
+    ]
+    rows = out.orderBy("doc_id").limit(5).collect()
+    again = out.orderBy("doc_id").limit(5).collect()
+    assert rows == again
+    for r in rows:
+        assert r["width"] == r["n_bytes"] % 64 + 1
+        assert r["height"] == r["n_bytes"] % 37 + 1
+        assert r["channels"] == 3
+
+
+def test_real_decode_is_cleanly_stubbed(spark, sf_dir):
+    """Without imaging libs the real decoder must fail loudly at
+    construction, not deep inside an executor."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow unexpectedly present")
+    except ImportError:
+        pass
+    cat = Catalog(spark, sf_dir)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_images(attach_binary_payload(cat.documents))
+
+
+def test_sample_frames_row_expansion(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    docs = attach_binary_payload(cat.documents.limit(20))
+    frames = sample_frames(docs, k=3)
+    per_doc = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert all(1 <= r["n"] <= 3 for r in per_doc)
+    idx = frames.collect()
+    assert all(r["frame_offset"] == r["frame_idx"] * 1024 for r in idx)
