@@ -63,6 +63,7 @@ def pagerank(
     dst: str = "dst",
     vertices: DataFrame | None = None,
     checkpoint: bool = True,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Static PageRank with GraphX/GraphFrames semantics (reference
     graphframes_flights.py:44-46: resetProbability=0.15, maxIter=10).
@@ -72,17 +73,27 @@ def pagerank(
     channels only if present in ``edges`` — pass a deduped edge set for
     simple-graph semantics.
     """
-    verts = (vertices or _vertices_from_edges(edges, src, dst)).select("id")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Persist the edge list FIRST: vertices, out-degrees and the contrib
+    # base all derive from it, and the caller's edge derivation may be an
+    # arbitrarily expensive join pipeline — without persist it would
+    # re-execute in every iteration (10× the scan + shuffle cost at
+    # 100 TB).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    verts = (vertices or _vertices_from_edges(e, "src", "dst")).select("id")
 
+    # No broadcast hints: out-degree and rank tables are O(|V|) — forcing
+    # a broadcast is a scale bug at billions of vertices. AQE converts
+    # these joins to broadcast at runtime whenever the side is small.
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
-    # out-degree table is |V|-sized: broadcast-join it onto edges once.
-    contrib_base = e.join(F.broadcast(out_deg), "src")
+    contrib_base = e.join(out_deg, "src")
+
+    verts = verts.persist()
+    contrib_base = contrib_base.persist()
 
     ranks = verts.withColumn("rank", F.lit(1.0))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         contribs = (
-            contrib_base.join(F.broadcast(ranks), contrib_base["src"] == ranks["id"])
+            contrib_base.join(ranks, contrib_base["src"] == ranks["id"])
             .select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("mass"))
@@ -94,10 +105,19 @@ def pagerank(
                 + F.lit(1.0 - reset_prob) * F.coalesce(F.col("mass"), F.lit(0.0))
             ).alias("rank"),
         )
-        if checkpoint:
-            # truncate lineage so the plan doesn't grow per iteration
+        if checkpoint and (i + 1) % checkpoint_interval == 0:
+            # truncate lineage so the plan doesn't grow unboundedly; every
+            # few iterations balances plan depth vs checkpoint cost
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("id", F.col("rank").alias("pagerank"))
+    result = ranks.select("id", F.col("rank").alias("pagerank"))
+    if checkpoint:
+        # materialize the final ranks so the loop inputs can be released
+        # without ever recomputing the iteration chain
+        result = result.localCheckpoint(eager=True)
+        verts.unpersist()
+        contrib_base.unpersist()
+        e.unpersist()
+    return result
 
 
 def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -100,9 +100,14 @@ def jaccard_pairs(
     """
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    )
+    ).persist()  # feeds the index twice + the size table: shingle once
     sizes = docs.select("id", F.size("shingles").alias("n_sh"))
-    inv = docs.select("id", F.explode("shingles").alias("s"))
+    # join on the 64-bit shingle hash, not the string: ~10× less shuffle
+    # volume and cheaper key compares; xxhash64 collisions are ~n²/2⁶⁴ —
+    # immaterial below ~10⁸ distinct shingles per join scope
+    inv = docs.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.xxhash64("s").alias("s")
+    )
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -136,6 +141,31 @@ def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def hashed_shingles(shingles_col):
+    """xxhash64 of each shingle, mod the MinHash prime (array<bigint>).
+    Materialize this as its OWN column before building signatures: the 64
+    permutation mins each reference the whole array, and Catalyst's
+    CollapseProject keeps a non-cheap multiply-referenced column as a
+    separate projection — so the string hashing runs once per row, not
+    64 times."""
+    return F.transform(
+        shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_PRIME))
+    )
+
+
+def _signature_from_hashed(hashed_col, num_hashes: int, seed: int):
+    def _perm(a: int, b: int):
+        # factory closure: PySpark derives lambda arity from the Python
+        # signature, so default-arg capture (lambda x, a=a: ...) breaks
+        return lambda x: F.pmod(a * x + b, F.lit(_MINHASH_PRIME))
+
+    mins = [
+        F.array_min(F.transform(hashed_col, _perm(a, b)))
+        for a, b in _minhash_params(num_hashes, seed)
+    ]
+    return F.array(*mins)
+
+
 def minhash_signature(
     shingles_col,
     num_hashes: int = 64,
@@ -143,21 +173,13 @@ def minhash_signature(
 ):
     """MinHash signature column (array<bigint>, length num_hashes) over a
     distinct-shingle array column: ``min((a_i·h(s)+b_i) mod p)`` with
-    ``h = xxhash64 mod p``. Pure higher-order expressions — JVM-side."""
-    base = F.transform(
-        shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_PRIME))
-    )
+    ``h = xxhash64 mod p``. Pure higher-order expressions — JVM-side.
 
-    def _perm(a: int, b: int):
-        # factory closure: PySpark derives lambda arity from the Python
-        # signature, so default-arg capture (lambda x, a=a: ...) breaks
-        return lambda x: F.pmod(a * x + b, F.lit(_MINHASH_PRIME))
-
-    mins = [
-        F.array_min(F.transform(base, _perm(a, b)))
-        for a, b in _minhash_params(num_hashes, seed)
-    ]
-    return F.array(*mins)
+    Prefer the two-step ``hashed_shingles`` + ``_signature_from_hashed``
+    (as ``minhash_lsh_candidates`` does) in hot paths: inlined here, the
+    hashing subexpression is duplicated across all ``num_hashes`` mins.
+    """
+    return _signature_from_hashed(hashed_shingles(shingles_col), num_hashes, seed)
 
 
 def minhash_lsh_candidates(
@@ -175,11 +197,24 @@ def minhash_lsh_candidates(
 
     The whole pipeline is (narrow maps) + one explode + one equi-join on
     (band, band_hash): sub-quadratic, shuffle keyed by band hash."""
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows = num_hashes // bands
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+    )
+    return _lsh_candidates_from_docs(docs, num_hashes, bands, seed)
+
+
+def _lsh_candidates_from_docs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding over a prepared (id, shingles) relation."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    docs = docs.withColumn("hs", hashed_shingles(F.col("shingles"))).withColumn(
+        "sig", _signature_from_hashed(F.col("hs"), num_hashes, seed)
+    )
     banded = docs.select(
         "id",
         F.explode(
@@ -194,6 +229,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # both self-join sides read this; persist so shingling + the 64-hash
+    # signature run once over the corpus
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -221,11 +259,15 @@ def minhash_near_dups(
 ) -> DataFrame:
     """LSH candidates verified by EXACT Jaccard on the shingle sets —
     precision 1.0 by construction; recall governed by the banding curve
-    (64 hashes / 16 bands ⇒ ~99.9% at J=0.5)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands, seed)
+    (64 hashes / 16 bands ⇒ ~99.9% at J=0.5).
+
+    The (id, shingles) relation feeds candidate generation AND both
+    sides of the verification join — persist it so tokenization/
+    shingling (the dominant per-row cost) runs once over the corpus."""
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    )
+    ).persist()
+    cands = _lsh_candidates_from_docs(docs, num_hashes, bands, seed)
     da = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -239,13 +281,15 @@ def minhash_near_dups(
     )
 
 
-def simhash_signature(tokens_col):
-    """64-bit SimHash over a token array: per-bit ±1 votes from each
-    token's xxhash64, sign of the vote total sets the bit. The 64 bit
-    positions are unrolled in Python (bit masks must be literals — shift
-    amounts can't be lambda variables), each an ``aggregate`` over the
-    token-hash array. Entirely JVM-side expressions — no UDF."""
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+def _simhash_from_hashes(hashes):
+    """64-bit SimHash from a token-hash array: per-bit ±1 votes, sign of
+    the vote total sets the bit. The 64 bit positions are unrolled in
+    Python (bit masks must be literals — shift amounts can't be lambda
+    variables), each an ``aggregate`` over the token-hash array.
+    Entirely JVM-side expressions — no UDF. Pass ``hashes`` as a real
+    column (not an inline expression): all 64 votes reference it, and a
+    non-cheap multiply-referenced column survives CollapseProject, so
+    the hashing runs once per row."""
 
     def _vote(mask: int):
         return lambda acc, h: acc + F.when(
@@ -261,6 +305,13 @@ def simhash_signature(tokens_col):
             F.when(votes > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long")
         )
     return sig
+
+
+def simhash_signature(tokens_col):
+    """64-bit SimHash over a token array. Prefer the two-step token-hash
+    column + ``_simhash_from_hashes`` in hot paths (as
+    ``simhash_near_dups`` does) so hashing isn't duplicated per bit."""
+    return _simhash_from_hashes(F.transform(tokens_col, lambda t: F.xxhash64(t)))
 
 
 def simhash_near_dups(
@@ -279,8 +330,10 @@ def simhash_near_dups(
     width = 64 // blocks
     from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
 
-    docs = df.select(
-        F.col(id_col).alias("id"), simhash_signature(tokens(text_col)).alias("sh")
+    docs = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .withColumn("th", F.transform("toks", lambda t: F.xxhash64(t)))
+        .select("id", _simhash_from_hashes(F.col("th")).alias("sh"))
     )
     mask = (1 << width) - 1
     blocked = docs.select(
@@ -300,6 +353,9 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    # both self-join sides read this; persist so the signature pipeline
+    # (tokenize + 64-bit votes) runs once over the corpus
+    blocked = blocked.persist()
     a = blocked.alias("a")
     b = blocked.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))

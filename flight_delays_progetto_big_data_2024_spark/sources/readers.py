@@ -83,12 +83,31 @@ def read_csv(
 
 
 class Catalog:
-    """Lazy, memoized handle set over one testdata directory."""
+    """Lazy, memoized handle set over one testdata directory.
+
+    Instances are interned per (session, dir): every ``spark.read.parquet``
+    costs a footer-listing job plus fresh analysis state, so handing the
+    SAME scan DataFrame to every query both removes that per-query setup
+    and lets Spark reuse cached file listings/exchanges across queries —
+    exactly what a catalog service does on a real cluster.
+    """
+
+    _instances: dict[tuple[int, str], "Catalog"] = {}
+
+    def __new__(cls, spark: SparkSession, sf_dir: str):
+        key = (id(spark), sf_dir.rstrip("/"))
+        inst = cls._instances.get(key)
+        if inst is None or inst.spark is not spark:
+            inst = super().__new__(cls)
+            inst.spark = spark
+            inst.sf_dir = sf_dir.rstrip("/")
+            inst._tables = {}
+            cls._instances[key] = inst
+        return inst
 
     def __init__(self, spark: SparkSession, sf_dir: str):
-        self.spark = spark
-        self.sf_dir = sf_dir.rstrip("/")
-        self._tables: dict[str, DataFrame] = {}
+        # state lives in __new__ (interned); nothing to re-initialize
+        pass
 
     def table(self, name: str) -> DataFrame:
         if name not in TESTDATA_TABLES:
