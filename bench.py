@@ -31,6 +31,9 @@ HEADLINE = [
     "q33_minhash_lsh_near_dups",
     "q34_simhash_near_dups",
     "q39_tumbling_hourly_events",
+    "q41_user_session_windows",
+    "q43_purchase_asof_last_click",
+    "q44_embedding_ivf_topk",
 ]
 
 

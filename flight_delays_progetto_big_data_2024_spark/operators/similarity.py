@@ -154,6 +154,82 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor — the other
+    classic scale path besides LSH:
+
+    1. coarse quantizer: ``n_cells`` centroids (here: the lowest-id
+       corpus vectors, which keeps the whole op deterministic and
+       SQL-checkable; production would plug in k-means centroids — the
+       search below is identical);
+    2. assignment: one pass over the corpus against the BROADCAST
+       centroid set, argmax cosine (ties → lowest centroid id) — this
+       is the linear-scan index build, shuffle-free;
+    3. search: each query probes its ``n_probe`` nearest cells only,
+       exact cosine re-ranks within the probed cells.
+
+    Recall < 1 when a true neighbor lives in an unprobed cell; raising
+    ``n_probe`` trades scan cost for recall (n_probe == n_cells is
+    exact brute force)."""
+    c = _prep(corpus, id_col, vec_col)
+    cent = c.filter(F.col("id") < n_cells).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+
+    def nearest_cells(rel: DataFrame, n: int, out_prefix: str) -> DataFrame:
+        scored = rel.join(F.broadcast(cent)).select(
+            rel["*"],
+            F.col("cid"),
+            cosine_prenormed("v", "cv", "nrm", "cn", scale=scale).alias("csim"),
+        )
+        return (
+            top_k_per_group(
+                scored,
+                partition_keys=["id"],
+                order=[F.desc("csim"), F.col("cid")],
+                k=n,
+                rank_alias="__crank",
+            )
+            .drop("__crank", "csim")
+            .withColumnRenamed("cid", out_prefix)
+        )
+
+    cells = nearest_cells(c, 1, "cell")
+    probed = nearest_cells(
+        _prep(queries, id_col, vec_col), n_probe, "cell"
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    scored = (
+        cells.join(F.broadcast(probed), on="cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            cosine_prenormed("qv", "v", "qn", "nrm", scale=scale).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_keys=["query_id"],
+        order=[F.desc("cosine"), F.col("candidate_id")],
+        k=k,
+        rank_alias="rank",
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -1,0 +1,90 @@
+"""Temporal operators: session windows and as-of joins.
+
+Neither exists in the reference (SURVEY.md §2.9 — no window functions,
+no streaming), but both are table stakes for event pipelines at scale:
+
+- ``session_windows`` uses Spark's native ``F.session_window`` (batch
+  AND streaming): gap-based sessions per key, one shuffle on the key.
+- ``asof_join`` is the operator Spark lacks as a primitive. The naive
+  form (theta-join on ``l.ts >= r.ts`` + max) explodes quadratically;
+  the scalable idiom used here is union + per-key ordered forward-fill:
+  tag both sides, union, one window sorted by (ts, side), carry the
+  last non-null right value forward, keep left rows. ONE shuffle on the
+  join key, zero join blow-up, works at any key cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "2 hours",
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 4,
+) -> DataFrame:
+    """Gap-based sessions per key: a new session starts when an event
+    arrives ≥ ``gap`` after the previous one. Native
+    ``F.session_window`` — identical semantics under Structured
+    Streaming with a watermark. Window start is emitted as a formatted
+    string (engine-portable, like streaming.windowed)."""
+    return (
+        events.groupBy(*keys, F.session_window(ts_col, gap).alias("sw"))
+        .agg(
+            F.count("*").alias("num_events"),
+            F.round(F.sum(value_col), scale).alias("total_value"),
+        )
+        .select(
+            *keys,
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "num_events",
+            "total_value",
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    right_cols: Sequence[str] = ("value",),
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the right row with the
+    greatest ``ts_col`` ≤ its own (per ``on`` key); no match → nulls.
+    Matches ANSI/DuckDB ``ASOF LEFT JOIN ... ON l.key = r.key AND
+    l.ts >= r.ts``.
+
+    Implementation is the union + forward-fill idiom (module docstring):
+    right rows sort before left rows at equal timestamps, so the match
+    is inclusive. Right payload columns are carried as ``<col><suffix>``
+    (the right timestamp as ``<ts_col><suffix>``).
+    """
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__side", F.lit(1))
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carried:
+        merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return merged.filter(F.col("__side") == 1).drop("__side")

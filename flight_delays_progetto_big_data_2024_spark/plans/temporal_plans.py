@@ -1,0 +1,212 @@
+"""Temporal + ANN queries: session windows, sliding windows, as-of
+join, IVF similarity search, percentile profiling.
+
+None of these exist in the reference (SURVEY.md §2.9); they're the
+event-pipeline / training-data operators a Spark engine at scale must
+carry. Every one is SQL-expressible, so each gets a full value-hash
+oracle: sessions via gaps-and-islands, the as-of join via DuckDB's
+native ASOF JOIN, IVF via deterministic centroids (lowest ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.operators.similarity import ivf_topk
+from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+    asof_join,
+    session_windows,
+)
+from flight_delays_progetto_big_data_2024_spark.plans.registry import register
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
+    sliding_counts,
+)
+
+
+@register(
+    "q41_user_session_windows",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS num_events,
+           round(sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q41_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (2h) per user via native ``F.session_window``
+    — the oracle proves the gaps-and-islands equivalence."""
+    cat = Catalog(spark, sf_dir)
+    return session_windows(cat.events, gap="2 hours").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register(
+    "q42_sliding_window_traffic",
+    sql="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS num_events,
+           round(avg(value), 6) AS avg_value
+    FROM (
+        SELECT value, date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS ws
+        FROM events, unnest([0, 1]) AS t(i)
+    )
+    GROUP BY ws
+    ORDER BY window_start
+    """,
+)
+def q42_sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour (each event in 2 windows) —
+    ``F.window(ts, '2 hours', '1 hour')``; epoch alignment makes the
+    unnest-based SQL exactly equivalent."""
+    cat = Catalog(spark, sf_dir)
+    return sliding_counts(cat.events, "2 hours", "1 hour").orderBy("window_start")
+
+
+@register(
+    "q43_purchase_asof_last_click",
+    sql="""
+    SELECT a.event_id,
+           a.user_id,
+           a.value,
+           b.value AS value_click,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        ON a.user_id = b.user_id AND a.ts >= b.ts
+    ORDER BY a.event_id
+    """,
+)
+def q43_purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the same user's most
+    recent click at-or-before it (union + forward-fill idiom — one
+    shuffle, no theta-join blow-up; operators.temporal.asof_join).
+    Hash-checked against DuckDB's native ASOF JOIN."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    joined = asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["value"],
+        suffix="_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        "value_click",
+        F.date_format("ts_click", "yyyy-MM-dd HH:mm:ss").alias("ts_click"),
+    ).orderBy("event_id")
+
+
+_IVF_SQL = """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, v, nrm, cid FROM (
+            SELECT n.vec_id, n.v, n.nrm, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC,
+                                cid
+                   ) AS rn
+            FROM n, cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid FROM (
+            SELECT n.vec_id, n.v, n.nrm, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC,
+                                cid
+                   ) AS rn
+            FROM n, cent
+            WHERE n.vec_id < 5
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS candidate_id,
+               round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cosine
+        FROM probes p JOIN assigned a USING (cid)
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, candidate_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+"""
+
+
+@register("q44_embedding_ivf_topk", sql=_IVF_SQL)
+def q44_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for queries vec_id<5: 16 deterministic
+    centroids, 4-cell probing, exact re-rank within probed cells
+    (operators.similarity.ivf_topk). Fully value-hash-checked because
+    centroid choice and tie-breaks are deterministic."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4
+    ).select("query_id", "candidate_id", "cosine", "rank")
+
+
+@register(
+    "q45_event_value_percentiles",
+    sql="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q45_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type (the
+    profiling pass; swap ``percentile_approx`` in at 100 TB — same
+    call shape, sketch-merged instead of exact)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+                for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
+            ]
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+``F.session_window`` covers the aggregate case (streaming.windowed /
+operators.temporal); this module is the template for session logic the
+built-in can't express (arbitrary per-session state, early emission of
+in-progress sessions, custom close rules). State is one small tuple per
+key — bounded by key cardinality, not event volume — and event-time
+timeouts close idle sessions exactly when the watermark passes
+``last_event + gap``.
+
+Rows arrive as Arrow batches (pandas), state lives in the state store;
+both survive micro-batch boundaries and executor recovery through the
+checkpoint. Output mode "update": closed sessions are emitted exactly
+once (``closed=true``); the currently-open session is re-emitted each
+time it grows (``closed=false``) so downstream sinks can show live
+session state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "num_events bigint, total_value double, closed boolean"
+)
+
+#: (session_start_us, last_event_us, num_events, total_value)
+STATE_SCHEMA = "start bigint, last bigint, n bigint, total double"
+
+_US_PER_MS = 1_000
+
+
+def _to_micros(ts: pd.Series) -> pd.Series:
+    return pd.to_datetime(ts).astype("datetime64[ns]").astype("int64") // 1_000
+
+
+def _row(user_id: int, start_us: int, last_us: int, n: int, total: float, closed: bool) -> dict:
+    return {
+        "user_id": user_id,
+        "session_start": pd.to_datetime(start_us, unit="us"),
+        "session_end": pd.to_datetime(last_us, unit="us"),
+        "num_events": n,
+        "total_value": round(total, 6),
+        "closed": closed,
+    }
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sessionize a watermarked event stream: sessions close when a new
+    event for the key arrives ≥ gap later, or when the watermark passes
+    ``last_event + gap`` (event-time timeout)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([_row(user_id, start, last, n, total, True)])
+            return
+
+        current = state.get if state.exists else None
+        out: list[dict] = []
+        for pdf in pdfs:
+            ts_us = _to_micros(pdf[ts_col])
+            order = ts_us.argsort(kind="stable")
+            for t, v in zip(ts_us.iloc[order], pdf[value_col].iloc[order]):
+                t, v = int(t), float(v)
+                if current is not None and t - current[1] >= gap_us:
+                    out.append(_row(user_id, *current, True))
+                    current = None
+                if current is None:
+                    current = (t, t, 1, v)
+                else:
+                    start, _, n, total = current
+                    current = (start, max(t, current[1]), n + 1, total + v)
+
+        if current is not None:
+            state.update(current)
+            # event-time timeout fires once the watermark passes this
+            # (milliseconds epoch, must lead the current watermark)
+            state.setTimeoutTimestamp((current[1] + gap_us) // _US_PER_MS)
+            out.append(_row(user_id, *current, False))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -25,11 +25,13 @@ def tumbling_counts(
     ts_col: str = "ts",
     value_col: str = "value",
     keys: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window count + mean. Window start is emitted as a
-    formatted string so results are engine-portable (raw timestamps
-    hash differently across engines)."""
-    group_cols = [F.window(ts_col, window).alias("w"), *(keys or [])]
+    """Tumbling-window count + mean (sliding when ``slide`` < window:
+    each event then lands in window/slide overlapping windows). Window
+    start is emitted as a formatted string so results are
+    engine-portable (raw timestamps hash differently across engines)."""
+    group_cols = [F.window(ts_col, window, slide or window).alias("w"), *(keys or [])]
     return (
         events.groupBy(*group_cols)
         .agg(
@@ -45,6 +47,19 @@ def tumbling_counts(
             "avg_value",
         )
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding-window count + mean: windows of ``window`` length starting
+    every ``slide`` (epoch-aligned, like ``F.window``)."""
+    return tumbling_counts(events, window, ts_col, value_col, keys, slide=slide)
 
 
 def read_event_stream(

@@ -1,0 +1,162 @@
+"""Unit tests: session windows, sliding windows, as-of join, IVF, and
+the applyInPandasWithState streaming sessionizer (semantic corner cases
+on tiny frames; oracle parity at sf0.001 is covered by
+test_oracle_parity via the registry)."""
+
+import os
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.operators.similarity import ivf_topk
+from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+    asof_join,
+    session_windows,
+)
+from flight_delays_progetto_big_data_2024_spark.streaming.stateful import (
+    sessionize_stream,
+)
+from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
+    sliding_counts,
+)
+
+
+def _ts(h, m=0, s=0):
+    return datetime(2024, 1, 1, h, m, s)
+
+
+def test_session_windows_gap_boundary(spark):
+    # events at 10:00, 10:29, 11:00 with a 30-min gap: the 11:00 event is
+    # exactly gap after 10:30's window end? No — session end extends to
+    # last_event + gap = 10:59, so 11:00 starts a NEW session.
+    df = spark.createDataFrame(
+        [(1, _ts(10, 0), 1.0), (1, _ts(10, 29), 2.0), (1, _ts(11, 0), 4.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["session_start"], r["num_events"], r["total_value"])
+        for r in session_windows(df, gap="30 minutes").collect()
+    }
+    assert got == {("2024-01-01 10:00:00", 2, 3.0), ("2024-01-01 11:00:00", 1, 4.0)}
+
+
+def test_session_windows_per_key_isolation(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (2, _ts(10, 10), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    assert session_windows(df, gap="1 hour").count() == 2
+
+
+def test_sliding_counts_two_windows_per_event(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(10, 30), 6.0)], "user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["window_start"], r["num_events"])
+        for r in sliding_counts(df, "2 hours", "1 hour").collect()
+    }
+    assert got == {("2024-01-01 09:00:00", 1), ("2024-01-01 10:00:00", 1)}
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(9)), (2, 10, _ts(12)), (3, 10, _ts(14)), (4, 99, _ts(12))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(10), 1.0), (10, _ts(12), 2.0), (10, _ts(13), 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["value_r"]
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts", right_cols=["value"], suffix="_r"
+        ).collect()
+    }
+    # before any right row -> null; equal ts matches (inclusive);
+    # latest prior wins; unseen key -> null
+    assert got == {1: None, 2: 2.0, 3: 3.0, 4: None}
+
+
+def test_asof_join_carries_right_timestamp(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(12))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(11), 5.0)], "user_id long, ts timestamp, value double"
+    )
+    row = asof_join(left, right, on=["user_id"], right_cols=["value"]).collect()[0]
+    assert row["ts_right"] == _ts(11) and row["value_right"] == 5.0
+
+
+def test_ivf_topk_probe_all_cells_is_exact(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["rank"]): r["candidate_id"]
+             for r in cosine_topk(emb, q, k=3).collect()}
+    ivf_all = {(r["query_id"], r["rank"]): r["candidate_id"]
+               for r in ivf_topk(emb, q, k=3, n_cells=8, n_probe=8).collect()}
+    assert ivf_all == exact  # n_probe == n_cells degenerates to brute force
+
+
+def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
+    src = str(tmp_path / "stream-in")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def drop(name, rows, mtime):
+        # the file stream source lists FLAT files under src, so stage the
+        # spark write and copy out its single part file
+        import glob
+        import shutil
+
+        staging = str(tmp_path / f"staging-{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = f"{src}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch1: user1 two events 10:00/10:05; user2 one event 10:00
+    drop("b1", [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 5), 1, 2.0),
+                (3, _ts(10, 0), 2, 7.0)], time.time() - 30)
+    # batch2: user1 at 13:00 -> closes its first session (gap 30min)
+    drop("b2", [(4, _ts(13, 0), 1, 4.0)], time.time() - 20)
+    # batch3: watermark (13:00 - 10min) passes user2's 10:00+30min
+    # timeout -> user2's session closes with NO new user2 data
+    drop("b3", [(5, _ts(13, 10), 1, 8.0)], time.time() - 10)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = sessionize_stream(
+        stream, gap_seconds=1800, watermark="10 minutes"
+    )
+    collected = []
+    query = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    closed = {
+        (r["user_id"], r["session_start"], r["num_events"], r["total_value"])
+        for r in collected
+        if r["closed"]
+    }
+    assert (1, _ts(10, 0), 2, 3.0) in closed  # closed by the 13:00 event
+    assert (2, _ts(10, 0), 1, 7.0) in closed  # closed by event-time timeout
+    # the open user1 session was re-emitted as it grew
+    opens = [r for r in collected if not r["closed"] and r["user_id"] == 1]
+    assert any(r["session_start"] == _ts(13, 0) and r["num_events"] == 2 for r in opens)
