@@ -165,21 +165,39 @@ def two_sided_totals(
     scale: int = 4,
 ) -> DataFrame:
     """Totals of ``measure`` grouped by two different key columns of the
-    same input, merged full-outer with coalesced keys and 0-fill —
+    same input, merged with 0 where a key appears on only one side —
     the reference's departures-vs-arrivals per airport shape (reference
     delayed_flights.py:255-284, SURVEY.md J5).
+
+    The reference aggregates TWICE and full-outer-joins (its
+    delayed_flights.py:255-278) — at 100 TB that re-executes the whole
+    upstream pipeline. Here: explode each row to its two (key, side)
+    assignments, ONE groupBy(key) with conditional sums — single scan,
+    single shuffle, identical output for non-null keys (a null key would
+    merge into one row here vs. two under a full-outer join, which never
+    matches null keys).
     """
-    left = df.groupBy(F.col(left_key).alias("__lk")).agg(
-        F.round(F.sum(measure), scale).alias(left_alias)
+    long = df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(left_key).alias("k"), F.lit("l").alias("side")),
+                F.struct(F.col(right_key).alias("k"), F.lit("r").alias("side")),
+            )
+        ).alias("x"),
+        F.col(measure).alias("__m"),
     )
-    right = df.groupBy(F.col(right_key).alias("__rk")).agg(
-        F.round(F.sum(measure), scale).alias(right_alias)
-    )
-    joined = left.join(right, left["__lk"] == right["__rk"], "full_outer")
     return (
-        joined.withColumn(key_alias, F.coalesce(F.col("__lk"), F.col("__rk")))
-        .drop("__lk", "__rk")
-        .na.fill(0, [left_alias, right_alias])
+        long.groupBy(F.col("x.k").alias(key_alias))
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("x.side") == "l", F.col("__m"))), F.lit(0)),
+                scale,
+            ).alias(left_alias),
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("x.side") == "r", F.col("__m"))), F.lit(0)),
+                scale,
+            ).alias(right_alias),
+        )
         .select(key_alias, left_alias, right_alias)
     )
 

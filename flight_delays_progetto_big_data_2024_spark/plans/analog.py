@@ -101,12 +101,17 @@ def q01_popular_nations_avg_delay(spark: SparkSession, sf_dir: str) -> DataFrame
     one lazy plan, no driver round-trip (SURVEY.md §4.3-3)."""
     cat = Catalog(spark, sf_dir)
     joined = _cust_nation_lineitems(cat)
-    counts = count_by(joined, ["nation"], "num_lineitems")
-    popular = popular_groups(counts, "num_lineitems")
-    measures = avg_by(
-        joined, ["nation"], {"l_discount": "avg_discount", "l_tax": "avg_tax"}
+    # ONE aggregation pass carries count + both measures: the
+    # popular_groups global-avg branch then shares an identical exchange
+    # subtree, so Spark plans a ReusedExchange — the expensive 4-way join
+    # is scanned once, not three times (visible in .explain: one
+    # FileScan per table).
+    per_nation = joined.groupBy("nation").agg(
+        F.count("*").alias("num_lineitems"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
     )
-    result = popular.join(measures, "nation").withColumn(
+    result = popular_groups(per_nation, "num_lineitems").withColumn(
         "combined_delay",
         F.round((F.col("avg_discount") + F.col("avg_tax")) / 2, 6),
     )
@@ -234,10 +239,13 @@ def q04_popular_routes_avg_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``route_most_delay`` (reference delayed_flights.py:163-215)."""
     cat = Catalog(spark, sf_dir)
     routed = _routed_lineitems(cat)
-    counts = count_by(routed, ["route"], "num_lineitems")
-    popular = popular_groups(counts, "num_lineitems")
-    measures = avg_by(routed, ["route"], {"l_discount": "avg_discount"})
-    result = popular.join(measures, "route")
+    # single aggregation pass (see q01): count + measure together, then
+    # the popularity filter reuses the same exchange -> one join scan
+    per_route = routed.groupBy("route").agg(
+        F.count("*").alias("num_lineitems"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+    result = popular_groups(per_route, "num_lineitems")
     return top_k(result, [F.desc("avg_discount"), F.col("route")], 25)
 
 
