@@ -29,3 +29,29 @@ def write_parquet(
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join layout:
+    two tables bucketed on their join key with the same bucket count
+    join WITHOUT a shuffle exchange on either side (Spark trusts the
+    on-disk hash partitioning). This is the 100 TB answer to repeated
+    fact-to-fact joins: pay the shuffle once at write time. Registered
+    as a catalog table because bucketing metadata lives in the
+    metastore, with data at the explicit ``path``."""
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
