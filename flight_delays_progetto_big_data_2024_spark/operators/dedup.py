@@ -215,20 +215,18 @@ def _lsh_candidates_from_docs(
     docs = docs.withColumn("hs", hashed_shingles(F.col("shingles"))).withColumn(
         "sig", _signature_from_hashed(F.col("hs"), num_hashes, seed)
     )
+    # NB: rows stay NARROW (id, band, bh) — a first-agreeing-band filter
+    # (as simhash_near_dups uses) would need the 16-int band-hash array
+    # on every exploded row, inflating the join shuffle ~10×; with LSH's
+    # low candidate multiplicity the distinct() is the cheaper dedup.
     banded = docs.select(
         "id",
-        F.explode(
+        F.posexplode(
             F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(F.slice("sig", i * rows + 1, rows)).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
+                *[F.hash(F.slice("sig", i * rows + 1, rows)) for i in range(bands)]
             )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        ).alias("band", "bh"),
+    )
     # both self-join sides read this; persist so shingling + the 64-hash
     # signature run once over the corpus
     banded = banded.persist()
@@ -359,6 +357,21 @@ def simhash_near_dups(
     a = blocked.alias("a")
     b = blocked.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # a pair agreeing on m blocks matches in m block-buckets; instead of
+    # dedup-by-shuffle (distinct over the full candidate stream), keep
+    # only the row whose bucket is the FIRST agreeing block — computable
+    # from the two signatures already on the row, so each pair survives
+    # exactly once with zero extra shuffle
+    block_eq = F.array(
+        *[
+            (
+                F.shiftrightunsigned(F.col("a.sh"), i * width).bitwiseAND(F.lit(mask))
+                == F.shiftrightunsigned(F.col("b.sh"), i * width).bitwiseAND(F.lit(mask))
+            ).cast("int")
+            for i in range(blocks)
+        ]
+    )
+    first_match = F.array_position(block_eq, 1) - 1
     return (
         a.join(
             b,
@@ -366,11 +379,11 @@ def simhash_near_dups(
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(F.col("a.blk") == first_match)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
