@@ -31,7 +31,9 @@ def session_windows(
     scale: int = 4,
 ) -> DataFrame:
     """Gap-based sessions per key: a new session starts when an event
-    arrives ≥ ``gap`` after the previous one. Native
+    arrives MORE than ``gap`` after the previous one (an event at
+    exactly ``prev + gap`` still merges — Spark session_window closes
+    the window only strictly after ``last + gap``). Native
     ``F.session_window`` — identical semantics under Structured
     Streaming with a watermark. Window start is emitted as a formatted
     string (engine-portable, like streaming.windowed)."""

@@ -8,5 +8,6 @@ from flight_delays_progetto_big_data_2024_spark.plans import graph_plans  # noqa
 from flight_delays_progetto_big_data_2024_spark.plans import llm_plans  # noqa: F401
 from flight_delays_progetto_big_data_2024_spark.plans import pipeline_plans  # noqa: F401
 from flight_delays_progetto_big_data_2024_spark.plans import temporal_plans  # noqa: F401
+from flight_delays_progetto_big_data_2024_spark.plans import semistructured_plans  # noqa: F401
 
 __all__ = ["registry"]

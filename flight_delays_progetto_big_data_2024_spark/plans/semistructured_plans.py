@@ -1,0 +1,87 @@
+"""Semi-structured + multi-level aggregation queries.
+
+The reference's data is flat CSV (SURVEY.md §1.3: primitives only).
+Real event pipelines carry JSON property bags and need subtotal
+rollups; both are first-class Spark surface (``get_json_object``,
+``rollup``) and both are fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.plans.registry import register
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+
+@register(
+    "q46_event_props_json",
+    sql="""
+    SELECT event_type,
+           count(CAST(props->>'k' AS INTEGER)) AS n_with_k,
+           round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
+           max(CAST(props->>'k' AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q46_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property-bag extraction (``get_json_object`` — JVM-side JSON
+    path, no UDF) aggregated per event type; count() skips rows whose
+    bag lacks the key, matching SQL NULL semantics."""
+    cat = Catalog(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        cat.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q47_nation_priority_rollup",
+    sql="""
+    SELECT CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+           CASE WHEN GROUPING(o.o_orderpriority) = 1 THEN 'ALL'
+                ELSE o.o_orderpriority END AS priority,
+           count(*) AS num_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+    ORDER BY nation, priority
+    """,
+)
+def q47_nation_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup subtotals (nation, priority) -> (nation) -> grand total in
+    one pass — the multi-level aggregation family the reference computes
+    with separate queries. Subtotal levels are labeled via grouping()
+    (not null-coalescing, which would clash with genuinely-null keys)."""
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("n"), F.col("o_orderpriority").alias("p"))
+    )
+    return (
+        joined.rollup("n", "p")
+        .agg(
+            F.count("*").alias("num_orders"),
+            # grouping() is only legal inside the rollup aggregate
+            F.grouping("n").alias("__gn"),
+            F.grouping("p").alias("__gp"),
+        )
+        .select(
+            F.when(F.col("__gn") == 1, F.lit("ALL")).otherwise(F.col("n")).alias("nation"),
+            F.when(F.col("__gp") == 1, F.lit("ALL")).otherwise(F.col("p")).alias("priority"),
+            "num_orders",
+        )
+        .orderBy("nation", "priority")
+    )

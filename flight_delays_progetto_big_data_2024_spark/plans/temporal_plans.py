@@ -31,7 +31,7 @@ from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
     WITH marked AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                         OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -60,7 +60,8 @@ def sessionize_stream(
     value_col: str = "value",
 ) -> DataFrame:
     """Sessionize a watermarked event stream: sessions close when a new
-    event for the key arrives ≥ gap later, or when the watermark passes
+    event for the key arrives MORE than gap later (same boundary rule as
+    ``F.session_window``), or when the watermark passes
     ``last_event + gap`` (event-time timeout)."""
     gap_us = gap_seconds * 1_000_000
 
@@ -84,7 +85,7 @@ def sessionize_stream(
             order = ts_us.argsort(kind="stable")
             for t, v in zip(ts_us.iloc[order], pdf[value_col].iloc[order]):
                 t, v = int(t), float(v)
-                if current is not None and t - current[1] >= gap_us:
+                if current is not None and t - current[1] > gap_us:
                     out.append(_row(user_id, *current, True))
                     current = None
                 if current is None:

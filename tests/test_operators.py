@@ -122,3 +122,43 @@ def test_count_by_alias(spark):
     df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
     got = {r["k"]: r["n"] for r in count_by(df, ["k"], "n").collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_drop_columns_ignores_missing(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.prep import drop_columns
+
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    # reference drops nonexistent 'DATE' silently (preprocessing.py:102-103,
+    # SURVEY.md P9) — ignore-missing semantics preserved
+    out = drop_columns(df, ["b", "no_such_column", "b"])
+    assert out.columns == ["a"]
+
+
+def test_csv_reader_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import read_csv
+    from flight_delays_progetto_big_data_2024_spark.sources.writers import write_csv
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "csv-out")
+    write_csv(df, path)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # explicit schema, no inference double-scan (SURVEY.md §4.3-1)
+    assert back.schema == schema

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): the composite operators agree
+with straightforward Python reference implementations on arbitrary
+small inputs — catching edge shapes (ties, empty sides, single keys)
+that example-based tests miss. Example counts are kept low because each
+example runs real Spark jobs."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flight_delays_progetto_big_data_2024_spark.operators.skew import (
+    salted_distinct_count,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+    asof_join,
+    session_windows,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+BASE = datetime(2024, 1, 1)
+
+# (user_id in 0..2, minute offset 0..500) — small key space forces
+# collisions; distinct minutes avoid tie-on-timestamp nondeterminism
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda t: t,
+)
+
+
+@given(events=events_strategy)
+@settings(**_SETTINGS)
+def test_session_windows_matches_islands_reference(spark, events):
+    gap_min = 60
+    df = spark.createDataFrame(
+        [(u, BASE + timedelta(minutes=m), 1.0) for u, m in events] or [(0, BASE, 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["num_events"])
+        for r in session_windows(df, gap=f"{gap_min} minutes").collect()
+    }
+
+    rows = sorted(set(events)) or [(0, 0)]
+    expected = set()
+    by_user: dict[int, list[int]] = {}
+    for u, m in rows:
+        by_user.setdefault(u, []).append(m)
+    for u, ms in by_user.items():
+        ms.sort()
+        start, n, prev = ms[0], 0, None
+        for m in ms:
+            # Spark session_window merges an event at EXACTLY prev+gap;
+            # only a strictly-later event opens a new session
+            if prev is not None and m - prev > gap_min:
+                expected.add((u, (BASE + timedelta(minutes=start)).strftime("%Y-%m-%d %H:%M:%S"), n))
+                start, n = m, 0
+            n += 1
+            prev = m
+        expected.add((u, (BASE + timedelta(minutes=start)).strftime("%Y-%m-%d %H:%M:%S"), n))
+    assert got == expected
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), max_size=15, unique_by=lambda t: t),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), max_size=15, unique_by=lambda t: t),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, u, BASE + timedelta(minutes=m)) for i, (u, m) in enumerate(left)]
+        or [(0, 0, BASE)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(u, BASE + timedelta(minutes=m), float(m)) for u, m in right]
+        or [(9, BASE, 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["value_r"]
+        for r in asof_join(ldf, rdf, ["user_id"], right_cols=["value"], suffix="_r").collect()
+    }
+
+    lrows = list(enumerate(left)) or [(0, (0, 0))]
+    rrows = right or [(9, 0)]
+    expected = {}
+    for i, (u, m) in lrows:
+        cands = [rm for ru, rm in rrows if ru == u and rm <= m]
+        expected[i] = float(max(cands)) if cands else None
+    assert got == expected
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 50)), max_size=40),
+    buckets=st.integers(1, 9),
+)
+@settings(**_SETTINGS)
+def test_salted_distinct_count_matches_naive(spark, rows, buckets):
+    df = spark.createDataFrame(rows or [(0, 0)], "k long, v long")
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in salted_distinct_count(df, ["k"], "v", buckets=buckets).collect()
+    }
+    data = rows or [(0, 0)]
+    expected = {
+        k: len({v for kk, v in data if kk == k}) for k in {k for k, _ in data}
+    }
+    assert got == expected
