@@ -680,3 +680,61 @@ def q19_active_nations_union_distinct(spark: SparkSession, sf_dir: str) -> DataF
     supp = pairs.select(F.col("supp_nation").alias("nation"))
     cust = pairs.select(F.col("cust_nation").alias("nation"))
     return supp.unionByName(cust).distinct()
+
+
+@register(
+    "q48_brand_revenue_topk",
+    sql="""
+    SELECT p.p_brand AS brand,
+           count(*) AS num_lineitems,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY revenue DESC, brand
+    LIMIT 10
+    """,
+)
+def q48_brand_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈part-dim revenue rollup, top-10 brands — the J1-shape join
+    against the remaining dimension (part). The part table grows with
+    SF, so no broadcast hint: AQE broadcasts while it fits and falls
+    back to a shuffle join at scale."""
+    cat = Catalog(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_brand = (
+        cat.lineitem.join(cat.part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("num_lineitems"),
+            F.round(F.sum(revenue), 4).alias("revenue"),
+        )
+    )
+    return top_k(per_brand, [F.desc("revenue"), F.col("brand")], 10)
+
+
+@register(
+    "q49_region_nation_customers",
+    sql="""
+    SELECT r.r_name AS region, n.n_name AS nation, count(*) AS num_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+)
+def q49_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level dimension chain (region <- nation <- customer), both
+    tiny dims broadcast — the reference's J2 chained-dim shape
+    (reference delayed_flights.py:99-100) over the full hierarchy."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("num_customers"))
+        .orderBy("region", "nation")
+    )
