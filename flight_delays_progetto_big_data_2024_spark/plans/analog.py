@@ -738,3 +738,62 @@ def q49_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("num_customers"))
         .orderBy("region", "nation")
     )
+
+
+@register(
+    "q50_churned_day1_users",
+    sql="""
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+    EXCEPT
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-30'
+    ORDER BY user_id
+    """,
+)
+def q50_churned_day1_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: users active on day 1 but not day 30 (cohort
+    churn) — the §2.7 family beyond the reference's union+distinct (U1).
+    ``subtract`` is EXCEPT DISTINCT (``exceptAll`` is the bag form,
+    which would keep a user merely for having MORE day-1 rows than
+    day-30 rows). Plans as a left-anti aggregate, one shuffle per side,
+    with the date filters pushed to the scans."""
+    cat = Catalog(spark, sf_dir)
+
+    def users_on(day: str) -> DataFrame:
+        return cat.events.filter(F.to_date("ts") == F.lit(day)).select("user_id")
+
+    return users_on("2024-01-01").subtract(users_on("2024-01-30")).orderBy("user_id")
+
+
+@register(
+    "q51_monthly_order_running_total",
+    sql="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS num_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           num_orders,
+           CAST(sum(num_orders) OVER (
+               ORDER BY month ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS running_total
+    FROM monthly ORDER BY month
+    """,
+)
+def q51_monthly_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window over the (tiny, post-aggregation) monthly rollup
+    — lag/lead/cumsum family (§2.9). The unpartitioned running-total
+    window is applied ONLY to the ~months-sized aggregate, never to raw
+    rows (single-task funnel rule; functions/windows.py docstring)."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    monthly = (
+        cat.orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("num_orders"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        monthly.withColumn("running_total", F.sum("num_orders").over(w))
+        .orderBy("month")
+    )
