@@ -49,11 +49,13 @@ def main() -> int:
 
     # untimed warm-up: JVM JIT, parquet footer reads + file listings for
     # every table, and one representative query end-to-end
-    from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import (
+        TESTDATA_TABLES,
+        Catalog,
+    )
 
     cat = Catalog(spark, sf_dir)
-    for table in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"):
+    for table in TESTDATA_TABLES:
         cat.table(table).count()
     registry.QUERIES[HEADLINE[0]](spark, sf_dir).collect()
 
