@@ -46,6 +46,10 @@ def fake_decode_images(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # null payloads (corrupt/absent media) are skipped, the
+            # standard behavior for a decode stage — len(None) would
+            # otherwise kill the whole task
+            pdf = pdf[pdf[payload_col].notna()]
             n = pdf[payload_col].map(len)
             yield pd.DataFrame(
                 {
@@ -53,7 +57,7 @@ def fake_decode_images(
                     "n_bytes": n.astype("int64"),
                     "width": (n % 64 + 1).astype("int32"),
                     "height": (n % 37 + 1).astype("int32"),
-                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                    "channels": pd.Series(3, index=pdf.index, dtype="int32"),
                 }
             )
 
@@ -106,6 +110,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, offs = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # skip absent/corrupt containers
+                    continue
                 n_bytes = len(payload)
                 n_frames = n_bytes % 10 + 1
                 take = min(k, n_frames)

@@ -127,8 +127,13 @@ def dim_decorate(
             keys = [on]
         elif isinstance(on, (list, tuple)):
             keys = [k for k in on if isinstance(k, str)]
-        keep = list(dict.fromkeys([*keys, *payload.keys()]))
-        dim = dim.select(*[F.col(c) for c in keep])
+        if keys or not isinstance(on, Column):
+            # prune the dim to join keys + payload; with a Column join
+            # condition the referenced dim columns can't be inferred, so
+            # pruning would break resolution — keep the dim whole there
+            # (Catalyst still prunes unused columns at the scan)
+            keep = list(dict.fromkeys([*keys, *payload.keys()]))
+            dim = dim.select(*[F.col(c) for c in keep])
         for src, dst in payload.items():
             dim = dim.withColumnRenamed(src, dst)
     return fact.join(F.broadcast(dim), on=on, how=how)

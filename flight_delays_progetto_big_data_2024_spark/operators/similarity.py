@@ -112,8 +112,23 @@ def lsh_topk(
     result may have < k rows when buckets are sparse — at real scale
     buckets hold thousands of vectors and this is the scan-saving path."""
     planes = _hyperplanes(dim, n_planes, seed)
+
+    def guarded_bucket(vec_col):
+        # a dim mismatch would null-pad the dot products and silently
+        # send EVERY vector to bucket 0 (a full cross product); the guard
+        # lives INSIDE the bucket expression so it can't be pruned
+        return F.when(
+            F.size(vec_col) != dim,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_topk: expected {dim}-dim embeddings, got "),
+                    F.size(vec_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(hyperplane_bucket(vec_col, planes))
+
     c = _prep(corpus, id_col, vec_col).withColumn(
-        "bucket", hyperplane_bucket(F.col("v"), planes)
+        "bucket", guarded_bucket(F.col("v"))
     )
     q = (
         _prep(queries, id_col, vec_col)
@@ -121,7 +136,7 @@ def lsh_topk(
             F.col("id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            hyperplane_bucket(F.col("v"), planes).alias("qbucket"),
+            guarded_bucket(F.col("v")).alias("qbucket"),
         )
     )
     if multiprobe:
@@ -181,8 +196,13 @@ def ivf_topk(
     ``n_probe`` trades scan cost for recall (n_probe == n_cells is
     exact brute force)."""
     c = _prep(corpus, id_col, vec_col)
-    cent = c.filter(F.col("id") < n_cells).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    # "lowest-id corpus vectors" by RANK, not by value predicate — a
+    # value filter (id < n_cells) silently yields an empty/short centroid
+    # set for sparse, offset, or non-integer id spaces
+    cent = (
+        c.orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
     )
 
     def nearest_cells(rel: DataFrame, n: int, out_prefix: str) -> DataFrame:

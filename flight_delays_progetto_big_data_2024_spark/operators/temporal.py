@@ -71,22 +71,37 @@ def asof_join(
     right rows sort before left rows at equal timestamps, so the match
     is inclusive. Right payload columns are carried as ``<col><suffix>``
     (the right timestamp as ``<ts_col><suffix>``).
+
+    The carried columns travel as ONE struct and are filled together —
+    per-column filling would let ``last(..., ignorenulls)`` skip a null
+    payload field back to an OLDER right row, producing an output row
+    that corresponds to no actual right row. Equal (key, ts) right rows
+    are tie-broken by greatest carried struct, so output is
+    deterministic (DuckDB ASOF leaves this case unspecified).
     """
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
     r = right.select(
         *on,
         F.col(ts_col),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        ).alias("__carry"),
     ).withColumn("__side", F.lit(0))
-    l = left.withColumn("__side", F.lit(1))
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__carry", F.lit(None).cast(r.schema["__carry"].dataType)
+    )
     merged = l.unionByName(r, allowMissingColumns=True)
 
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__carry").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    filled = merged.withColumn(
+        "__carry", F.last(F.col("__carry"), ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__side") == 1)
     for c in carried:
-        merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return merged.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(c, F.col("__carry").getField(c))
+    return out.drop("__side", "__carry")

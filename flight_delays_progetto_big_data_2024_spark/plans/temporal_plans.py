@@ -129,7 +129,7 @@ _IVF_SQL = """
         FROM embeddings
     ),
     cent AS (
-        SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16
+        SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16
     ),
     assigned AS (
         SELECT vec_id, v, nrm, cid FROM (

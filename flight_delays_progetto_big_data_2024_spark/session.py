@@ -56,3 +56,12 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def clear_operator_caches(spark: SparkSession) -> None:
+    """Release every persisted relation. The near-dup/similarity
+    operators persist shared self-join intermediates for the lifetime of
+    the session (they cannot unpersist before the caller's action runs);
+    a long-lived service should call this between corpus runs to stop
+    storage-memory growth. (Spark also LRU-evicts under pressure.)"""
+    spark.catalog.clearCache()

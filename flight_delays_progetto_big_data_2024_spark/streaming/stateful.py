@@ -78,21 +78,39 @@ def sessionize_stream(
             yield pd.DataFrame([_row(user_id, start, last, n, total, True)])
             return
 
-        current = state.get if state.exists else None
+        # Collect ALL Arrow chunks before sorting: a key's rows can span
+        # chunks, and per-chunk sorting would interleave out-of-order
+        # timestamps into wrong sessions.
+        chunks = [pdf[[ts_col, value_col]] for pdf in pdfs]
+        rows = pd.concat(chunks) if chunks else pd.DataFrame(columns=[ts_col, value_col])
+        ts_us = _to_micros(rows[ts_col])
+        events = sorted(zip(ts_us, rows[value_col]))
+
+        # The open session from state joins the sorted stream as an
+        # INTERVAL item, so a late-but-within-watermark event earlier
+        # than the session start either forms its own (immediately
+        # closed) earlier session or extends the session backward —
+        # instead of being silently folded in with a wrong start.
+        items = [(int(t), int(t), 1, float(v)) for t, v in events]
+        if state.exists:
+            items.append(state.get)
+            items.sort(key=lambda it: (it[0], it[1]))
+
         out: list[dict] = []
-        for pdf in pdfs:
-            ts_us = _to_micros(pdf[ts_col])
-            order = ts_us.argsort(kind="stable")
-            for t, v in zip(ts_us.iloc[order], pdf[value_col].iloc[order]):
-                t, v = int(t), float(v)
-                if current is not None and t - current[1] > gap_us:
-                    out.append(_row(user_id, *current, True))
-                    current = None
-                if current is None:
-                    current = (t, t, 1, v)
-                else:
-                    start, _, n, total = current
-                    current = (start, max(t, current[1]), n + 1, total + v)
+        current = None
+        for start, last, n, total in items:
+            if current is None:
+                current = (start, last, n, total)
+            elif start - current[1] > gap_us:
+                out.append(_row(user_id, *current, True))
+                current = (start, last, n, total)
+            else:
+                current = (
+                    current[0],
+                    max(last, current[1]),
+                    current[2] + n,
+                    current[3] + total,
+                )
 
         if current is not None:
             state.update(current)

@@ -127,8 +127,11 @@ def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
     # batch1: user1 two events 10:00/10:05; user2 one event 10:00
     drop("b1", [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 5), 1, 2.0),
                 (3, _ts(10, 0), 2, 7.0)], time.time() - 30)
-    # batch2: user1 at 13:00 -> closes its first session (gap 30min)
-    drop("b2", [(4, _ts(13, 0), 1, 4.0)], time.time() - 20)
+    # batch2: user1 at 13:00 -> closes its first session (gap 30min);
+    # user2 gets a LATE event at 09:58 (after batch2's 09:55 watermark,
+    # before its session's 10:00 start) -> must extend the session start
+    # BACKWARD, not fold in under the old start
+    drop("b2", [(4, _ts(13, 0), 1, 4.0), (6, _ts(9, 58), 2, 1.0)], time.time() - 20)
     # batch3: watermark (13:00 - 10min) passes user2's 10:00+30min
     # timeout -> user2's session closes with NO new user2 data
     drop("b3", [(5, _ts(13, 10), 1, 8.0)], time.time() - 10)
@@ -156,7 +159,84 @@ def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
         if r["closed"]
     }
     assert (1, _ts(10, 0), 2, 3.0) in closed  # closed by the 13:00 event
-    assert (2, _ts(10, 0), 1, 7.0) in closed  # closed by event-time timeout
+    # closed by event-time timeout, with the late 09:58 event having
+    # extended the session start backward
+    assert (2, _ts(9, 58), 2, 8.0) in closed
     # the open user1 session was re-emitted as it grew
     opens = [r for r in collected if not r["closed"] and r["user_id"] == 1]
     assert any(r["session_start"] == _ts(13, 0) and r["num_events"] == 2 for r in opens)
+
+
+def test_asof_join_null_payload_stays_with_its_row(spark):
+    # the matched right row has a NULL payload: the result must carry
+    # that null, not skip back to an older row's value
+    left = spark.createDataFrame(
+        [(1, 10, _ts(13))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(10), 5.0), (10, _ts(12), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof_join(left, right, ["user_id"], right_cols=["value"], suffix="_r").collect()[0]
+    assert row["ts_r"] == _ts(12) and row["value_r"] is None
+
+
+def test_asof_join_equal_ts_ties_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(12, 30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(12), 1.0), (10, _ts(12), 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    vals = {
+        asof_join(left, right, ["user_id"], right_cols=["value"], suffix="_r")
+        .collect()[0]["value_r"]
+        for _ in range(3)
+    }
+    assert vals == {2.0}  # greatest carried struct wins, every run
+
+
+def test_ivf_topk_sparse_offset_ids(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 1003)
+    got = {(r["query_id"], r["rank"]): r["candidate_id"]
+           for r in ivf_topk(emb, q, k=3, n_cells=8, n_probe=8).collect()}
+    exact = {(r["query_id"], r["rank"]): r["candidate_id"]
+             for r in cosine_topk(emb, q, k=3).collect()}
+    assert got and got == exact  # centroid choice is rank-based, not id<n
+
+
+def test_multimodal_null_payload_skipped(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_decode_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    with_payload = attach_binary_payload(df)
+    assert fake_decode_images(with_payload).count() == 1
+    assert {r["doc_id"] for r in sample_frames(with_payload, k=2).collect()} == {1}
+
+
+def test_dim_decorate_column_condition_with_payload(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.relational import (
+        dim_decorate,
+    )
+
+    fact = spark.createDataFrame([(1, 7)], "id long, dim_key long")
+    dim = spark.createDataFrame([(7, "x", "junk")], "k long, name string, extra string")
+    out = dim_decorate(
+        fact, dim, on=fact["dim_key"] == dim["k"], payload={"name": "label"}
+    )
+    assert out.collect()[0]["label"] == "x"
