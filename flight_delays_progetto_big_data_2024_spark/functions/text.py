@@ -11,9 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-
-def _c(col: str | Column) -> Column:
-    return F.col(col) if isinstance(col, str) else col
+from flight_delays_progetto_big_data_2024_spark.functions.coerce import _c
 
 
 def normalize_text(col: str | Column) -> Column:
@@ -29,8 +27,11 @@ def fingerprint(col: str | Column) -> Column:
 
 
 def tokens(col: str | Column) -> Column:
-    """Whitespace tokenization of trimmed text."""
-    return F.split(F.trim(_c(col)), r"\s+")
+    """Whitespace tokenization of trimmed text. Empty tokens are dropped
+    so empty/whitespace-only text yields an EMPTY array — a bare
+    ``split('')`` returns ``['']``, which silently gave empty documents
+    a token count of 1 and perfect lexical diversity."""
+    return F.array_remove(F.split(F.trim(_c(col)), r"\s+"), "")
 
 
 def token_count(col: str | Column) -> Column:
@@ -73,26 +74,31 @@ def punct_ratio(col: str | Column) -> Column:
 
 
 def lexical_diversity(col: str | Column) -> Column:
-    """Distinct tokens / tokens — a cheap repetition signal."""
-    return distinct_token_count(col) / token_count(col)
+    """Distinct tokens / tokens — a cheap repetition signal. NULL for
+    token-less text (explicit, engine-portable 0/0 handling)."""
+    n = token_count(col)
+    return F.when(n > 0, distinct_token_count(col) / n)
 
 
 def avg_token_length(col: str | Column) -> Column:
-    """Mean token length in characters."""
+    """Mean token length in characters; NULL for token-less text."""
     t = tokens(col)
-    return F.aggregate(
-        t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
-    ) / F.size(t)
+    total = F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, total / F.size(t))
 
 
 def quality_score(col: str | Column) -> Column:
     """Composite [0,1] quality heuristic: rewards lexical diversity and
-    medium-length tokens, penalizes punctuation soup. Deterministic and
+    medium-length tokens, penalizes punctuation soup. Token-less text
+    scores 0.0 outright (without the guard, split('') == [''] made empty
+    documents score 0.8 — above many real documents). Deterministic and
     SQL-expressible; weights are convention, not learned."""
     div = lexical_diversity(col)
     atl = avg_token_length(col)
     len_term = F.when((atl >= 3.0) & (atl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(0.6 * div + 0.4 * len_term - punct_ratio(col), 6)
+    return F.when(token_count(col) == 0, F.lit(0.0)).otherwise(
+        F.round(0.6 * div + 0.4 * len_term - punct_ratio(col), 6)
+    )
 
 
 #: Tiny per-language stopword lists for the n-gram language heuristic.
@@ -118,10 +124,13 @@ def cjk_char_count(col: str | Column) -> Column:
 def lang_id(col: str | Column) -> Column:
     """Deterministic n-gram/stopword language heuristic: CJK chars win
     outright; otherwise the max stopword-hit language with a fixed
-    precedence (en > es > de > fr); no hits at all -> 'unknown'."""
+    precedence (en > es > de > fr); no hits at all -> 'unknown'. NULL
+    text is 'unknown' explicitly — without the guard every WHEN is NULL
+    and the chain falls through to the 'fr' otherwise-branch."""
     en, es, de, fr = (stopword_hits(col, lang) for lang in ("en", "es", "de", "fr"))
     return (
-        F.when(cjk_char_count(col) > 0, F.lit("zh"))
+        F.when(_c(col).isNull(), F.lit("unknown"))
+        .when(cjk_char_count(col) > 0, F.lit("zh"))
         .when(F.greatest(en, es, de, fr) == 0, F.lit("unknown"))
         .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
         .when((es >= de) & (es >= fr), F.lit("es"))
@@ -138,6 +147,7 @@ def lang_id_sql(text_expr: str = "text") -> str:
     }
     en, es, de, fr = scores["en"], scores["es"], scores["de"], scores["fr"]
     return f"""CASE
+        WHEN {text_expr} IS NULL THEN 'unknown'
         WHEN len(regexp_extract_all({text_expr}, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
         WHEN greatest({en}, {es}, {de}, {fr}) = 0 THEN 'unknown'
         WHEN {en} >= {es} AND {en} >= {de} AND {en} >= {fr} THEN 'en'

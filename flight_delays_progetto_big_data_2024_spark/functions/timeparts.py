@@ -13,9 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-
-def _c(col: str | Column) -> Column:
-    return F.col(col) if isinstance(col, str) else col
+from flight_delays_progetto_big_data_2024_spark.functions.coerce import _c
 
 
 def hhmm_to_time_string(hhmm: str | Column) -> Column:

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.functions.coerce import _c
 from pyspark.sql.window import Window
 
 
@@ -36,5 +38,5 @@ def pct_of_total(col: str | Column, scale: int = 4) -> Column:
     rounded for stable cross-engine comparison. Same caveat as
     global_avg; operators.relational.with_pct_of_total is the scalable
     form."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _c(col)
     return F.round(c / global_sum(c) * 100.0, scale)

@@ -198,7 +198,10 @@ def _nation_pair_lineitems(cat: Catalog) -> DataFrame:
         cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier GROWS with SF — no broadcast hint (AQE broadcasts
+        # while it fits, falls back to shuffle at scale); only the
+        # fixed-size nation dims are forced
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .select("supp_nation", "cust_nation", "l_discount", "l_quantity")
     )
@@ -677,9 +680,15 @@ def q19_active_nations_union_distinct(spark: SparkSession, sf_dir: str) -> DataF
     SURVEY.md U1). ``unionByName`` preferred over positional union."""
     cat = Catalog(spark, sf_dir)
     pairs = _nation_pair_lineitems(cat)
-    supp = pairs.select(F.col("supp_nation").alias("nation"))
-    cust = pairs.select(F.col("cust_nation").alias("nation"))
-    return supp.unionByName(cust).distinct()
+    # explode instead of two union branches: the branches' differing
+    # column pruning blocks exchange reuse, so the 6-way join upstream
+    # would execute TWICE (the anti-pattern two_sided_totals documents)
+    return (
+        pairs.select(
+            F.explode(F.array("supp_nation", "cust_nation")).alias("nation")
+        )
+        .distinct()
+    )
 
 
 @register(

@@ -42,7 +42,9 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 #: DuckDB needs the 'g' flag for global regexp_replace (Spark replaces
 #: all occurrences by default).
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+#: empty tokens filtered, mirroring functions.text.tokens (split of
+#: empty text must yield an EMPTY list, not [''])
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
 
 @register(
@@ -68,8 +70,9 @@ def q23_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS num_docs,
            round(avg(len({_TOKS_SQL})), 6) AS avg_tokens,
-           round(avg(len(list_distinct({_TOKS_SQL}))::DOUBLE
-                     / len({_TOKS_SQL})), 6) AS avg_diversity
+           round(avg(CASE WHEN len({_TOKS_SQL}) > 0
+                          THEN len(list_distinct({_TOKS_SQL}))::DOUBLE
+                               / len({_TOKS_SQL}) END), 6) AS avg_diversity
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -102,19 +105,22 @@ def q24_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
-               list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
-                   / len(toks) AS atl,
-               len(list_distinct(toks))::DOUBLE / len(toks) AS diversity,
+               CASE WHEN len(toks) > 0
+                    THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
+                         / len(toks) END AS atl,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks))::DOUBLE / len(toks) END AS diversity,
                CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS pr
         FROM base
     )
     SELECT doc_id, n_tokens,
            round(atl, 6) AS avg_token_len,
            round(diversity, 6) AS diversity,
-           round(0.6 * diversity
-                 + 0.4 * (CASE WHEN atl >= 3.0 AND atl <= 8.0
-                               THEN 1.0 ELSE 0.5 END)
-                 - pr, 6) AS quality
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE round(0.6 * diversity
+                           + 0.4 * (CASE WHEN atl >= 3.0 AND atl <= 8.0
+                                         THEN 1.0 ELSE 0.5 END)
+                           - pr, 6) END AS quality
     FROM m
     """,
 )

@@ -19,9 +19,9 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
     "q46_event_props_json",
     sql="""
     SELECT event_type,
-           count(CAST(props->>'k' AS INTEGER)) AS n_with_k,
-           round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
-           max(CAST(props->>'k' AS INTEGER)) AS max_k
+           count(TRY_CAST(props->>'k' AS INTEGER)) AS n_with_k,
+           round(avg(TRY_CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
+           max(TRY_CAST(props->>'k' AS INTEGER)) AS max_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type

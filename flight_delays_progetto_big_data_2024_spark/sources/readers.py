@@ -14,6 +14,10 @@ query runs. Here:
 
 from __future__ import annotations
 
+import glob
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -44,15 +48,23 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     try:
         import pyarrow.parquet as pq
         import pyarrow.types as pat
-
-        schema = pq.read_schema(path)
-        return [
-            f.name
-            for f in schema
-            if pat.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
-    except Exception:
+    except ImportError:
+        # without pyarrow the sniff is impossible; nanos columns would
+        # surface as raw longs — callers on such deployments must
+        # rebuild timestamps themselves (do NOT silently mis-cast)
         return []
+
+    if os.path.isdir(path):
+        # directory-shaped parquet (e.g. writers.write_parquet output):
+        # all parts share one schema, sniff the first
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
+    schema = pq.read_schema(path)
+    return [
+        f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -89,20 +101,26 @@ class Catalog:
     costs a footer-listing job plus fresh analysis state, so handing the
     SAME scan DataFrame to every query both removes that per-query setup
     and lets Spark reuse cached file listings/exchanges across queries —
-    exactly what a catalog service does on a real cluster.
+    exactly what a catalog service does on a real cluster. The intern map
+    is keyed WEAKLY on the session, so stopped sessions (and their
+    memoized DataFrame handles) are garbage-collected instead of pinned
+    for the process lifetime.
     """
 
-    _instances: dict[tuple[int, str], "Catalog"] = {}
+    _instances: "weakref.WeakKeyDictionary[SparkSession, dict[str, Catalog]]" = (
+        weakref.WeakKeyDictionary()
+    )
 
     def __new__(cls, spark: SparkSession, sf_dir: str):
-        key = (id(spark), sf_dir.rstrip("/"))
-        inst = cls._instances.get(key)
-        if inst is None or inst.spark is not spark:
+        per_session = cls._instances.setdefault(spark, {})
+        key = sf_dir.rstrip("/")
+        inst = per_session.get(key)
+        if inst is None:
             inst = super().__new__(cls)
             inst.spark = spark
-            inst.sf_dir = sf_dir.rstrip("/")
+            inst.sf_dir = key
             inst._tables = {}
-            cls._instances[key] = inst
+            per_session[key] = inst
         return inst
 
     def __init__(self, spark: SparkSession, sf_dir: str):

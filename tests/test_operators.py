@@ -162,3 +162,33 @@ def test_csv_reader_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     # explicit schema, no inference double-scan (SURVEY.md §4.3-1)
     assert back.schema == schema
+
+
+def test_text_empty_and_null_handling(spark):
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "the cat sat of the mat")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: (r["n"], r["q"], r["lang"])
+        for r in df.select(
+            "id",
+            token_count("text").alias("n"),
+            quality_score("text").alias("q"),
+            lang_id("text").alias("lang"),
+        ).collect()
+    }
+    # empty / whitespace-only text: zero tokens, quality 0, not "fr"
+    assert rows[1] == (0, 0.0, "unknown")
+    assert rows[2] == (0, 0.0, "unknown")
+    # NULL text: no tokens (size of null -> -1 is avoided by guard path),
+    # quality stays null-safe 0? null text -> token_count is null-ish;
+    # the guarded expressions must not claim a language
+    assert rows[3][2] == "unknown"
+    assert rows[4][0] == 6 and rows[4][2] == "en"
