@@ -114,3 +114,69 @@ def test_salted_distinct_count_matches_naive(spark, rows, buckets):
         k: len({v for kk, v in data if kk == k}) for k in {k for k, _ in data}
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=0, max_size=10
+    ),
+    k=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_jaccard_pairs_matches_bruteforce(spark, docs, k):
+    """jaccard_pairs claims EXACTNESS via the inverted index — verify
+    against brute-force all-pairs Jaccard over the same shingle sets."""
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)] or [(0, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, k=k, threshold=0.0).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        if len(toks) <= k:
+            span = " ".join(toks)
+            return {span}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    expected = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i < j:
+                sa, sb = shingles(ta), shingles(tb)
+                inter = len(sa & sb)
+                if inter:  # pairs sharing no shingle never appear
+                    expected[(i, j)] = round(inter / len(sa | sb), 6)
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=0, max_size=20
+    )
+)
+@settings(**_SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        triangle_count,
+    )
+
+    rows = edges or [(0, 1)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["id"]: r["triangle_count"] for r in triangle_count(df).collect()}
+
+    und = {tuple(sorted(e)) for e in rows if e[0] != e[1]}
+    verts = {v for e in rows for v in e}
+    expected = dict.fromkeys(verts, 0)
+    for a, b, c in combinations(sorted({v for e in und for v in e}), 3):
+        if {(a, b), (b, c), (a, c)} <= und:
+            for v in (a, b, c):
+                expected[v] += 1
+    assert got == expected
