@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (filter pushdown, column pruning, broadcast dims, partition
+pruning on partitioned writes) asserted against .explain output, so a
+refactor that silently de-optimizes a plan fails CI — not a profiler
+session six months later."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.plans import registry
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+from flight_delays_progetto_big_data_2024_spark.sources.writers import write_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(registry.QUERIES["q43_purchase_asof_last_click"](spark, SF))
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(registry.QUERIES["q25_doc_quality_scores"](spark, SF))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, plan
+    for cols in scans:
+        names = {c.split("#")[0] for c in cols.split(",")}
+        assert names <= {"doc_id", "text"}, names
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(registry.QUERIES["q01_popular_nations_avg_delay"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_scalar_is_broadcast_not_window(spark):
+    # popular_groups: the global average must be a 1-row broadcast join,
+    # never an empty-partition Window (single-task funnel)
+    plan = _plan(registry.QUERIES["q01_popular_nations_avg_delay"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    write_parquet(
+        Catalog(spark, SF).events, out, partition_by=["event_type"], repartition=4
+    )
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    assert back.count() > 0
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(registry.QUERIES["q48_brand_revenue_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan

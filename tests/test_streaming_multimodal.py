@@ -89,3 +89,60 @@ def test_sample_frames_row_expansion(spark, sf_dir):
     assert all(1 <= r["n"] <= 3 for r in per_doc)
     idx = frames.collect()
     assert all(r["frame_offset"] == r["frame_idx"] * 1024 for r in idx)
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """A row arriving after the watermark passed its window must be
+    DROPPED: the already-finalized window is not re-emitted and its
+    count excludes the late row — bounded state at 100 TB depends on
+    exactly this behavior."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    src = str(tmp_path / "late-in")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def drop(name, rows, mtime):
+        import glob
+        import shutil
+
+        staging = str(tmp_path / f"stage-{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = f"{src}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    # batch1: two rows in the 10:00 window
+    drop("b1", [(1, ts(10, 10), 1, 1.0), (2, ts(10, 20), 1, 1.0)], _time.time() - 50)
+    # batch2: 12:00 pushes the watermark to 11:30; batch3 makes it
+    # effective (the committed watermark lags a batch) so the 10:00
+    # window is EVICTED and append-emitted there. Late rows are only
+    # dropped once their window's state is gone — a late row arriving
+    # while the window is still open merges into it (verified
+    # empirically; this is Spark's documented approximate lower bound,
+    # not an exact cutoff).
+    drop("b2", [(3, ts(12, 0), 1, 1.0)], _time.time() - 40)
+    drop("b3", [(5, ts(12, 5), 1, 1.0)], _time.time() - 30)
+    # batch4: a LATE row for the evicted 10:00 window -> dropped
+    drop("b4", [(4, ts(10, 40), 1, 1.0)], _time.time() - 20)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    agg = stream_tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    collected = []
+    query = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    finalized = {(r["window_start"], r["num_events"]) for r in collected}
+    assert ("2024-01-01 10:00:00", 2) in finalized  # late row NOT counted
+    assert ("2024-01-01 10:00:00", 3) not in finalized
