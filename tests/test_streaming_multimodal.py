@@ -146,3 +146,65 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     finalized = {(r["window_start"], r["num_events"]) for r in collected}
     assert ("2024-01-01 10:00:00", 2) in finalized  # late row NOT counted
     assert ("2024-01-01 10:00:00", 3) not in finalized
+
+
+def test_streaming_restart_recovers_state_from_checkpoint(spark, tmp_path):
+    """Stop a windowed-aggregation stream, add data, restart with the
+    same checkpoint: window state and watermark must survive the
+    restart, and each finalized window must appear EXACTLY once in the
+    file sink (exactly-once via checkpoint + idempotent sink)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import datetime
+
+    src = str(tmp_path / "restart-in")
+    sink = str(tmp_path / "restart-out")
+    ckpt = str(tmp_path / "restart-ckpt")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def drop(name, rows, mtime):
+        staging = str(tmp_path / f"rstage-{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = f"{src}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream_tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: fills the 10:00 window and advances event time to 12:05
+    drop("b1", [(1, ts(10, 10), 1, 1.0), (2, ts(10, 20), 1, 1.0),
+                (3, ts(12, 0), 1, 1.0), (4, ts(12, 5), 1, 1.0)], _time.time() - 20)
+    run_once()
+
+    # run 2 (restart): new data only advances processing; the 10:00
+    # window must finalize with the count accumulated BEFORE the restart
+    drop("b2", [(5, ts(13, 0), 1, 1.0)], _time.time() - 10)
+    run_once()
+
+    out = spark.read.schema(
+        "window_start string, num_events long, avg_value double"
+    ).parquet(sink)
+    finalized = [
+        (r["window_start"], r["num_events"])
+        for r in out.collect()
+        if r["window_start"] == "2024-01-01 10:00:00"
+    ]
+    assert finalized == [("2024-01-01 10:00:00", 2)]  # exactly once, full count
