@@ -95,6 +95,80 @@ def decode_images(
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int"
+)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Payload -> feature vector (array<float>) through mapInPandas —
+    the embedding-extraction stage shape (a real model slots into the
+    same batch loop; this deterministic fake derives features from byte
+    statistics so the Arrow array-column plumbing is testable).
+    Null payloads are skipped, as in decode."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[payload_col].notna()]
+            n = pdf[payload_col].map(len)
+            feats = [
+                [float(nb), float(nb % 7), float(nb % 13), float(nb % 29)][:dim]
+                for nb in n
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    # explicit object dtype: an EMPTY batch would
+                    # otherwise infer float64 for the list column and
+                    # Arrow can't convert that to list<float>
+                    "feature": pd.Series(feats, index=pdf.index, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """'Resize' each decoded image to fit a ``max_side`` box preserving
+    aspect ratio (dims from the same deterministic fake codec as
+    fake_decode_images; a real resampler replaces the arithmetic, the
+    batch loop is identical)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[payload_col].notna()]
+            n = pdf[payload_col].map(len)
+            w = (n % 64 + 1).astype("int64")
+            h = (n % 37 + 1).astype("int64")
+            scale_num = pd.Series(max_side, index=pdf.index, dtype="int64")
+            long_side = w.combine(h, max)
+            out_w = (w * scale_num // long_side).clip(lower=1)
+            out_h = (h * scale_num // long_side).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": out_w.astype("int32"),
+                    "out_height": out_h.astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     k: int = 3,

@@ -99,3 +99,68 @@ def q40_tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(cat.events, "1 hour", keys=["event_type"]).orderBy(
         "window_start", "event_type"
     )
+
+
+@register(
+    "q52_multimodal_feature_stats",
+    sql="""
+    WITH f AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS nb
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           round(CAST(nb AS DOUBLE), 2) AS f0,
+           round(CAST(nb % 7 AS DOUBLE), 2) AS f1,
+           round(CAST(nb % 13 AS DOUBLE), 2) AS f2,
+           round(CAST(nb % 29 AS DOUBLE), 2) AS f3
+    FROM f
+    """,
+)
+def q52_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through mapInPandas (array<float> output),
+    flattened to scalars for the value-hash (list-typed columns don't
+    canonicalize portably across engines)."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    feats = extract_features(attach_binary_payload(cat.documents))
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.col("feature").getItem(i).cast("double"), 2).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
+@register(
+    "q53_multimodal_resize_plan",
+    sql="""
+    WITH d AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 64 + 1 AS w,
+               octet_length(encode(text)) % 37 + 1 AS h
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(greatest(w * 32 // greatest(w, h), 1) AS INTEGER) AS out_width,
+           CAST(greatest(h * 32 // greatest(w, h), 1) AS INTEGER) AS out_height
+    FROM d
+    """,
+)
+def q53_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning through mapInPandas (real
+    resampler slots into the same loop)."""
+    from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    return resize_images(attach_binary_payload(cat.documents), max_side=32)

@@ -208,3 +208,27 @@ def test_streaming_restart_recovers_state_from_checkpoint(spark, tmp_path):
         if r["window_start"] == "2024-01-01 10:00:00"
     ]
     assert finalized == [("2024-01-01 10:00:00", 2)]  # exactly once, full count
+
+
+def test_extract_features_array_output_and_null_skip(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    feats = extract_features(attach_binary_payload(df))
+    assert dict(feats.dtypes)["feature"] == "array<float>"
+    rows = feats.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    assert rows[0]["feature"] == [11.0, 4.0, 11.0, 11.0]  # len("hello world")=11
+
+    resized = resize_images(attach_binary_payload(df), max_side=32).collect()
+    assert len(resized) == 1
+    r = resized[0]
+    # aspect preserved: long side becomes 32, short side scales down
+    assert max(r["out_width"], r["out_height"]) == 32
+    assert r["out_width"] * r["height"] // r["width"] <= r["out_height"] + 1
