@@ -192,3 +192,31 @@ def test_text_empty_and_null_handling(spark):
     # the guarded expressions must not claim a language
     assert rows[3][2] == "unknown"
     assert rows[4][0] == 6 and rows[4][2] == "en"
+
+
+def test_prep_null_handling_ops(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.prep import (
+        drop_null_rows,
+        fill_nulls,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "b", None), (3, "c", 3.0)],
+        "id long, s string, v double",
+    )
+    # P10: dropna subset — only rows null in the SUBSET drop
+    assert {r["id"] for r in drop_null_rows(df, ["s"]).collect()} == {2, 3}
+    # P11: 0-fill after outer joins (reference delayed_flights.py:284)
+    filled = {r["id"]: r["v"] for r in fill_nulls(df, 0.0, ["v"]).collect()}
+    assert filled == {1: 1.0, 2: 0.0, 3: 3.0}
+
+
+def test_char_shingles_normalized_distinct(spark):
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        char_shingles,
+    )
+
+    df = spark.createDataFrame([("aBa  ba",)], "text string")
+    got = set(df.select(char_shingles("text", 3).alias("s")).collect()[0]["s"])
+    # normalized to 'aba ba': 3-grams {aba, 'ba ', 'a b', ' ba'} distinct
+    assert got == {"aba", "ba ", "a b", " ba"}
