@@ -82,7 +82,10 @@ def with_pct_of_total(df: DataFrame, count_col: str, alias: str = "pct", scale: 
     total = df.agg(F.sum(count_col).alias("__total"))
     return (
         df.crossJoin(F.broadcast(total))
-        .withColumn(alias, F.round(F.col(count_col) / F.col("__total") * 100.0, scale))
+        # c * 100.0 / t, matching the SQL oracle's evaluation order —
+        # (c / t) * 100 can differ in the last ulp, which flips round()
+        # exactly on a .5 boundary
+        .withColumn(alias, F.round(F.col(count_col) * 100.0 / F.col("__total"), scale))
         .drop("__total")
     )
 

@@ -561,13 +561,29 @@ def q15_timestamp_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: Distinct directed nation→nation edges — the single definition q16 and
+#: every graph_plans query build on (one place to change canonicalization).
+_NATION_EDGES_SQL = f"""
+    SELECT DISTINCT supp_nation AS src, cust_nation AS dst
+    FROM ({_NATION_PAIR_SQL})
+"""
+
+
+def _nation_edges(cat: Catalog) -> DataFrame:
+    """Distinct directed nation→nation edges (the reference builds its
+    edge list the same way from ORIGIN/DESTINATION columns, reference
+    graphframes_flights.py:30-31, 112-113)."""
+    return (
+        _nation_pair_lineitems(cat)
+        .select(F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst"))
+        .distinct()
+    )
+
+
 @register(
     "q16_nation_in_degree",
     sql=f"""
-    WITH edges AS (
-        SELECT DISTINCT supp_nation AS src, cust_nation AS dst
-        FROM ({_NATION_PAIR_SQL})
-    )
+    WITH edges AS ({_NATION_EDGES_SQL})
     SELECT dst, count(*) AS in_degree
     FROM edges GROUP BY dst
     ORDER BY in_degree DESC, dst
@@ -579,12 +595,7 @@ def q16_nation_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly GraphFrames' inDegrees semantics without the library
     (reference graphframes_flights.py:37-41, 119-123; SURVEY.md G2)."""
     cat = Catalog(spark, sf_dir)
-    edges = (
-        _nation_pair_lineitems(cat)
-        .select(F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst"))
-        .distinct()
-    )
-    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+    in_deg = _nation_edges(cat).groupBy("dst").agg(F.count("*").alias("in_degree"))
     return top_k(in_deg, [F.desc("in_degree"), F.col("dst")], 15)
 
 

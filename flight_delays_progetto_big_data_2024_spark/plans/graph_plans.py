@@ -19,30 +19,16 @@ from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
     triangle_count,
 )
 from flight_delays_progetto_big_data_2024_spark.plans.analog import (
-    _NATION_PAIR_SQL,
-    _nation_pair_lineitems,
+    _NATION_EDGES_SQL as _EDGES_SQL,
+)
+from flight_delays_progetto_big_data_2024_spark.plans.analog import (
+    _nation_edges,
 )
 from flight_delays_progetto_big_data_2024_spark.plans.registry import register
 from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 
 RESET_PROB = 0.15
 MAX_ITER = 10
-
-_EDGES_SQL = f"""
-    SELECT DISTINCT supp_nation AS src, cust_nation AS dst
-    FROM ({_NATION_PAIR_SQL})
-"""
-
-
-def _nation_edges(cat: Catalog) -> DataFrame:
-    """Distinct directed nation→nation edges (the reference builds its
-    edge list the same way from ORIGIN/DESTINATION columns, reference
-    graphframes_flights.py:30-31, 112-113)."""
-    return (
-        _nation_pair_lineitems(cat)
-        .select(F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst"))
-        .distinct()
-    )
 
 
 def _pagerank_unrolled_sql(iters: int = MAX_ITER, reset: float = RESET_PROB) -> str:

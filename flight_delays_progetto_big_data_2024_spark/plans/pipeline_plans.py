@@ -9,10 +9,13 @@ plumbing itself (schema, typing, row expansion), not just expressions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
     attach_binary_payload,
+    extract_features,
     fake_decode_images,
+    resize_images,
     sample_frames,
 )
 from flight_delays_progetto_big_data_2024_spark.plans.registry import register
@@ -31,6 +34,7 @@ from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
            CAST(octet_length(encode(text)) % 37 + 1 AS INTEGER) AS height,
            3 AS channels
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def q37_multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,12 +125,6 @@ def q52_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction through mapInPandas (array<float> output),
     flattened to scalars for the value-hash (list-typed columns don't
     canonicalize portably across engines)."""
-    from pyspark.sql import functions as F
-
-    from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
-        extract_features,
-    )
-
     cat = Catalog(spark, sf_dir)
     feats = extract_features(attach_binary_payload(cat.documents))
     return feats.select(
@@ -158,9 +156,5 @@ def q52_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize planning through mapInPandas (real
     resampler slots into the same loop)."""
-    from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
-        resize_images,
-    )
-
     cat = Catalog(spark, sf_dir)
     return resize_images(attach_binary_payload(cat.documents), max_side=32)

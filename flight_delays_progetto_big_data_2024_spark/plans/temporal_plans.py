@@ -93,7 +93,14 @@ def q42_sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
            b.value AS value_click,
            strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts_click
     FROM (SELECT * FROM events WHERE event_type = 'purchase') a
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+    ASOF LEFT JOIN (
+        -- tie-free right side: DuckDB ASOF picks an ARBITRARY row among
+        -- duplicate (user_id, ts); pre-aggregating makes both engines
+        -- deterministic (Spark side mirrors this groupBy)
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ) b
         ON a.user_id = b.user_id AND a.ts >= b.ts
     ORDER BY a.event_id
     """,
@@ -105,9 +112,14 @@ def q43_purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked against DuckDB's native ASOF JOIN."""
     cat = Catalog(spark, sf_dir)
     ev = cat.events
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
     joined = asof_join(
         ev.filter(F.col("event_type") == "purchase"),
-        ev.filter(F.col("event_type") == "click"),
+        clicks,
         on=["user_id"],
         ts_col="ts",
         right_cols=["value"],
