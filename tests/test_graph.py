@@ -35,10 +35,13 @@ def edge_df(spark):
     return spark.createDataFrame(EDGES, ["src", "dst"])
 
 
-def py_pagerank(edges, iters=10, reset=0.15):
+def py_pagerank(edges, iters=10, reset=0.15, dedup=True):
     """Independent evaluator of the declared semantics: rank=1 init,
-    rank = reset + (1-reset)·Σ rank_u/outdeg_u, dangling mass dropped."""
-    edges = sorted(set(edges))
+    rank = reset + (1-reset)·Σ rank_u/outdeg_u, dangling mass dropped.
+    With dedup=False, parallel edges are separate contribution channels
+    (each counts in out-degree and contributes once) — pagerank()'s
+    documented multigraph behavior."""
+    edges = sorted(set(edges)) if dedup else sorted(edges)
     verts = sorted({x for e in edges for x in e})
     outdeg = Counter(u for u, _ in edges)
     rank = {v: 1.0 for v in verts}
@@ -66,6 +69,16 @@ def test_pagerank_matches_independent_evaluator(edge_df):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_pagerank_parallel_edges_are_contribution_channels(edge_df):
+    # the fixture's duplicate A->B edge fed AS-IS: out-degree counts it
+    # and B receives A's mass twice over (documented multigraph rule)
+    got = {r["id"]: r["pagerank"] for r in pagerank(edge_df).collect()}
+    want = py_pagerank(EDGES, dedup=False)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert want["B"] > py_pagerank(EDGES)["B"]  # the duplicate matters
 
 
 def test_undirected_canonicalization(edge_df):

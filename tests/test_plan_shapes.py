@@ -12,7 +12,7 @@ from flight_delays_progetto_big_data_2024_spark.plans import registry
 from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 from flight_delays_progetto_big_data_2024_spark.sources.writers import write_parquet
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR as SF  # honors $SPARK_GRAFT_TEST_SF_DIR
 
 
 def _plan(df) -> str:

@@ -39,7 +39,7 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120), "stream did not finish in 120s"
 
     got = {
         (r["window_start"], r["num_events"], r["avg_value"])
@@ -141,7 +141,7 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120), "stream did not finish in 120s"
 
     finalized = {(r["window_start"], r["num_events"]) for r in collected}
     assert ("2024-01-01 10:00:00", 2) in finalized  # late row NOT counted
@@ -187,7 +187,7 @@ def test_streaming_restart_recovers_state_from_checkpoint(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
     # run 1: fills the 10:00 window and advances event time to 12:05
     drop("b1", [(1, ts(10, 10), 1, 1.0), (2, ts(10, 20), 1, 1.0),

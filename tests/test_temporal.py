@@ -22,6 +22,9 @@ from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
 )
 
 
+from tests.conftest import SF_DIR as _SF  # honors $SPARK_GRAFT_TEST_SF_DIR
+
+
 def _ts(h, m=0, s=0):
     return datetime(2024, 1, 1, h, m, s)
 
@@ -97,7 +100,7 @@ def test_ivf_topk_probe_all_cells_is_exact(spark):
     )
     from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 
-    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    emb = Catalog(spark, _SF).embeddings
     q = emb.filter(F.col("vec_id") < 3)
     exact = {(r["query_id"], r["rank"]): r["candidate_id"]
              for r in cosine_topk(emb, q, k=3).collect()}
@@ -151,7 +154,7 @@ def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120), "stream did not finish in 120s"
 
     closed = {
         (r["user_id"], r["session_start"], r["num_events"], r["total_value"])
@@ -203,7 +206,7 @@ def test_ivf_topk_sparse_offset_ids(spark):
     )
     from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 
-    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings.select(
+    emb = Catalog(spark, _SF).embeddings.select(
         (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
     )
     q = emb.filter(F.col("vec_id") < 1003)
