@@ -85,6 +85,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     scale: int = 6,
+    shingle_fn=word_shingles,
 ) -> DataFrame:
     """ALL pairs with word-k-gram Jaccard ≥ threshold, computed exactly
     via an inverted shingle index (explode → self-join on shingle →
@@ -99,7 +100,7 @@ def jaccard_pairs(
     (they are: sizes come from the full shingle sets).
     """
     docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
+        F.col(id_col).alias("id"), shingle_fn(text_col, k).alias("shingles")
     ).persist()  # feeds the index twice + the size table: shingle once
     sizes = docs.select("id", F.size("shingles").alias("n_sh"))
     # join on the 64-bit shingle hash, not the string: ~10× less shuffle

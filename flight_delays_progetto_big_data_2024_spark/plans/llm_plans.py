@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from flight_delays_progetto_big_data_2024_spark.functions.text import (
     avg_token_length,
+    char_shingles,
     fingerprint,
     lang_id,
     lang_id_sql,
@@ -292,6 +293,42 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH variants are tested against."""
     cat = Catalog(spark, sf_dir)
     return jaccard_pairs(cat.documents, "doc_id", "text", k=3, threshold=0.5)
+
+
+#: DuckDB slice n[i:j] is 1-based inclusive, so a k-char shingle at i is
+#: n[i:i+k-1]; both engines clamp at the string end, so texts shorter
+#: than k yield the whole text as their single shingle.
+_CHAR_SHINGLES_SQL = f"""
+    SELECT doc_id,
+           list_distinct([n[i:i+4]
+                          for i in generate_series(1, greatest(len(n)-4, 1))]) AS s
+    FROM (SELECT doc_id, {_NORM_SQL} AS n FROM documents)
+"""
+
+
+@register(
+    "q54_char_shingle_jaccard",
+    sql=f"""
+    WITH sh AS ({_CHAR_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
+def q54_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT char-5-gram Jaccard near-dup pairs (J ≥ 0.5): robust to
+    word-boundary edits (typo-level near-dups that word shingles miss).
+    Identical inverted-index plan to q32 — only the shingle family
+    changes, via ``jaccard_pairs(shingle_fn=char_shingles)``."""
+    cat = Catalog(spark, sf_dir)
+    return jaccard_pairs(
+        cat.documents, "doc_id", "text", k=5, threshold=0.5, shingle_fn=char_shingles
+    )
 
 
 @register("q33_minhash_lsh_near_dups")

@@ -49,6 +49,28 @@ def test_jaccard_pairs_finds_planted_near_dup(docs):
     assert not any(5 in p for p in pairs)
 
 
+def test_char_shingle_jaccard_catches_typo_dup(spark):
+    # single-character typo: every word-3-gram touching "dataframes" is
+    # broken, but only k=5 consecutive char shingles are — char shingles
+    # keep the pair above 0.5 while word shingles drop it below
+    from flight_delays_progetto_big_data_2024_spark.functions.text import char_shingles
+
+    a = "spark dataframes shuffle partitions broadcast joins catalyst"
+    b = "spark dataframmes shuffle partitions broadcast joins catalyst"
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    char_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            docs, k=5, threshold=0.5, shingle_fn=char_shingles
+        ).collect()
+    }
+    word_pairs = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in char_pairs and char_pairs[(1, 2)] >= 0.7
+    assert (1, 2) not in word_pairs
+
+
 def test_minhash_near_dups_matches_exact_on_planted(docs):
     got = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(docs, threshold=0.5).collect()}
     want = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, threshold=0.5).collect()}
