@@ -158,3 +158,43 @@ def q53_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampler slots into the same loop)."""
     cat = Catalog(spark, sf_dir)
     return resize_images(attach_binary_payload(cat.documents), max_side=32)
+
+
+@register(
+    "q55_kafka_feed_progress",
+    sql="""
+    SELECT 'events' AS topic,
+           CAST(user_id % 4 AS INT) AS partition,
+           count(*) - 1 AS max_offset,
+           count(*) AS n_rows,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY user_id % 4
+    """,
+)
+def q55_kafka_feed_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-wire round trip: events → simulated Kafka feed (binary
+    key/value JSON envelope, per-partition offsets) → JSON parse-back →
+    per-partition consumer progress. The oracle recomputes the same
+    progress from the raw table, so a hash match proves the envelope
+    encode/decode and offset bookkeeping lose nothing. Partitioner is
+    ``pmod(user_id, 4)`` here (SQL-reproducible); production default is
+    the xxhash64 partitioner in sources.kafka. Offsets are 0-based
+    arrival order, so max_offset ≡ n_rows - 1 by construction — the
+    load-bearing checks are the partition split and the summed payload
+    surviving the round trip."""
+    from flight_delays_progetto_big_data_2024_spark.sources.kafka import (
+        parse_json_envelope,
+        simulated_kafka_feed,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    feed = simulated_kafka_feed(
+        cat.events, partition_expr=F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    )
+    parsed = parse_json_envelope(feed, cat.events.schema)
+    return parsed.groupBy("topic", "partition").agg(
+        F.max("offset").alias("max_offset"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
