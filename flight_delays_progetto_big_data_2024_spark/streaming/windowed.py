@@ -94,3 +94,21 @@ def stream_tumbling_counts(
     return tumbling_counts(
         events.withWatermark(ts_col, watermark), window, ts_col, value_col, keys
     )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming form of :func:`sliding_counts`. Each event updates
+    window/slide overlapping windows, so state (and the append-mode
+    emission lag) scales with that ratio — keep it small for always-on
+    queries."""
+    return sliding_counts(
+        events.withWatermark(ts_col, watermark), window, slide, ts_col, value_col, keys
+    )

@@ -15,6 +15,8 @@ from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
 from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
     read_event_stream,
+    sliding_counts,
+    stream_sliding_counts,
     stream_tumbling_counts,
     tumbling_counts,
 )
@@ -51,6 +53,42 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
         for r in tumbling_counts(cat.events, "1 hour").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, tmp_path):
+    """Sliding windows (2h window / 1h slide) under availableNow must
+    equal the batch form — each event lands in BOTH overlapping windows
+    and the incremental state merge preserves counts and means."""
+    src = tmp_path / "slide_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+
+    raw_schema = spark.read.parquet(str(src / "part-000.parquet")).schema
+    stream = read_event_stream(spark, str(src), raw_schema, ts_is_nanos_long=True)
+    agg = stream_sliding_counts(
+        stream, window="2 hours", slide="1 hour", watermark="0 seconds"
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "stream did not finish in 120s"
+
+    got = {
+        (r["window_start"], r["num_events"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    cat = Catalog(spark, sf_dir)
+    batch = sliding_counts(cat.events, "2 hours", "1 hour").collect()
+    want = {(r["window_start"], r["num_events"], r["avg_value"]) for r in batch}
+    assert got == want and len(got) > 0
+    # overlap sanity: distinct hourly starts ≈ windows, and total window
+    # memberships = 2× events (every event is in exactly two windows)
+    n_events = cat.events.count()
+    assert sum(r["num_events"] for r in batch) == 2 * n_events
 
 
 def test_fake_decode_images_schema_and_determinism(spark, sf_dir):
