@@ -42,27 +42,53 @@ def distinct_token_count(col: str | Column) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
-def word_shingles(col: str | Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (the standard near-dup unit). Texts with
-    fewer than k tokens contribute their full token span as one shingle."""
-    t = tokens(col)
+def word_shingles_of(toks: Column, k: int = 3) -> Column:
+    """k-word shingles over an already-materialized token ARRAY column.
+    Use this form in hot paths: when the tokenizer expression is embedded
+    here instead, the interpreted higher-order evaluator re-tokenizes the
+    text once PER SHINGLE (transform lambdas re-evaluate their operand
+    subtree per element — ~50× redundant work on typical docs)."""
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(t, i, k), " "),
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the standard near-dup unit). Texts with
+    fewer than k tokens contribute their full token span as one shingle.
+    Single-expression convenience form — prefer ``tokens(...)`` in its
+    own projection + :func:`word_shingles_of` in bulk pipelines."""
+    return word_shingles_of(tokens(col), k)
+
+
+def char_shingles_of(norm: Column, k: int = 5) -> Column:
+    """k-char shingles over an already-materialized normalized-text
+    column (same hot-path rationale as :func:`word_shingles_of` — the
+    embedded form re-runs the normalization regex per character)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(k)),
         )
     )
 
 
 def char_shingles(col: str | Column, k: int = 5) -> Column:
     """Distinct k-character shingles over the normalized text."""
-    n = normalize_text(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(n) - (k - 1), F.lit(1))),
-            lambda i: n.substr(i, F.lit(k)),
-        )
-    )
+    return char_shingles_of(normalize_text(col), k)
+
+
+#: shingle fn → (base materializer, shingler-over-base); lets operators
+#: split the base into its own projection (Catalyst keeps a non-cheap
+#: multiply-referenced column as a separate project, so it evaluates
+#: once per row instead of once per shingle)
+SHINGLE_PREP = {
+    word_shingles: (tokens, word_shingles_of),
+    char_shingles: (normalize_text, char_shingles_of),
+}
 
 
 def punct_ratio(col: str | Column) -> Column:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flight_delays_progetto_big_data_2024_spark.functions.text import (
+    SHINGLE_PREP,
     fingerprint,
     word_shingles,
 )
@@ -40,6 +41,29 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
 #: products a*x stay < 2^62, inside signed-64 range — no overflow UDF
 #: tricks needed to stay JVM-side.
 _MINHASH_PRIME = 2_147_483_647
+
+
+def _shingle_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    shingle_fn=word_shingles,
+) -> DataFrame:
+    """(id, shingles) with the shingle base (token array / normalized
+    text) materialized in its OWN projection via SHINGLE_PREP: embedded
+    inside the higher-order shingling lambda, the interpreted evaluator
+    recomputes the base once per array element — measured as ~half of
+    q32's runtime. Unknown shingle fns fall back to the embedded form."""
+    prep = SHINGLE_PREP.get(shingle_fn)
+    if prep is None:
+        return df.select(
+            F.col(id_col).alias("id"), shingle_fn(text_col, k).alias("shingles")
+        )
+    base_fn, of_fn = prep
+    return df.select(F.col(id_col).alias("id"), base_fn(text_col).alias("b")).select(
+        "id", of_fn(F.col("b"), k).alias("shingles")
+    )
 
 
 def dedup_exact(
@@ -99,8 +123,8 @@ def jaccard_pairs(
     for t > 0 as long as dropped shingles are counted in the union
     (they are: sizes come from the full shingle sets).
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), shingle_fn(text_col, k).alias("shingles")
+    docs = _shingle_docs(
+        df, id_col, text_col, k, shingle_fn
     ).persist()  # feeds the index twice + the size table: shingle once
     sizes = docs.select("id", F.size("shingles").alias("n_sh"))
     # join on the 64-bit shingle hash, not the string: ~10× less shuffle
@@ -129,6 +153,93 @@ def jaccard_pairs(
                 scale,
             ),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    scale: int = 6,
+    shingle_fn=word_shingles,
+) -> DataFrame:
+    """Same result as :func:`jaccard_pairs` (ALL pairs with Jaccard ≥
+    threshold, exactly), via AllPairs/PPJoin prefix filtering: under a
+    global rarest-first shingle order, a pair with J ≥ t MUST share a
+    shingle within each side's first ``n - ceil(t·n) + 1`` shingles —
+    so only those prefixes are indexed, and candidates are verified
+    with exact set intersection on the full arrays.
+
+    Use this form when the shingle-frequency distribution is heavy
+    (e.g. char shingles, boilerplate-laden corpora): the plain inverted
+    index joins every co-occurrence of every shingle (Θ(Σ df²) — 769M
+    rows for char-5 on the sf0.1 documents), while the prefix index
+    drops exactly the high-df shingles that dominate that sum. Costs
+    two extra bounded shuffles (document-frequency table + per-doc
+    rank); at 100 TB this is the difference between a runnable exact
+    similarity join and an un-runnable one.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _shingle_docs(df, id_col, text_col, k, shingle_fn).persist()
+    inv = docs.select(
+        "id", F.size("shingles").alias("n"), F.explode("shingles").alias("s0")
+    ).select("id", "n", F.xxhash64("s0").alias("s"))
+    dfreq = inv.groupBy("s").agg(F.count("*").alias("df"))
+    # prefix length uses a hair-lower threshold so pairs whose TRUE J is
+    # a rounding epsilon below t (which the final rounded filter, like
+    # jaccard_pairs', would admit) are still enumerated
+    t_eff = max(threshold - 1e-6, 0.0)
+    ranked = inv.join(dfreq, "s").withColumn(
+        "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "s"))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+    ).select("id", "n", "rk", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin pruning ahead of the dedup shuffle: J ≥ t bounds the size
+    # ratio (t·|B| ≤ |A|), and a match at prefix positions (rk_a, rk_b)
+    # caps the achievable overlap at 1 + min(n_a-rk_a, n_b-rk_b), which
+    # must reach the equivalent-overlap bound α = ⌈t/(1+t)·(n_a+n_b)⌉
+    alpha = F.ceil(F.lit(t_eff / (1 + t_eff)) * (F.col("a.n") + F.col("b.n")))
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .filter(
+            (F.col("a.n") >= F.ceil(F.lit(t_eff) * F.col("b.n")))
+            & (F.col("b.n") >= F.ceil(F.lit(t_eff) * F.col("a.n")))
+            & (
+                1 + F.least(F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk"))
+                >= alpha
+            )
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify on hashed shingle arrays: long compares instead of string,
+    # ~4× less data through the verify joins; sizes come from the string
+    # arrays so a (vanishingly unlikely) in-doc hash collision can only
+    # perturb the intersection, same exposure as jaccard_pairs' hash join
+    docs_h = docs.select(
+        "id",
+        F.size("shingles").alias("n"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    da = docs_h.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("hs").alias("hs_a")
+    )
+    db = docs_h.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("hs").alias("hs_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", F.round(inter / union, scale))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -198,9 +309,7 @@ def minhash_lsh_candidates(
 
     The whole pipeline is (narrow maps) + one explode + one equi-join on
     (band, band_hash): sub-quadratic, shuffle keyed by band hash."""
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    )
+    docs = _shingle_docs(df, id_col, text_col, k)
     return _lsh_candidates_from_docs(docs, num_hashes, bands, seed)
 
 
@@ -213,20 +322,35 @@ def _lsh_candidates_from_docs(
     """LSH banding over a prepared (id, shingles) relation."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
-    docs = docs.withColumn("hs", hashed_shingles(F.col("shingles"))).withColumn(
-        "sig", _signature_from_hashed(F.col("hs"), num_hashes, seed)
+    # Signatures in ONE pass: explode shingle hashes to rows, take the
+    # num_hashes permutation mins as codegen'd MIN aggregates collapsed
+    # map-side. The higher-order array_min(transform(...)) form is
+    # interpreted and re-walks the array once per hash — see
+    # simhash_signatures for the same rewrite and the reason the
+    # expressions are SQL strings. explode_outer keeps empty/null
+    # shingle docs: their mins are all null, matching array_min's
+    # null on empty input.
+    hs = docs.selectExpr(
+        "id",
+        f"explode_outer(transform(shingles, s -> pmod(xxhash64(s),"
+        f" {_MINHASH_PRIME}))) AS h",
+    )
+    sigs = hs.groupBy("id").agg(
+        *[
+            F.expr(f"min(pmod({a} * h + {b}, {_MINHASH_PRIME})) AS m{j}")
+            for j, (a, b) in enumerate(_minhash_params(num_hashes, seed))
+        ]
     )
     # NB: rows stay NARROW (id, band, bh) — a first-agreeing-band filter
     # (as simhash_near_dups uses) would need the 16-int band-hash array
     # on every exploded row, inflating the join shuffle ~10×; with LSH's
     # low candidate multiplicity the distinct() is the cheaper dedup.
-    banded = docs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[F.hash(F.slice("sig", i * rows + 1, rows)) for i in range(bands)]
-            )
-        ).alias("band", "bh"),
+    band_exprs = ", ".join(
+        "hash(" + ", ".join(f"m{i * rows + j}" for j in range(rows)) + ")"
+        for i in range(bands)
+    )
+    banded = sigs.selectExpr(
+        "id", f"posexplode(array({band_exprs})) AS (band, bh)"
     )
     # both self-join sides read this; persist so shingling + the 64-hash
     # signature run once over the corpus
@@ -263,9 +387,7 @@ def minhash_near_dups(
     The (id, shingles) relation feeds candidate generation AND both
     sides of the verification join — persist it so tokenization/
     shingling (the dominant per-row cost) runs once over the corpus."""
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    ).persist()
+    docs = _shingle_docs(df, id_col, text_col, k).persist()
     cands = _lsh_candidates_from_docs(docs, num_hashes, bands, seed)
     da = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -307,10 +429,62 @@ def _simhash_from_hashes(hashes):
 
 
 def simhash_signature(tokens_col):
-    """64-bit SimHash over a token array. Prefer the two-step token-hash
-    column + ``_simhash_from_hashes`` in hot paths (as
-    ``simhash_near_dups`` does) so hashing isn't duplicated per bit."""
+    """64-bit SimHash over a token array, as a single column expression.
+    Correct but SLOW in bulk: higher-order functions are interpreted
+    (no whole-stage codegen), and the 64 per-bit ``aggregate`` calls
+    each re-walk the token array. Use :func:`simhash_signatures` (the
+    explode + codegen-agg relation form) for corpus-scale signing; keep
+    this form for per-row checks and as the semantics oracle."""
     return _simhash_from_hashes(F.transform(tokens_col, lambda t: F.xxhash64(t)))
+
+
+def _bit_masks() -> list[int]:
+    # bit 63 of a signed long is the sign bit: its mask is min-long
+    return [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sh) SimHash relation, computed in ONE pass over the token
+    stream: explode token hashes to rows, take the 64 per-bit ±1 votes
+    as conditional SUMs in a single hash aggregation, reassemble the
+    signature from the vote signs. Identical output to
+    :func:`simhash_signature` (tests cross-check), but every stage is
+    whole-stage-codegen'd and the partial aggregation collapses the
+    exploded rows map-side before the shuffle — at sf0.1 this is ~10×
+    faster than the interpreted higher-order form, and at 100 TB it's
+    the difference between one codegen'd scan and 64 interpreted
+    array walks per document."""
+    from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
+
+    # explode_outer keeps empty/null-token docs: their null hash row is
+    # skipped by count/sum, so n=0, every bit test is null → sh = 0 —
+    # exactly what the expression form yields for an empty array.
+    # Per-bit ±1 vote total > 0  ⟺  2·(count of 1-bits) > token count,
+    # so counting 1-bits (one shift+AND per sum) replaces the ±1 CASE —
+    # ties (2·c == n) vote 0 in both forms.
+    #
+    # The 129 expressions are built as SQL strings, not Column-by-Column:
+    # constructing them via pyspark Column operators costs ~2s of
+    # driver-side py4j round-trips at ANY data size (measured), while a
+    # string parses JVM-side in one call. shiftleft(1L, 63) is the
+    # sign-bit mask (the min-long literal itself doesn't parse).
+    hashes = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).selectExpr("id", "explode_outer(transform(toks, t -> xxhash64(t))) AS h")
+    counts = hashes.groupBy("id").agg(
+        F.expr("count(h) AS n"),
+        *[F.expr(f"sum(shiftrightunsigned(h, {j}) & 1) AS c{j}") for j in range(64)],
+    )
+    # flat 64-element array fold — a chained bitwiseOR/when tree is
+    # depth-64 and makes eager analysis + codegen quadratic
+    terms = ", ".join(f"if(2*c{j} > n, shiftleft(1L, {j}), 0L)" for j in range(64))
+    return counts.selectExpr(
+        "id", f"aggregate(array({terms}), 0L, (acc, x) -> acc | x) AS sh"
+    )
 
 
 def simhash_near_dups(
@@ -327,13 +501,7 @@ def simhash_near_dups(
     max_hamming ≤ blocks-1 — this is exact, not approximate."""
     assert max_hamming < blocks, "pigeonhole guarantee needs max_hamming < blocks"
     width = 64 // blocks
-    from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
-
-    docs = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
-        .withColumn("th", F.transform("toks", lambda t: F.xxhash64(t)))
-        .select("id", _simhash_from_hashes(F.col("th")).alias("sh"))
-    )
+    docs = simhash_signatures(df, id_col, text_col)
     mask = (1 << width) - 1
     blocked = docs.select(
         "id",

@@ -28,6 +28,7 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
 from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
     dedup_exact,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     keep_first,
     minhash_near_dups,
     simhash_near_dups,
@@ -323,10 +324,14 @@ _CHAR_SHINGLES_SQL = f"""
 def q54_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT char-5-gram Jaccard near-dup pairs (J ≥ 0.5): robust to
     word-boundary edits (typo-level near-dups that word shingles miss).
-    Identical inverted-index plan to q32 — only the shingle family
-    changes, via ``jaccard_pairs(shingle_fn=char_shingles)``."""
+    Uses the AllPairs/PPJoin prefix-filtered plan rather than q32's
+    plain inverted index: char shingles are heavy-tailed (2k distinct
+    5-grams across the sf0.1 corpus, Σdf² ≈ 769M co-occurrences), so
+    the plain index join is un-runnable there while the rarest-first
+    prefix index stays bounded. Same exact result by the prefix-filter
+    theorem — the sf0.01 oracle checks it value-for-value."""
     cat = Catalog(spark, sf_dir)
-    return jaccard_pairs(
+    return jaccard_pairs_prefix(
         cat.documents, "doc_id", "text", k=5, threshold=0.5, shingle_fn=char_shingles
     )
 

@@ -96,6 +96,31 @@ def stream_tumbling_counts(
     )
 
 
+def stream_session_windows(
+    events: DataFrame,
+    gap: str = "2 hours",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming form of :func:`operators.temporal.session_windows`.
+    Unlike fixed windows, a session's end moves as events arrive; the
+    watermark is what lets Spark ever finalize one (a session closes
+    when the watermark passes its last event + gap). Complete mode is
+    not supported for session windows — use append (finalized sessions
+    only) or update."""
+    from ..operators.temporal import session_windows
+
+    return session_windows(
+        events.withWatermark(ts_col, watermark),
+        gap=gap,
+        keys=list(keys or ["user_id"]),
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+
+
 def stream_sliding_counts(
     events: DataFrame,
     window: str = "2 hours",

@@ -49,6 +49,33 @@ def test_jaccard_pairs_finds_planted_near_dup(docs):
     assert not any(5 in p for p in pairs)
 
 
+def test_jaccard_prefix_filter_equals_plain(spark, sf_dir):
+    """jaccard_pairs_prefix must return EXACTLY jaccard_pairs' result
+    (the prefix-filter theorem says no qualifying pair is pruned) — on
+    the real documents table, for both shingle families, at several
+    thresholds."""
+    from flight_delays_progetto_big_data_2024_spark.functions.text import char_shingles
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    for kwargs in (
+        dict(k=3, threshold=0.5),
+        dict(k=3, threshold=0.8),
+        dict(k=5, threshold=0.5, shingle_fn=char_shingles),
+    ):
+        plain = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, **kwargs).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs_prefix(docs, **kwargs).collect()
+        }
+        assert pref == plain and len(plain) > 0, kwargs
+
+
 def test_char_shingle_jaccard_catches_typo_dup(spark):
     # single-character typo: every word-3-gram touching "dataframes" is
     # broken, but only k=5 consecutive char shingles are — char shingles

@@ -91,6 +91,80 @@ def test_stream_sliding_equals_batch(spark, sf_dir, tmp_path):
     assert sum(r["num_events"] for r in batch) == 2 * n_events
 
 
+def test_stream_session_windows_finalized_equals_batch(spark, tmp_path):
+    """Session windows under streaming: once the watermark passes
+    last-event + gap, the finalized session emitted in append mode must
+    equal the batch session_windows result for those rows — including
+    the merge of two events into one session."""
+    import glob
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        session_windows,
+    )
+    from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
+        stream_session_windows,
+    )
+
+    src = str(tmp_path / "sess-in")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def drop(name, rows, mtime):
+        staging = str(tmp_path / f"sstage-{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = f"{src}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    # b1: user 1 has two events 30m apart (one merged session with a 1h
+    # gap); user 2 has one. b2 jumps event time to 15:00 so the
+    # watermark (30m lag) passes every b1 session's end; b3 makes the
+    # committed watermark effective (it lags a batch).
+    early = [
+        (1, ts(10, 0), 1, 1.5),
+        (2, ts(10, 30), 1, 2.5),
+        (3, ts(10, 15), 2, 4.0),
+    ]
+    drop("b1", early, _time.time() - 30)
+    drop("b2", [(4, ts(15, 0), 3, 1.0)], _time.time() - 20)
+    drop("b3", [(5, ts(15, 5), 3, 1.0)], _time.time() - 10)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    agg = stream_session_windows(stream, gap="1 hour", watermark="30 minutes")
+    collected = []
+    query = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "stream did not finish in 120s"
+
+    got = {
+        (r["user_id"], r["session_start"], r["num_events"], r["total_value"])
+        for r in collected
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["num_events"], r["total_value"])
+        for r in session_windows(
+            spark.createDataFrame(early, schema), gap="1 hour"
+        ).collect()
+    }
+    # every finalized b1 session matches batch exactly; user 3's session
+    # may or may not have closed by end-of-stream, so ignore it
+    assert {g for g in got if g[0] in (1, 2)} == want
+    assert (1, "2024-01-01 10:00:00", 2, 4.0) in want  # merged session
+
+
 def test_fake_decode_images_schema_and_determinism(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     out = fake_decode_images(attach_binary_payload(cat.documents))
