@@ -245,6 +245,52 @@ def jaccard_pairs_prefix(
     )
 
 
+def cross_corpus_containment(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    scale: int = 6,
+    shingle_fn=word_shingles,
+) -> DataFrame:
+    """Decontamination check: (bench_id, corpus_id, containment) for
+    every benchmark document whose shingle set is ≥ threshold CONTAINED
+    in a corpus document — ``|S_bench ∩ S_corpus| / |S_bench|``.
+    Containment (not Jaccard) is the right metric here: a short eval
+    prompt embedded in a long training document is full contamination
+    at tiny Jaccard.
+
+    Same inverted-index shape as :func:`jaccard_pairs` but across TWO
+    relations, so the join is corpus-index ⋈ bench-index on the shingle
+    hash — cost tracks shared-shingle frequency, never |corpus|×|bench|.
+    The benchmark side is typically thousands of docs against billions:
+    Spark/AQE broadcasts the small exploded bench index and the whole
+    check becomes one map-side pass over the corpus."""
+    cd = _shingle_docs(corpus, id_col, text_col, k, shingle_fn)
+    bd = _shingle_docs(bench, id_col, text_col, k, shingle_fn).persist()
+    c_inv = cd.select(F.col("id").alias("corpus_id"), F.explode("shingles").alias("s"))
+    b_inv = bd.select(F.col("id").alias("bench_id"), F.explode("shingles").alias("s"))
+    common = (
+        c_inv.withColumn("s", F.xxhash64("s"))
+        .join(b_inv.withColumn("s", F.xxhash64("s")), "s")
+        .groupBy("bench_id", "corpus_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    b_sizes = bd.select(
+        F.col("id").alias("bench_id"), F.size("shingles").alias("n_bench")
+    )
+    return (
+        common.join(b_sizes, "bench_id")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_bench"), scale)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("bench_id", "corpus_id", "containment")
+    )
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [

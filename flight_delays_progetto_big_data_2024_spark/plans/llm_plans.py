@@ -26,6 +26,7 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
     token_count,
 )
 from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+    cross_corpus_containment,
     dedup_exact,
     jaccard_pairs,
     jaccard_pairs_prefix,
@@ -33,6 +34,7 @@ from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
     minhash_near_dups,
     simhash_near_dups,
 )
+from flight_delays_progetto_big_data_2024_spark.operators.sampling import hash_split
 from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -333,6 +335,65 @@ def q54_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return jaccard_pairs_prefix(
         cat.documents, "doc_id", "text", k=5, threshold=0.5, shingle_fn=char_shingles
+    )
+
+
+@register(
+    "q56_benchmark_decontamination",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 20 = 0),
+    c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 20 <> 0),
+    p AS (
+        SELECT b.bench_id, c.corpus_id,
+               round(len(list_intersect(b.s, c.s))::DOUBLE / len(b.s), 6)
+                   AS containment
+        FROM b CROSS JOIN c
+    )
+    SELECT bench_id, corpus_id, containment FROM p WHERE containment >= 0.5
+    """,
+)
+def q56_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: treat every 20th document as a held-out
+    benchmark set and flag corpus documents that CONTAIN ≥ half of a
+    benchmark doc's word-3-gram shingles. The oracle brute-forces the
+    cross join; the engine runs the two-relation inverted index
+    (cost ∝ shared-shingle mass, broadcastable bench side)."""
+    cat = Catalog(spark, sf_dir)
+    bench = cat.documents.filter(F.col("doc_id") % 20 == 0)
+    corpus = cat.documents.filter(F.col("doc_id") % 20 != 0)
+    return cross_corpus_containment(corpus, bench, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register(
+    "q57_hash_split_stats",
+    sql=f"""
+    WITH s AS (
+        SELECT CASE
+                 WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' THEN 'train'
+                 WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               len({_TOKS_SQL}) AS n_toks
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs, round(avg(n_toks), 4) AS avg_tokens
+    FROM s GROUP BY split
+    """,
+)
+def q57_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic 80/10/10 train/val/test assignment
+    (bucket = first 4 hex chars of md5(doc_id)) with per-split token
+    stats — the split is a pure projection (no shuffle) and identical
+    on any cluster layout, which ``randomSplit`` cannot guarantee."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        hash_split(cat.documents)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        )
     )
 
 
