@@ -120,6 +120,74 @@ def pagerank(
     return result
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) with ``component`` = minimum vertex id in the
+    connected component (undirected reachability; GraphFrames'
+    connectedComponents contract). Vertices absent from any edge (pass
+    ``vertices`` with an ``id`` column to include them) are their own
+    singleton components.
+
+    Min-label propagation: each round every vertex takes the minimum of
+    its own label and its neighbors' labels; converged when a round
+    changes nothing. Rounds needed = graph diameter — the right regime
+    for near-dup clusters (tiny diameter); per round it's one shuffle
+    (groupBy vertex) plus an O(|V|) join, the same footprint as a
+    pagerank iteration, with lineage truncated via localCheckpoint.
+    The convergence probe is a metadata-free count on the changed set —
+    no driver-side collection of vertex data.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    verts = (vertices or _vertices_from_edges(sym, "u", "v")).select("id").persist()
+    labels = verts.withColumn("comp", F.col("id")).localCheckpoint(eager=False)
+    for i in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        # eager checkpoint every round: the round's shuffle output is
+        # O(|V|) and both the convergence probe and the next round read
+        # it — materializing once beats recomputing the join chain twice
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    verts.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))
+
+
 def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Canonical simple undirected edge set: (u, v) with u < v, self-loops
     dropped, duplicates and reverse duplicates collapsed — the

@@ -397,6 +397,56 @@ def q57_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q58_near_dup_clusters",
+    sql=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                    6) >= 0.5
+    ),
+    e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION
+        SELECT id_b AS u, id_a AS v FROM p
+    ),
+    r(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.comp FROM e JOIN r ON r.id = e.v
+    )
+    SELECT id AS doc_id, min(comp) AS cluster_id, id = min(comp) AS is_kept
+    FROM r GROUP BY id
+    """,
+)
+def q58_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER collapse — the step after pair detection in
+    every dedup pipeline: connected components over the exact-Jaccard
+    pair graph (q32's edges), labeling each doc with its cluster's min
+    id and keeping exactly one representative per cluster. Singletons
+    keep themselves. Oracle = DuckDB recursive-CTE reachability."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = jaccard_pairs(cat.documents, "doc_id", "text", k=3, threshold=0.5)
+    cc = connected_components(
+        pairs,
+        "id_a",
+        "id_b",
+        vertices=cat.documents.select(F.col("doc_id").alias("id")),
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    )
+
+
 @register("q33_minhash_lsh_near_dups")
 def q33_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard —

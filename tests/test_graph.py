@@ -98,3 +98,55 @@ def test_pagerank_no_edges_vertex_gets_reset_only(spark):
     df = spark.createDataFrame([("X", "Y")], ["src", "dst"])
     got = {r["id"]: r["pagerank"] for r in pagerank(df).collect()}
     assert got["X"] == pytest.approx(0.15, abs=1e-12)
+
+
+def test_connected_components_golden(spark):
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, singleton 20 via vertices
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (11, 10)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 20)], ["id"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-ish graph vs a python union-find reference."""
+    import random
+
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    comp = {}
+    for x in range(n):
+        comp.setdefault(find(x), []).append(x)
+    want = {x: min(members) for members in comp.values() for x in members}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, vertices=verts).collect()
+    }
+    assert got == want
