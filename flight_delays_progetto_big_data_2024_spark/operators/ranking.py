@@ -1,0 +1,174 @@
+"""Corpus term-weighting and lexical ranking: TF-IDF and BM25.
+
+The last reference-blueprint gap from SURVEY.md §7 step 7 ("text ops
+(tokenize/TF-IDF)") and a first-class training-data-pipeline need:
+TF-IDF keyword extraction feeds topic filtering / corpus diagnostics,
+and BM25 is the standard lexical retrieval baseline next to the
+embedding searches in ``operators/similarity.py``.
+
+Scale shape (100 TB corpus, 1000 executors):
+
+- One explode of the token array per document → ``(doc_id, term)``;
+  term frequencies are a hash aggregate on that pair with map-side
+  partial combine, so the shuffle carries one row per DISTINCT
+  (doc, term), not one per token occurrence.
+- Document frequencies reuse the TF relation (no second scan of the
+  corpus text): ``groupBy(term).count()`` over an already-deduped
+  pair set.
+- Corpus-wide scalars (N docs, average doc length) travel as a
+  broadcast 1-row cross join — the same no-collect pattern as
+  ``relational.popular_groups`` — so each query stays one lazy plan.
+- BM25 filters the TF relation to the query's terms BEFORE any join
+  (a handful of terms → the scored relation is tiny and every join
+  after the filter broadcasts); scoring a query never touches the
+  full posting list of non-query terms.
+- All arithmetic is built-in column expressions (JVM codegen); no
+  Python in any hot path.
+
+Everything here is exact ANSI SQL, so the DuckDB oracle checks values,
+not just shapes. Ordering keys round to 6 decimals first: two terms
+whose weights are mathematically equal but float-associate differently
+across engines (e.g. ``2·ln(10)`` vs ``ln(100)``) must compare equal,
+with the term/doc id as the final total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
+from flight_delays_progetto_big_data_2024_spark.operators.relational import (
+    top_k_per_group,
+)
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id_col, term, tf)`` — within-document term occurrence counts.
+
+    The whitespace tokenizer is :func:`functions.text.tokens` (empty
+    tokens dropped); documents with no tokens contribute no rows.
+    """
+    return (
+        df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_frequencies(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(term, df)`` from a term-frequency relation — one row per term,
+    counting documents (the TF relation is already distinct on
+    (doc, term), so a plain count is a distinct-doc count)."""
+    return tf.groupBy("term").agg(F.count(id_col).alias("df"))
+
+
+def tfidf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id_col, term, tf, tfidf)`` with the classic weighting
+    ``tf · ln(N / df)``: terms appearing in every document weigh 0,
+    corpus-rare terms weigh high. N counts ALL input documents
+    (including token-less ones), as a broadcast 1-row aggregate."""
+    # the tf relation feeds BOTH the join and the df aggregate; without
+    # lineage truncation Catalyst plans the explode+shuffle subtree
+    # twice (the df branch prunes the count into a distinct, so
+    # ReuseExchange can't unify them) — two full corpus tokenizations
+    tf_rel = term_frequencies(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    df_rel = doc_frequencies(tf_rel, id_col)
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    return (
+        tf_rel.join(df_rel, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF:
+    ``(id_col, term, tf, tfidf, rank)``. Deterministic total order:
+    rounded weight desc, then term asc."""
+    weighted = tfidf(df, id_col, text_col).withColumn(
+        "tfidf", F.round("tfidf", 6)
+    )
+    return top_k_per_group(
+        weighted,
+        [id_col],
+        [F.col("tfidf").desc(), F.col("term").asc()],
+        k,
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-k documents for a bag of query
+    terms — ``(id_col, bm25)``, score rounded to 6 decimals, ties
+    broken by id.
+
+    ``score(d) = Σ_t  ln(1 + (N − df + 0.5)/(df + 0.5))
+                      · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+
+    with ``dl`` the document's token count and ``avgdl`` its corpus
+    mean. Only documents containing at least one query term are
+    candidates. The term filter lands on the TF relation before the
+    df/dl joins, so the scored relation is O(matching docs), not
+    O(corpus); df still counts over the whole corpus (computed before
+    the filter would be wrong the other way — df per QUERY term only
+    needs the filtered relation, which is what we aggregate).
+    """
+    terms = [str(t) for t in query_terms]
+    # dl feeds both the scoring join and the corpus scalars; tf feeds
+    # both the join and the per-term df aggregate — checkpoint each so
+    # the corpus is tokenized exactly twice (tf pass + dl pass), not
+    # four times (see tfidf() for the diamond rationale). Token-less
+    # docs are size 0 in dl and still count toward N/avgdl.
+    dl = df.select(
+        id_col, F.size(tokens(text_col)).cast("double").alias("dl")
+    ).localCheckpoint(eager=False)
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf_rel = (
+        term_frequencies(df, id_col, text_col)
+        .filter(F.col("term").isin(terms))
+        .localCheckpoint(eager=False)
+    )
+    df_rel = doc_frequencies(tf_rel, id_col)
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf_rel.join(F.broadcast(df_rel), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

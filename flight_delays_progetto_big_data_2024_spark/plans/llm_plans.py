@@ -34,6 +34,10 @@ from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
     minhash_near_dups,
     simhash_near_dups,
 )
+from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
+    bm25_search,
+    tfidf_topk_terms,
+)
 from flight_delays_progetto_big_data_2024_spark.operators.sampling import hash_split
 from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
     cosine_topk,
@@ -444,6 +448,90 @@ def q58_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_kept"),
+    )
+
+
+@register(
+    "q59_tfidf_top_terms",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rank
+        FROM w
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM r WHERE rank <= 3
+    """,
+)
+def q59_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by classic TF-IDF
+    (tf · ln(N/df)) — SURVEY.md §7 step 7's 'tokenize/TF-IDF' text op.
+    One explode per doc; df reuses the tf relation; N is a broadcast
+    1-row aggregate. Rank order = rounded weight desc, term asc (total,
+    engine-stable)."""
+    cat = Catalog(spark, sf_dir)
+    return tfidf_topk_terms(cat.documents, "doc_id", "text", k=3)
+
+
+@register(
+    "q60_bm25_keyword_search",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('spark', 'join', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    dl AS (
+        SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(len({_TOKS_SQL})) AS avgdl
+        FROM documents
+    )
+    SELECT tf.doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * (1.2 + 1)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                 6) AS bm25
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id ASC
+    LIMIT 25
+    """,
+)
+def q60_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-25 for the query bag {spark, join, stream} — the
+    lexical-retrieval baseline beside the embedding searches (q30/q35/
+    q44). Term filter lands on the tf relation before any join, so the
+    scored set is O(matching docs); corpus scalars (N, avgdl) travel as
+    a broadcast 1-row cross join."""
+    cat = Catalog(spark, sf_dir)
+    return bm25_search(
+        cat.documents, ["spark", "join", "stream"], "doc_id", "text", k=25
     )
 
 

@@ -1,0 +1,108 @@
+"""TF-IDF and BM25 golden tests on tiny hand-checkable corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
+    bm25_search,
+    term_frequencies,
+    tfidf,
+    tfidf_topk_terms,
+)
+
+CORPUS = [
+    (1, "apple banana apple"),
+    (2, "banana cherry"),
+    (3, "cherry cherry durian"),
+    (4, "   "),  # token-less: contributes to N but emits no terms
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_term_frequencies_counts_occurrences(spark, docs):
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_frequencies(docs).collect()
+    }
+    assert got == {
+        (1, "apple"): 2,
+        (1, "banana"): 1,
+        (2, "banana"): 1,
+        (2, "cherry"): 1,
+        (3, "cherry"): 2,
+        (3, "durian"): 1,
+    }
+
+
+def test_tfidf_golden_values(spark, docs):
+    # N=4; df: apple 1, banana 2, cherry 2, durian 1
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"] for r in tfidf(docs).collect()
+    }
+    assert got[(1, "apple")] == pytest.approx(2 * math.log(4), abs=1e-9)
+    assert got[(1, "banana")] == pytest.approx(math.log(2), abs=1e-9)
+    assert got[(3, "cherry")] == pytest.approx(2 * math.log(2), abs=1e-9)
+    assert got[(3, "durian")] == pytest.approx(math.log(4), abs=1e-9)
+    assert len(got) == 6  # doc 4 emits nothing
+
+
+def test_tfidf_topk_rank_order_and_tiebreak(spark, docs):
+    rows = tfidf_topk_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # doc 1: apple (2·ln4) beats banana (ln2)
+    assert sorted(by_doc[1]) == [(1, "apple"), (2, "banana")]
+    # doc 2: banana and cherry tie exactly (tf=1, df=2) -> term asc
+    assert sorted(by_doc[2]) == [(1, "banana"), (2, "cherry")]
+    # doc 3: cherry (2·ln2) beats durian (ln4) ONLY by tiebreak — the
+    # weights are mathematically equal, so rounding must make them tie
+    # and 'cherry' < 'durian' decides
+    assert sorted(by_doc[3]) == [(1, "cherry"), (2, "durian")]
+    assert 4 not in by_doc
+
+
+def _bm25_expected(corpus, query, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        q: sum(1 for t in toks.values() if q in t)
+        for q in query
+    }
+    scores = {}
+    for i, t in toks.items():
+        s = 0.0
+        for q in query:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    return scores
+
+
+def test_bm25_golden_scores(spark, docs):
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_search(docs, ["cherry", "durian"]).collect()
+    }
+    want = _bm25_expected(CORPUS, ["cherry", "durian"])
+    assert set(got) == set(want) == {2, 3}
+    for doc_id, score in want.items():
+        assert got[doc_id] == pytest.approx(score, abs=1e-6)
+    # doc 3 has both terms (one twice) -> must outrank doc 2
+    assert got[3] > got[2]
+
+
+def test_bm25_absent_term_empty_result(spark, docs):
+    assert bm25_search(docs, ["mango"]).count() == 0
