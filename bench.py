@@ -2,8 +2,11 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query wall
-times. Results are fully materialized via collect() (all headline
-queries return bounded output — aggregates / top-k / pair sets).
+times. Results are fully materialized via collect(); headline queries
+return either bounded output (aggregates / top-k / pair sets) or
+top-k-per-group output that is O(documents) with a small constant
+(q59: 3 rows/doc) — nothing O(tokens) or O(pairs-unfiltered) that
+would make driver transfer dominate the measured time at higher SF.
 """
 
 from __future__ import annotations
@@ -15,7 +18,8 @@ import time
 
 #: Headline set: one per operator family — core join+agg shapes, window
 #: top-k, graph (PageRank/triangles), dedup (exact/Jaccard/MinHash/
-#: SimHash), similarity search, text profiling, windowed events.
+#: SimHash), similarity search, text profiling, windowed events,
+#: lexical ranking (TF-IDF).
 HEADLINE = [
     "q01_popular_nations_avg_delay",
     "q04_popular_routes_avg_delay",
@@ -34,6 +38,7 @@ HEADLINE = [
     "q41_user_session_windows",
     "q43_purchase_asof_last_click",
     "q44_embedding_ivf_topk",
+    "q59_tfidf_top_terms",
 ]
 
 

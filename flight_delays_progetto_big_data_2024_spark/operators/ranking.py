@@ -34,12 +34,16 @@ with the term/doc id as the final total-order tiebreak.
 
 from __future__ import annotations
 
+from collections import Counter
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
+from flight_delays_progetto_big_data_2024_spark.functions.text import (
+    token_count,
+    tokens,
+)
 from flight_delays_progetto_big_data_2024_spark.operators.relational import (
     top_k_per_group,
 )
@@ -132,21 +136,29 @@ def bm25_search(
                       · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
 
     with ``dl`` the document's token count and ``avgdl`` its corpus
-    mean. Only documents containing at least one query term are
-    candidates. The term filter lands on the TF relation before the
-    df/dl joins, so the scored relation is O(matching docs), not
-    O(corpus); df still counts over the whole corpus (computed before
-    the filter would be wrong the other way — df per QUERY term only
-    needs the filtered relation, which is what we aggregate).
+    mean. Bag semantics: a term appearing q times in the query
+    contributes q·(its per-occurrence score), matching the textbook
+    sum over query positions. Only documents containing at least one
+    query term are candidates. The term filter lands on the TF relation
+    before the df/dl joins, so the scored relation is O(matching docs),
+    not O(corpus); df still counts over the whole corpus (computed
+    before the filter would be wrong the other way — df per QUERY term
+    only needs the filtered relation, which is what we aggregate).
     """
-    terms = [str(t) for t in query_terms]
+    qtf = Counter(str(t) for t in query_terms)
+    terms = list(qtf)
+    qtf_rel = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(t, float(c)) for t, c in qtf.items()], ["term", "qtf"]
+        )
+    )
     # dl feeds both the scoring join and the corpus scalars; tf feeds
     # both the join and the per-term df aggregate — checkpoint each so
     # the corpus is tokenized exactly twice (tf pass + dl pass), not
     # four times (see tfidf() for the diamond rationale). Token-less
     # docs are size 0 in dl and still count toward N/avgdl.
     dl = df.select(
-        id_col, F.size(tokens(text_col)).cast("double").alias("dl")
+        id_col, token_count(text_col).cast("double").alias("dl")
     ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -165,10 +177,11 @@ def bm25_search(
     )
     return (
         tf_rel.join(F.broadcast(df_rel), "term")
+        .join(qtf_rel, "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
+        .agg(F.round(F.sum(F.col("qtf") * idf * tf_norm), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -106,3 +106,21 @@ def test_bm25_golden_scores(spark, docs):
 
 def test_bm25_absent_term_empty_result(spark, docs):
     assert bm25_search(docs, ["mango"]).count() == 0
+
+
+def test_bm25_duplicate_query_terms_bag_semantics(spark, docs):
+    # a term repeated in the query doubles its contribution (matches
+    # _bm25_expected, which sums per query position)
+    once = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_search(docs, ["cherry"]).collect()
+    }
+    twice = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_search(docs, ["cherry", "cherry"]).collect()
+    }
+    want = _bm25_expected(CORPUS, ["cherry", "cherry"])
+    assert set(twice) == set(want)
+    for doc_id, score in want.items():
+        assert twice[doc_id] == pytest.approx(score, abs=1e-6)
+        assert twice[doc_id] == pytest.approx(2 * once[doc_id], abs=2e-6)
