@@ -25,6 +25,9 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
     quality_score,
     token_count,
 )
+from flight_delays_progetto_big_data_2024_spark.operators.curation import (
+    curation_funnel,
+)
 from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
     cross_corpus_containment,
     dedup_exact,
@@ -532,6 +535,70 @@ def q60_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return bm25_search(
         cat.documents, ["spark", "join", "stream"], "doc_id", "text", k=25
+    )
+
+
+@register(
+    "q61_curation_funnel",
+    sql=f"""
+    WITH base AS (
+        SELECT text,
+               {_TOKS_SQL} AS toks,
+               len(text) AS n,
+               len(text) - len(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS n_punct,
+               md5({_NORM_SQL}) AS fp,
+               {lang_id_sql("text")} AS plang
+        FROM documents
+    ),
+    m AS (
+        SELECT fp, plang,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
+                         / len(toks) END AS atl,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks))::DOUBLE / len(toks) END AS diversity,
+               CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS pr
+        FROM base
+    ),
+    f AS (
+        SELECT (plang <> 'unknown') AS lang_known,
+               (n_tokens BETWEEN 20 AND 80) AS length_ok,
+               (CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE round(0.6 * diversity
+                                + 0.4 * (CASE WHEN atl >= 3.0 AND atl <= 8.0
+                                              THEN 1.0 ELSE 0.5 END)
+                                - pr, 6) END) >= 0.62 AS quality_ok,
+               fp
+        FROM m
+    ),
+    a AS (
+        SELECT count(*) AS raw,
+               sum(CASE WHEN lang_known THEN 1 ELSE 0 END) AS lang_known,
+               sum(CASE WHEN lang_known AND length_ok THEN 1 ELSE 0 END) AS length_ok,
+               sum(CASE WHEN lang_known AND length_ok AND quality_ok
+                        THEN 1 ELSE 0 END) AS quality_ok,
+               count(DISTINCT CASE WHEN lang_known AND length_ok AND quality_ok
+                                   THEN fp END) AS deduped
+        FROM f
+    )
+    SELECT 1 AS stage_id, 'raw' AS stage, raw AS docs_kept FROM a
+    UNION ALL SELECT 2, 'lang_known', lang_known FROM a
+    UNION ALL SELECT 3, 'length_ok', length_ok FROM a
+    UNION ALL SELECT 4, 'quality_ok', quality_ok FROM a
+    UNION ALL SELECT 5, 'deduped', deduped FROM a
+    """,
+)
+def q61_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus curation funnel — cumulative survivor counts
+    for raw → lang-known → length-window → quality → exact-dedup, all in
+    ONE scan + ONE aggregate (k count-actions would be k scans of a
+    100 TB corpus). Thresholds chosen to discriminate on the synthetic
+    corpus (token count 20-80, quality ≥0.62): every stage drops
+    documents, so the parity check exercises each flag."""
+    cat = Catalog(spark, sf_dir)
+    return curation_funnel(
+        cat.documents, "text", min_tokens=20, max_tokens=80, min_quality=0.62
     )
 
 
