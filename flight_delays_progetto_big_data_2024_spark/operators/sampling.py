@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 65536
@@ -75,3 +75,94 @@ def deterministic_sample(
     ``df.sample`` the kept set is a stable function of (id, salt)."""
     assert 0.0 <= fraction <= 1.0
     return df.filter(_hash_bucket(id_col, salt) < F.lit(_cut(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-size per-stratum sample: every group keeps exactly
+    ``ceil(fraction · group_size)`` rows (the hash-ranked prefix), so
+    small strata are never rounded away — the failure mode of Bernoulli
+    sampling (``deterministic_sample`` / ``sampleBy``), which can drop a
+    rare language or source entirely.
+
+    Selection is content-deterministic: rows are ranked inside each
+    stratum by ``(md5-bucket(id, salt), id)``; the kept set is a stable
+    function of (ids, salt) on any layout. One shuffle on ``group_col``
+    + per-group sort — the exact-count guarantee needs a total order
+    per stratum, which Bernoulli hashing cannot give. Skew posture: a
+    hot stratum sorts in one task; for a pathological mega-stratum,
+    pre-split it with a salted sub-key and take per-sub-stratum
+    prefixes."""
+    assert 0.0 <= fraction <= 1.0
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_bucket(id_col, salt), F.col(id_col)
+    )
+    counts = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(counts))
+        .filter(F.col("_rn") <= F.ceil(F.lit(float(fraction)) * F.col("_n")))
+        .drop("_rn", "_n")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    length_col: Column | str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every document to a training-batch bin by contiguous
+    token-budget chunking: ``(id_col, shard, bin, length)``.
+
+    Documents are sharded by id hash (``n_shards`` independent packing
+    streams — at cluster scale set this ≥ total cores so packing is
+    embarrassingly parallel), ordered content-deterministically inside
+    each shard by ``(md5-bucket, id)``, and a document starting at
+    running-token offset ``o`` lands in bin ``floor(o / budget)``.
+
+    These are concatenate-then-chunk semantics (GPT-style pretraining
+    packing): bins are full back-to-back windows of the shard's token
+    stream, so a bin can overrun ``budget`` by at most the tail of its
+    last document — unlike greedy first-fit, the assignment is a pure
+    window function (one shuffle + sort per shard, no sequential
+    driver loop) and is expressible in ANSI SQL for the oracle.
+    """
+    length = F.col(length_col) if isinstance(length_col, str) else length_col
+    # stable integer shard from the first 4 md5 hex chars (engine-
+    # portable: DuckDB computes the identical value)
+    shard = (
+        F.conv(_hash_bucket(id_col, salt), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(
+        _hash_bucket(id_col, salt), F.col(id_col)
+    )
+    running = F.sum("length").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), shard, length.cast("long").alias("length"))
+        .withColumn(
+            "bin", F.floor((running - F.col("length")) / F.lit(int(budget)))
+        )
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-bin fill accounting for :func:`pack_sequences` output:
+    ``(shard, bin, n_docs, n_tokens, fill_ratio)``. Every bin except
+    possibly each shard's last is full by construction (fill ≥ 1 −
+    tail-doc/budget); systematic underfill means the budget is smaller
+    than typical documents."""
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("length").alias("n_tokens"),
+        F.round(F.sum("length") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )

@@ -41,7 +41,12 @@ from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
     bm25_search,
     tfidf_topk_terms,
 )
-from flight_delays_progetto_big_data_2024_spark.operators.sampling import hash_split
+from flight_delays_progetto_big_data_2024_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    pack_stats,
+    stratified_sample,
+)
 from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -600,6 +605,78 @@ def q61_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(
         cat.documents, "text", min_tokens=20, max_tokens=80, min_quality=0.62
     )
+
+
+@register(
+    "q62_stratified_sample_by_source",
+    sql="""
+    WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(doc_id::VARCHAR), 1, 4), doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source, doc_id FROM r WHERE rn <= ceil(0.2 * n)
+    """,
+)
+def q62_stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size 20% stratified sample per `source`: each stratum keeps
+    exactly ceil(0.2·n) docs — rare sources are never rounded away, and
+    the kept set is content-deterministic (stable across any physical
+    layout), unlike df.sampleBy."""
+    cat = Catalog(spark, sf_dir)
+    return stratified_sample(
+        cat.documents, "source", 0.2, id_col="doc_id"
+    ).select("source", "doc_id")
+
+
+@register(
+    "q64_sequence_packing_stats",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id,
+               len({_TOKS_SQL})::BIGINT AS length,
+               substr(md5(doc_id::VARCHAR), 1, 4) AS bkt
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, length, bkt,
+               ('0x' || bkt)::BIGINT % 8 AS shard
+        FROM d
+    ),
+    w AS (
+        SELECT shard, length,
+               sum(length) OVER (
+                   PARTITION BY shard ORDER BY bkt, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running
+        FROM s
+    )
+    SELECT shard,
+           floor((running - length) / 512)::BIGINT AS bin,
+           count(*) AS n_docs,
+           sum(length) AS n_tokens,
+           round(sum(length) / 512.0, 6) AS fill_ratio
+    FROM w
+    GROUP BY shard, bin
+    """,
+)
+def q64_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk sequence packing (GPT-style pretraining
+    batches): documents hash-sharded into 8 independent token streams,
+    each chunked into 512-token bins by a running-sum window — no
+    sequential driver loop. Per-bin fill accounting."""
+    cat = Catalog(spark, sf_dir)
+    packed = pack_sequences(
+        cat.documents.select("doc_id", token_count("text").alias("length")),
+        budget=512,
+        length_col="length",
+        n_shards=8,
+    )
+    return pack_stats(packed, budget=512)
 
 
 @register("q33_minhash_lsh_near_dups")

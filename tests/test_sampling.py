@@ -8,6 +8,9 @@ from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
 from flight_delays_progetto_big_data_2024_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
+    pack_sequences,
+    pack_stats,
+    stratified_sample,
 )
 from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 
@@ -76,3 +79,68 @@ def test_cross_corpus_containment_planted(spark):
         for r in cross_corpus_containment(corpus, bench, threshold=0.5).collect()
     }
     assert got == {(1, 10): 1.0}
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    import math
+
+    docs = Catalog(spark, sf_dir).documents
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = stratified_sample(docs, "source", 0.25)
+    got = {
+        r["source"]: r["n"]
+        for r in sampled.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # EXACT ceil(frac*n) per stratum — no stratum missing, none rounded away
+    assert got == {s: math.ceil(0.25 * n) for s, n in totals.items()}
+    # content-deterministic: identical kept set on a different layout
+    a = {r["doc_id"] for r in sampled.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(11, "lang"), "source", 0.25)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_chunking_invariants(spark, sf_dir):
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        token_count,
+    )
+
+    budget = 256
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", token_count("text").alias("length")
+    )
+    packed = pack_sequences(docs, budget, "length", n_shards=4)
+    # coverage: every doc assigned exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    rows = pack_stats(packed, budget).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["bin"], r["n_tokens"]))
+    for shard, bins in by_shard.items():
+        bins.sort()
+        # bins are consecutive from 0
+        assert [b for b, _ in bins] == list(range(len(bins)))
+        # contiguous chunking: cumulative tokens through every non-final
+        # bin must reach that bin's budget boundary (the stream overflows
+        # into the next bin exactly when the boundary is crossed)
+        cum = 0
+        for b, toks in bins[:-1]:
+            cum += toks
+            assert cum >= (b + 1) * budget, (shard, b, cum)
+    # layout-invariant assignment
+    a = {(r["doc_id"], r["shard"], r["bin"]) for r in packed.collect()}
+    b = {
+        (r["doc_id"], r["shard"], r["bin"])
+        for r in pack_sequences(
+            docs.repartition(13), budget, "length", n_shards=4
+        ).collect()
+    }
+    assert a == b
