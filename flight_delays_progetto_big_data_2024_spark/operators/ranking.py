@@ -119,6 +119,64 @@ def tfidf_topk_terms(
     )
 
 
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k term pairs by document-level PMI:
+    ``(t1, t2, c12, pmi)`` with ``pmi = ln(c12·N / (c1·c2))`` over
+    document co-occurrence counts (a pair co-occurs when both terms
+    appear in the same document; t1 < t2 canonically; rounded to 6
+    decimals, (pmi desc, t1, t2) total order).
+
+    Scale shape: the quadratic step is the per-document pair expansion
+    (self-join of the distinct-token relation on the doc id). Its cost
+    is Σ_d k_d², NOT corpus², and the ``min_df`` prefilter lands on the
+    token relation BEFORE the self-join, so hapax/rare terms (the long
+    tail of any real vocabulary) never enter the expansion. Both join
+    inputs are the same checkpointed relation shuffled by doc id — one
+    exchange, reused for both sides. For web-scale corpora tighten
+    ``min_df`` (or cap per-doc distinct terms upstream) to bound k_d.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tc = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_df)
+    )
+    tok_f = tok.join(tc, "term").localCheckpoint(eager=False)
+    a = tok_f.select("_doc", F.col("term").alias("t1"), F.col("c").alias("c1"))
+    b = tok_f.select("_doc", F.col("term").alias("t2"), F.col("c").alias("c2"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    return (
+        a.join(b, "_doc")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2", "c1", "c2")
+        .agg(F.count("*").alias("c12"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            F.round(
+                F.log(F.col("c12") * F.col("n_docs") / (F.col("c1") * F.col("c2"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(k)
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: Sequence[str],

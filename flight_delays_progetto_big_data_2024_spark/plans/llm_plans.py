@@ -39,6 +39,7 @@ from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
 )
 from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
     bm25_search,
+    pmi_pairs,
     tfidf_topk_terms,
 )
 from flight_delays_progetto_big_data_2024_spark.operators.sampling import (
@@ -631,6 +632,41 @@ def q62_stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     return stratified_sample(
         cat.documents, "source", 0.2, id_col="doc_id"
     ).select("source", "doc_id")
+
+
+@register(
+    "q63_pmi_term_pairs",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id AS _doc, unnest(list_distinct({_TOKS_SQL})) AS term
+        FROM documents
+    ),
+    tc AS (
+        SELECT term, count(*) AS c FROM tok GROUP BY term
+        HAVING count(*) >= 10
+    ),
+    tok_f AS (
+        SELECT _doc, tok.term, c FROM tok JOIN tc USING (term)
+    ),
+    pairs AS (
+        SELECT a.term AS t1, b.term AS t2, a.c AS c1, b.c AS c2
+        FROM tok_f a JOIN tok_f b ON a._doc = b._doc AND a.term < b.term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t1, t2, count(*) AS c12,
+           round(ln(count(*) * n_docs / (c1 * c2)), 6) AS pmi
+    FROM pairs CROSS JOIN n
+    GROUP BY t1, t2, c1, c2, n_docs
+    ORDER BY pmi DESC, t1 ASC, t2 ASC
+    LIMIT 25
+    """,
+)
+def q63_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 document-level PMI term pairs (collocation mining /
+    boilerplate detection). The min_df=10 prefilter lands before the
+    per-doc pair expansion; both self-join inputs reuse one exchange."""
+    cat = Catalog(spark, sf_dir)
+    return pmi_pairs(cat.documents, "doc_id", "text", min_df=10, k=25)
 
 
 @register(

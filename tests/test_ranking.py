@@ -124,3 +124,46 @@ def test_bm25_duplicate_query_terms_bag_semantics(spark, docs):
     for doc_id, score in want.items():
         assert twice[doc_id] == pytest.approx(score, abs=1e-6)
         assert twice[doc_id] == pytest.approx(2 * once[doc_id], abs=2e-6)
+
+
+def test_pmi_golden_values(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
+        pmi_pairs,
+    )
+
+    # 4 docs; (a,b) always together, (a,c) independent-ish, d rare
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "a b c"),
+            (3, "c d a"),
+            (4, "c"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["t1"], r["t2"]): (r["c12"], r["pmi"])
+        for r in pmi_pairs(corpus, min_df=1, k=100).collect()
+    }
+    # df: a=3 b=2 c=3 d=1 ; N=4
+    assert got[("a", "b")] == (2, pytest.approx(round(math.log(2 * 4 / (3 * 2)), 6)))
+    assert got[("a", "c")] == (2, pytest.approx(round(math.log(2 * 4 / (3 * 3)), 6)))
+    assert got[("a", "d")] == (1, pytest.approx(round(math.log(1 * 4 / (3 * 1)), 6)))
+    assert got[("c", "d")] == (1, pytest.approx(round(math.log(1 * 4 / (3 * 1)), 6)))
+    assert got[("b", "c")] == (1, pytest.approx(round(math.log(1 * 4 / (2 * 3)), 6)))
+    assert len(got) == 5  # no (b,d): never co-occur
+
+
+def test_pmi_min_df_prunes_before_expansion(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
+        pmi_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b rare1"), (2, "a b rare2"), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["t1"], r["t2"]) for r in pmi_pairs(corpus, min_df=2, k=100).collect()
+    }
+    assert got == {("a", "b")}
