@@ -51,7 +51,13 @@ KAFKA_WIRE_SCHEMA = StructType(
 #: Spark's default JSON timestampFormat carries milliseconds only;
 #: event timestamps here are micro-precision, so both envelope sides
 #: must pin a microsecond format or the round trip silently truncates.
-_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+#: TIMESTAMP and TIMESTAMP_NTZ columns read *different* options
+#: (timestampFormat vs timestampNTZFormat) — parquet event tables load
+#: as NTZ here, so both keys must be pinned.
+_JSON_OPTS = {
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+}
 
 
 def kafka_available(spark: SparkSession) -> bool:
