@@ -72,12 +72,20 @@ def read_event_stream(
     """File-source stream over a directory of parquet drops (the
     standard ingestion pattern for micro-batch backfill). Pass
     ``ts_is_nanos_long=True`` when the files carry TIMESTAMP(NANOS)
-    read as longs (see sources.readers)."""
+    read as longs (see sources.readers); if the column is already a
+    timestamp type the flag is a no-op, so callers can pass it
+    defensively for files of either vintage."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    if ts_is_nanos_long:
+    if ts_is_nanos_long and isinstance(schema[ts_col].dataType, LongType):
         stream = stream.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
+    elif isinstance(schema[ts_col].dataType, TimestampNTZType):
+        # watermarks require TIMESTAMP (with zone); the session runs UTC
+        # so the cast is value-preserving
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
 
