@@ -210,6 +210,27 @@ def two_sided_totals(
     )
 
 
+def pivot_table(
+    df: DataFrame,
+    row_keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+    renames: dict[str, str] | None = None,
+) -> DataFrame:
+    """Long -> wide pivot (the complement of :func:`unpivot_measures`):
+    one output column per ``pivot_values`` entry holding ``agg`` over the
+    matching rows. ``pivot_values`` is REQUIRED — passing it skips the
+    extra distinct-collection job Spark otherwise runs to discover the
+    value set (a full scan at 100TB), and makes the output schema static
+    so downstream plans can be compiled before any data is read.
+    ``renames`` maps raw pivot values to stable column names."""
+    out = df.groupBy(*row_keys).pivot(pivot_col, list(pivot_values)).agg(agg)
+    for raw, name in (renames or {}).items():
+        out = out.withColumnRenamed(raw, name)
+    return out
+
+
 def unpivot_measures(
     df: DataFrame,
     ids: Sequence[str],

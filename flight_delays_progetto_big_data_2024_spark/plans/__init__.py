@@ -7,6 +7,7 @@ from flight_delays_progetto_big_data_2024_spark.plans import analog  # noqa: F40
 from flight_delays_progetto_big_data_2024_spark.plans import graph_plans  # noqa: F401
 from flight_delays_progetto_big_data_2024_spark.plans import llm_plans  # noqa: F401
 from flight_delays_progetto_big_data_2024_spark.plans import pipeline_plans  # noqa: F401
+from flight_delays_progetto_big_data_2024_spark.plans import reshape_plans  # noqa: F401
 from flight_delays_progetto_big_data_2024_spark.plans import temporal_plans  # noqa: F401
 from flight_delays_progetto_big_data_2024_spark.plans import semistructured_plans  # noqa: F401
 

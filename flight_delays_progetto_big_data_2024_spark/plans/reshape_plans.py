@@ -1,0 +1,187 @@
+"""Reshaping and window-function queries: pivot, cube subtotals,
+lag/delta trends, ntile quantile bucketing.
+
+The reference's only reshape is a driver-side pandas ``melt``
+(reference delayed_flights.py:325-332, covered by q05's unpivot); this
+module adds the remaining reshape surface an analytics engine needs,
+all Spark-native so results stay distributed:
+
+- q65 pivot: long->wide with a STATIC value list (no distinct-discovery
+  scan — the 100TB version of ``pivot()`` without values is a full
+  extra pass over the fact table).
+- q66 cube: grouping-sets subtotals computed in ONE pass (Expand node)
+  instead of unioning four separate aggregations.
+- q67 lag: day-over-day deltas via a window partitioned to one row per
+  day AFTER a pre-aggregation — the window runs over ~days rows, never
+  over raw events.
+- q68 ntile: equal-frequency bucketing. NOTE the deliberate scale
+  tradeoff: ntile needs a global sort; at 100TB you'd switch to
+  ``approxQuantile``-derived range bounds (q45 covers percentiles).
+  Orders is a 1-per-customer-ish table, orders of magnitude smaller
+  than lineitem, so the global window is acceptable here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flight_delays_progetto_big_data_2024_spark.operators.relational import pivot_table
+from flight_delays_progetto_big_data_2024_spark.plans.registry import register
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_COLS = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "q65_orders_month_priority_pivot",
+    sql="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           count(*) FILTER (o_orderpriority = '5-LOW')           AS low
+    FROM orders
+    GROUP BY order_month
+    ORDER BY order_month
+    """,
+)
+def q65_orders_month_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): monthly order counts with one column per
+    priority. Spark compiles the static-values pivot to a single hash
+    aggregation of count(CASE WHEN ...) columns — same plan shape as the
+    oracle's FILTER clauses, one scan, no distinct-discovery job."""
+    cat = Catalog(spark, sf_dir)
+    months = cat.orders.withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    wide = pivot_table(
+        months,
+        ["order_month"],
+        "o_orderpriority",
+        _PRIORITIES,
+        F.count(F.lit(1)),
+        renames=dict(zip(_PRIORITIES, _PRIORITY_COLS)),
+    )
+    # pivot cells with no matching rows are null; counts should read 0
+    filled = wide.na.fill(0, _PRIORITY_COLS)
+    return filled.orderBy("order_month")
+
+
+@register(
+    "q66_returnflag_status_cube",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL')  AS returnflag,
+           coalesce(l_linestatus, 'ALL')  AS linestatus,
+           GROUPING(l_returnflag)         AS flag_is_total,
+           GROUPING(l_linestatus)         AS status_is_total,
+           count(*)                       AS num_items,
+           round(sum(l_quantity), 2)      AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q66_returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube subtotals: every (returnflag, linestatus) combination plus
+    row/column/grand totals in ONE aggregation pass (Catalyst's Expand
+    replicates each input row into the 4 grouping sets map-side, so the
+    shuffle carries partial aggregates, not 4x the fact table).
+    ``grouping()`` flags distinguish a genuine 'ALL' value from a
+    subtotal row, mirroring the oracle's GROUPING()."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("flag_is_total"),
+            F.grouping("l_linestatus").alias("status_is_total"),
+            F.count(F.lit(1)).alias("num_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "flag_is_total",
+            "status_is_total",
+            "num_items",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "q67_daily_event_delta",
+    sql="""
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS num_events
+        FROM events GROUP BY day
+    )
+    SELECT day, num_events,
+           num_events - lag(num_events) OVER (ORDER BY day) AS delta,
+           round(100.0 * (num_events - lag(num_events) OVER (ORDER BY day))
+                 / lag(num_events) OVER (ORDER BY day), 4) AS pct_change
+    FROM daily
+    ORDER BY day
+    """,
+)
+def q67_daily_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day traffic deltas. The lag window is GLOBAL (no
+    partition key) but runs AFTER the groupBy collapsed events to one
+    row per day — a ~365-rows-per-year single task, fine at any event
+    volume. The aggregation, where the data is big, stays fully
+    parallel."""
+    cat = Catalog(spark, sf_dir)
+    daily = cat.events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("num_events"))
+    w = Window.orderBy("day")
+    prev = F.lag("num_events").over(w)
+    return (
+        daily.withColumn("delta", F.col("num_events") - prev)
+        .withColumn(
+            "pct_change",
+            F.round(100.0 * (F.col("num_events") - prev) / prev, 4),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q68_order_price_deciles",
+    sql="""
+    WITH tiled AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, count(*) AS num_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def q68_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency deciles of order value. Ordering includes
+    o_orderkey as tiebreaker so tile assignment at duplicate prices is
+    deterministic and engine-portable. Global-sort caveat in the module
+    docstring (at 100TB: approxQuantile range bounds instead)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = cat.orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )

@@ -220,3 +220,26 @@ def test_char_shingles_normalized_distinct(spark):
     got = set(df.select(char_shingles("text", 3).alias("s")).collect()[0]["s"])
     # normalized to 'aba ba': 3-grams {aba, 'ba ', 'a b', ' ba'} distinct
     assert got == {"aba", "ba ", "a b", " ba"}
+
+
+def test_pivot_table_static_values_and_renames(spark):
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.operators.relational import (
+        pivot_table,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("a", "x", 4)],
+        "k string, p string, v long",
+    )
+    # 'z' is in the static value list but absent from the data: the
+    # column must still exist (static schema) — counts read as null
+    # until filled; 'w' values in data but NOT listed would be dropped.
+    wide = pivot_table(
+        df, ["k"], "p", ["x", "y", "z"], F.sum("v"), renames={"z": "zed"}
+    )
+    rows = {r["k"]: r for r in wide.collect()}
+    assert set(wide.columns) == {"k", "x", "y", "zed"}
+    assert rows["a"]["x"] == 5 and rows["a"]["y"] == 2 and rows["a"]["zed"] is None
+    assert rows["b"]["x"] == 3 and rows["b"]["y"] is None
