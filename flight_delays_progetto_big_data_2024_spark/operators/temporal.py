@@ -54,6 +54,80 @@ def session_windows(
     )
 
 
+def range_join_buckets(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Interval containment join (``start <= ts < end``, no equi key)
+    without the nested-loop blow-up: both sides are mapped to
+    fixed-width time buckets — each interval EXPLODES into every bucket
+    it overlaps, each left row lands in exactly one — and the buckets
+    become an equi-join key, so Catalyst plans a hash join (broadcast
+    when the exploded interval side is small) that only compares rows
+    whose buckets collide. A final exact predicate keeps semantics
+    identical to the theta-join.
+
+    Cost model: the exploded interval side grows by
+    ``interval_length / bucket_seconds`` rows per interval — pick the
+    bucket near the typical interval length. Works with BOTH sides
+    arbitrarily large (shuffle hash join on the bucket), which the
+    broadcast-nested-loop fallback for raw theta joins does not.
+    """
+    width = F.lit(bucket_seconds).cast("long")
+    lb = left.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(ts_col)) / width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / width).cast("long"),
+                # end is exclusive: an interval ending exactly on a
+                # bucket boundary does not reach into that bucket
+                ((F.unix_timestamp(F.col(end_col)) - 1) / width).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(iv, "__bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bucket")
+    )
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    attrs: Sequence[str] = ("value",),
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: one output row per version with ``valid_from`` / ``valid_to``
+    (null = current) and a per-key ``version`` number. The standard
+    warehouse pattern, one window (= one shuffle on the key) over the
+    change log — no self-join.
+
+    ``tiebreakers`` orders simultaneous changes of the same key
+    deterministically (pass the change-log's unique id); without it,
+    duplicate (key, ts) rows make version numbering nondeterministic.
+    """
+    order = [F.col(ts_col).asc(), *[F.col(t).asc() for t in tiebreakers]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return changes.select(
+        *keys,
+        *attrs,
+        F.row_number().over(w).alias("version"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

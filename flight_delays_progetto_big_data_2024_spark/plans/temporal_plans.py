@@ -14,8 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_delays_progetto_big_data_2024_spark.operators.similarity import ivf_topk
+from flight_delays_progetto_big_data_2024_spark.operators.relational import (
+    popular_groups,
+)
 from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
     asof_join,
+    range_join_buckets,
+    scd2_from_changes,
     session_windows,
 )
 from flight_delays_progetto_big_data_2024_spark.plans.registry import register
@@ -221,4 +226,119 @@ def q45_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q69_promo_window_shipments",
+    sql="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month_start,
+               count(*) AS num_orders
+        FROM orders GROUP BY month_start
+    ),
+    promo AS (
+        SELECT month_start - INTERVAL 3 DAY AS w_start,
+               month_start + INTERVAL 10 DAY AS w_end
+        FROM (
+            SELECT month_start, num_orders,
+                   avg(num_orders) OVER () AS avg_orders
+            FROM monthly
+        ) WHERE num_orders > avg_orders
+    )
+    SELECT strftime(p.w_start, '%Y-%m-%d') AS promo_start,
+           count(*) AS num_items,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l
+    JOIN promo p ON l.l_shipdate >= p.w_start AND l.l_shipdate < p.w_end
+    GROUP BY promo_start
+    ORDER BY promo_start
+    """,
+)
+def q69_promo_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment (range) join with NO equi key: lineitems
+    shipped inside 'promo windows' (3 days before to 10 days after the
+    start of above-average order months). The oracle states it as a
+    theta join; the Spark plan uses operators.temporal.range_join_buckets
+    — day buckets turn it into an equi-join on bucket + exact residual
+    filter, so it hash-joins (and survives both sides being huge)
+    instead of falling back to a broadcast nested loop."""
+    cat = Catalog(spark, sf_dir)
+    monthly = cat.orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(F.count(F.lit(1)).alias("num_orders"))
+    promo = popular_groups(monthly, "num_orders").select(
+        F.expr("month_start - INTERVAL 3 DAYS").alias("w_start"),
+        F.expr("month_start + INTERVAL 10 DAYS").alias("w_end"),
+    )
+    matched = range_join_buckets(
+        cat.lineitem.select("l_shipdate", "l_quantity"),
+        promo,
+        ts_col="l_shipdate",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=86400,
+    )
+    return (
+        matched.groupBy(
+            F.date_format("w_start", "yyyy-MM-dd").alias("promo_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("num_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("promo_start")
+    )
+
+
+@register(
+    "q70_user_value_scd2",
+    sql="""
+    WITH hist AS (
+        SELECT user_id, value,
+               row_number() OVER w AS version,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to
+        FROM events WHERE event_type = 'view'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT version,
+           count(*) AS n_rows,
+           sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+           round(avg(date_diff('microsecond', valid_from, valid_to)
+                     / 3600000000.0), 4) AS avg_hours_valid,
+           round(avg(value), 6) AS avg_value
+    FROM hist GROUP BY version ORDER BY version
+    """,
+)
+def q70_user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change log (view events as
+    per-user attribute updates): operators.temporal.scd2_from_changes
+    assigns valid_from/valid_to/version in ONE window (one shuffle on
+    user_id, no self-join), then the rollup reports per-version counts
+    and validity durations. event_id tie-breaks simultaneous changes so
+    version numbering is deterministic in both engines."""
+    cat = Catalog(spark, sf_dir)
+    hist = scd2_from_changes(
+        cat.events.filter(F.col("event_type") == "view"),
+        keys=["user_id"],
+        ts_col="ts",
+        attrs=["value"],
+        tiebreakers=["event_id"],
+    )
+    # ts may surface as TIMESTAMP_NTZ (no direct cast to double); the
+    # session runs UTC so the intermediate timestamp cast is lossless
+    hours = (
+        F.col("valid_to").cast("timestamp").cast("double")
+        - F.col("valid_from").cast("timestamp").cast("double")
+    ) / 3600.0
+    return (
+        hist.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("is_current").cast("int")).alias("n_current"),
+            F.round(F.avg(hours), 4).alias("avg_hours_valid"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("version")
     )

@@ -243,3 +243,74 @@ def test_dim_decorate_column_condition_with_payload(spark):
         fact, dim, on=fact["dim_key"] == dim["k"], payload={"name": "label"}
     )
     assert out.collect()[0]["label"] == "x"
+
+
+def test_range_join_buckets_equals_theta_join(spark):
+    """Bucketed range join must equal the naive theta join, including
+    boundary semantics (start inclusive, end exclusive) and intervals
+    spanning multiple buckets / ending exactly on a bucket edge."""
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    left = spark.createDataFrame(
+        [(i, f"2024-01-0{d} {h:02d}:00:00") for i, (d, h) in enumerate(
+            [(1, 0), (1, 12), (2, 0), (2, 23), (3, 0), (4, 5), (5, 0)]
+        )],
+        "id long, ts_s string",
+    ).selectExpr("id", "cast(ts_s as timestamp) as ts")
+    iv = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 06:00:00", "2024-01-02 06:00:00"),  # spans 2 buckets
+            ("b", "2024-01-02 00:00:00", "2024-01-03 00:00:00"),  # ends on edge
+            ("c", "2024-01-04 00:00:00", "2024-01-04 06:00:00"),  # sub-bucket
+        ],
+        "name string, s_s string, e_s string",
+    ).selectExpr(
+        "name", "cast(s_s as timestamp) as start", "cast(e_s as timestamp) as end"
+    )
+    got = {
+        (r["id"], r["name"])
+        for r in range_join_buckets(
+            left, iv, ts_col="ts", start_col="start", end_col="end"
+        ).collect()
+    }
+    naive = {
+        (l["id"], r["name"])
+        for l in left.collect()
+        for r in iv.collect()
+        if r["start"] <= l["ts"] < r["end"]
+    }
+    assert got == naive
+    # boundary specifics: id=2 (01-02 00:00) in a AND b; id=4 (03 00:00)
+    # NOT in b (end exclusive); id=5 (04 05:00) in c
+    assert (2, "a") in got and (2, "b") in got
+    assert all(n != "b" for i, n in got if i == 4)
+    assert (5, "c") in got
+
+
+def test_scd2_versions_and_validity(spark):
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        scd2_from_changes,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "a"),
+            (1, 11, "2024-01-02 00:00:00", "b"),
+            (1, 12, "2024-01-02 00:00:00", "c"),  # same ts: id tiebreak
+            (2, 13, "2024-01-05 00:00:00", "z"),
+        ],
+        "user_id long, event_id long, ts_s string, value string",
+    ).selectExpr("user_id", "event_id", "cast(ts_s as timestamp) as ts", "value")
+    hist = {
+        (r["user_id"], r["version"]): r
+        for r in scd2_from_changes(
+            df, keys=["user_id"], attrs=["value"], tiebreakers=["event_id"]
+        ).collect()
+    }
+    assert hist[(1, 1)]["value"] == "a" and not hist[(1, 1)]["is_current"]
+    # tie at 01-02: event 11 -> v2 (closed instantly), event 12 -> v3 current
+    assert hist[(1, 2)]["value"] == "b" and hist[(1, 2)]["valid_to"] == hist[(1, 3)]["valid_from"]
+    assert hist[(1, 3)]["value"] == "c" and hist[(1, 3)]["is_current"]
+    assert hist[(2, 1)]["is_current"] and hist[(2, 1)]["valid_to"] is None
