@@ -64,6 +64,32 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
     return word_shingles_of(tokens(col), k)
 
 
+def bigrams_of(toks: Column) -> Column:
+    """All adjacent token pairs (NON-distinct, unlike the shingle
+    helpers — repetition analysis needs the duplicates). Fewer than two
+    tokens yields an empty array. Same hot-path contract as
+    :func:`word_shingles_of`: pass a materialized token array."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_fraction(arr: Column) -> Column:
+    """1 - distinct/total over an array — the Gopher-style repetition
+    signal (0 for empty arrays). High values mean boilerplate or
+    degenerate generation loops."""
+    return F.when(
+        F.size(arr) > 0,
+        1.0 - F.size(F.array_distinct(arr)) / F.size(arr),
+    ).otherwise(F.lit(0.0))
+
+
 def char_shingles_of(norm: Column, k: int = 5) -> Column:
     """k-char shingles over an already-materialized normalized-text
     column (same hot-path rationale as :func:`word_shingles_of` — the

@@ -243,3 +243,88 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _mg_merge(counters: dict[str, int], batch_counts, k: int) -> dict[str, int]:
+    """Merge a batch's exact counts into a Misra-Gries summary capped at
+    ``k`` counters. Standard mergeable-summary step (Agarwal et al.,
+    "Mergeable Summaries"): add, then subtract the (k+1)-th largest
+    count from everything and drop the non-positives. Preserves the MG
+    guarantee: any item whose true count in the merged stream exceeds
+    (stream length)/k survives."""
+    for term, cnt in batch_counts.items():
+        counters[term] = counters.get(term, 0) + int(cnt)
+    if len(counters) > k:
+        kth = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - kth for t, c in counters.items() if c > kth}
+    return counters
+
+
+def heavy_hitter_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    phi: float = 0.005,
+    scale: int = 6,
+) -> DataFrame:
+    """EXACT heavy hitters: every term with frequency > ``phi`` of all
+    token occurrences, with its exact count — in two passes over the
+    corpus, never shuffling the long-tail vocabulary.
+
+    Pass 1 (one scan, mapInPandas): each partition emits (a) a
+    Misra-Gries candidate summary with k = ceil(1/phi) counters and
+    (b) its token count. The union of per-partition MG survivor sets is
+    a SUPERSET of the true heavy hitters (if a term's global count
+    exceeds n/k it must exceed n_p/k on some partition, where MG keeps
+    it), so no true heavy hitter is lost. Pass 2: exact recount of
+    candidates only — the broadcast semi-join drops the tail BEFORE the
+    shuffle, so the aggregate carries at most ~k·num_partitions terms
+    regardless of vocabulary size. The naive groupBy-everything plan
+    shuffles the full vocabulary (billions of (term, count) partials at
+    100 TB); this shape keeps the shuffle O(candidates).
+
+    False positives cost nothing: the final filter compares exact
+    counts against the exact total, so the result equals the naive
+    plan's row-for-row (the DuckDB oracle states the naive form).
+    """
+    import math
+
+    import pandas as pd
+
+    k = int(math.ceil(1.0 / phi))
+    toks = docs.select(F.explode(tokens(text_col)).alias("term"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        n_local = 0
+        for pdf in batches:
+            n_local += len(pdf)
+            counters = _mg_merge(counters, pdf["term"].value_counts(), k)
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "n_local": [0] * len(counters) + [n_local],
+            }
+        )
+
+    summary = toks.mapInPandas(mg_partition, "term string, n_local long")
+    # cache: candidates and the total are both tiny projections of the
+    # same pass-1 output; without it the MG scan would run twice
+    summary = summary.persist()
+    candidates = summary.filter(F.col("term").isNotNull()).select("term").distinct()
+    total = summary.agg(F.sum("n_local").alias("__n"))
+
+    counts = (
+        toks.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("occurrences") > F.lit(phi) * F.col("__n"))
+        .select(
+            "term",
+            "occurrences",
+            F.round(F.col("occurrences") / F.col("__n"), scale).alias("freq"),
+        )
+        .orderBy(F.desc("occurrences"), "term")
+    )

@@ -771,3 +771,89 @@ def q36_event_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("num_rows"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q71_doc_repetition_quality",
+    sql=f"""
+    WITH per_doc AS (
+        SELECT source,
+               CASE WHEN len(t) > 0
+                    THEN 1.0 - len(list_distinct(t)) / len(t)
+                    ELSE 0.0 END AS dup_token_frac,
+               CASE WHEN len(b) > 0
+                    THEN 1.0 - len(list_distinct(b)) / len(b)
+                    ELSE 0.0 END AS dup_bigram_frac
+        FROM (
+            SELECT source, t,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+            FROM (SELECT source, {_TOKS_SQL} AS t FROM documents)
+        )
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(dup_token_frac), 6) AS avg_dup_token_frac,
+           round(avg(dup_bigram_frac), 6) AS avg_dup_bigram_frac,
+           round(max(dup_bigram_frac), 6) AS max_dup_bigram_frac
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q71_doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per source: duplicate-token and
+    duplicate-bigram fractions (boilerplate / degenerate-loop
+    detectors). Pure array expressions — tokens and bigrams never
+    explode into rows, so the only shuffle is the final per-source
+    aggregate; everything else is embarrassingly parallel codegen."""
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        bigrams_of,
+        repetition_fraction,
+        tokens,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    per_doc = cat.documents.select(
+        "source", tokens("text").alias("t")
+    ).select(
+        "source",
+        repetition_fraction(F.col("t")).alias("dup_token_frac"),
+        repetition_fraction(bigrams_of(F.col("t"))).alias("dup_bigram_frac"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_token_frac"), 6).alias("avg_dup_token_frac"),
+            F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+            F.round(F.max("dup_bigram_frac"), 6).alias("max_dup_bigram_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q72_heavy_hitter_terms",
+    sql=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks),
+    counts AS (SELECT term, count(*) AS occurrences FROM toks GROUP BY term)
+    SELECT term, occurrences,
+           round(occurrences / n, 6) AS freq
+    FROM counts, tot
+    WHERE occurrences > 0.005 * n
+    ORDER BY occurrences DESC, term
+    """,
+)
+def q72_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (freq > 0.5%) via the two-pass
+    Misra-Gries plan (operators.ranking.heavy_hitter_terms): pass 1
+    generates a candidate superset per partition without shuffling the
+    vocabulary tail, pass 2 recounts candidates exactly. The oracle is
+    the naive count-everything form — results must be identical."""
+    from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
+        heavy_hitter_terms,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    return heavy_hitter_terms(cat.documents, phi=0.005)

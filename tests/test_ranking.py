@@ -167,3 +167,60 @@ def test_pmi_min_df_prunes_before_expansion(spark):
         (r["t1"], r["t2"]) for r in pmi_pairs(corpus, min_df=2, k=100).collect()
     }
     assert got == {("a", "b")}
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    """MG candidate generation + exact recount must equal brute force on
+    a zipf-ish corpus where the tail is much larger than 1/phi — the
+    regime the two-pass plan exists for."""
+    from collections import Counter
+
+    from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
+        heavy_hitter_terms,
+    )
+
+    # 3 hot terms + 400 singleton tail terms, spread over several docs
+    words = (
+        ["hot"] * 300 + ["warm"] * 120 + ["mild"] * 60 + [f"t{i}" for i in range(400)]
+    )
+    docs = [
+        (i, " ".join(words[i * 88 : (i + 1) * 88])) for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    phi = 0.05  # k=20 counters << 403 distinct terms
+    got = {
+        (r["term"], r["occurrences"])
+        for r in heavy_hitter_terms(df, phi=phi).collect()
+    }
+    cnt = Counter(words)
+    n = len(words)
+    want = {(t, c) for t, c in cnt.items() if c > phi * n}
+    assert got == want and len(want) >= 2
+
+
+def test_bigrams_and_repetition_fraction_edges(spark):
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        bigrams_of,
+        repetition_fraction,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "solo"), (3, ""), (4, "x y z")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            bigrams_of(tokens("text")).alias("b"),
+            F.round(repetition_fraction(bigrams_of(tokens("text"))), 6).alias("rep"),
+        ).collect()
+    }
+    # "a b a b a" -> [a b, b a, a b, b a]: 4 bigrams, 2 distinct
+    assert rows[1]["b"] == ["a b", "b a", "a b", "b a"] and rows[1]["rep"] == 0.5
+    assert rows[2]["b"] == [] and rows[2]["rep"] == 0.0  # 1 token: no bigrams
+    assert rows[3]["b"] == [] and rows[3]["rep"] == 0.0  # empty text
+    assert rows[4]["rep"] == 0.0  # all distinct
