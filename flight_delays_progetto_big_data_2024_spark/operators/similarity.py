@@ -273,3 +273,50 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def label_centroid_cohesion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-label centroid cohesion: the mean and minimum cosine of each
+    member to its label's centroid (the standard cluster-quality /
+    embedding-drift diagnostic).
+
+    Plan shape for 100 TB: the vector column is positionally exploded
+    ONCE into (id, label, pos, val); centroids are a hash aggregate on
+    (label, pos) — fully parallel, no per-label collect; member-centroid
+    dot products re-join on (label, pos), so the shuffle key always
+    carries the dimension index and no executor ever holds more than a
+    slice of any vector. No crossJoin, no driver-side matrix."""
+    exploded = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(as_double_array(vec_col)).alias("pos", "val"),
+    )
+    cent = exploded.groupBy(label_col, "pos").agg(F.avg("val").alias("cval"))
+    per_member = (
+        exploded.join(cent, [label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("member_norm"),
+        )
+    )
+    cent_norm = cent.groupBy(label_col).agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("centroid_norm")
+    )
+    cos = F.col("dot") / (F.col("member_norm") * F.col("centroid_norm"))
+    return (
+        per_member.join(cent_norm, label_col)
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(cos), scale).alias("avg_cosine"),
+            F.round(F.min(cos), scale).alias("min_cosine"),
+        )
+        .orderBy(label_col)
+    )

@@ -857,3 +857,121 @@ def q72_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     return heavy_hitter_terms(cat.documents, phi=0.005)
+
+
+@register(
+    "q73_label_centroid_cohesion",
+    sql="""
+    WITH e AS (
+        SELECT vec_id, label,
+               unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    cent AS (SELECT label, pos, avg(val) AS cval FROM e GROUP BY label, pos),
+    pm AS (
+        SELECT e.vec_id, e.label,
+               sum(e.val * c.cval) AS dot,
+               sqrt(sum(e.val * e.val)) AS member_norm
+        FROM e JOIN cent c USING (label, pos)
+        GROUP BY e.vec_id, e.label
+    ),
+    cn AS (SELECT label, sqrt(sum(cval * cval)) AS centroid_norm
+           FROM cent GROUP BY label)
+    SELECT pm.label AS label,
+           count(*) AS n_members,
+           round(avg(dot / (member_norm * centroid_norm)), 6) AS avg_cosine,
+           round(min(dot / (member_norm * centroid_norm)), 6) AS min_cosine
+    FROM pm JOIN cn USING (label)
+    GROUP BY pm.label ORDER BY label
+    """,
+)
+def q73_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cohesion per embedding label: mean/min cosine of members
+    to their label centroid, computed by positional explode + (label,
+    pos) aggregation (operators.similarity.label_centroid_cohesion) —
+    no crossJoin, no driver-side matrix, shuffle keyed on the dimension
+    index."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        label_centroid_cohesion,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    return label_centroid_cohesion(cat.embeddings)
+
+
+@register(
+    "q74_quality_percentile_curation",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               {_TOKS_SQL} AS toks,
+               len(text) AS n,
+               len(text) - len(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
+                         / len(toks) END AS atl,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks))::DOUBLE / len(toks) END AS diversity,
+               CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS pr
+        FROM base
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE round(0.6 * diversity
+                               + 0.4 * (CASE WHEN atl >= 3.0 AND atl <= 8.0
+                                             THEN 1.0 ELSE 0.5 END)
+                               - pr, 6) END AS quality
+        FROM m
+    ),
+    ranked AS (
+        SELECT lang, quality,
+               percent_rank() OVER (
+                   PARTITION BY lang ORDER BY quality, doc_id
+               ) AS prk
+        FROM scored
+    )
+    SELECT lang,
+           count(*) AS n_kept,
+           round(min(quality), 6) AS cutoff_quality,
+           round(avg(quality), 6) AS avg_kept_quality
+    FROM ranked WHERE prk >= 0.25
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q74_quality_percentile_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-threshold curation: drop the bottom quartile of docs BY
+    LANGUAGE (absolute cutoffs over-prune low-resource languages). The
+    percent_rank window ranks the already-rounded quality score with
+    doc_id as total-order tiebreak, so the kept set is deterministic
+    and engine-portable. Partitioned by lang — each language ranks in
+    parallel; no global sort."""
+    from pyspark.sql.window import Window
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        quality_score,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    scored = cat.documents.select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    kept = scored.withColumn("prk", F.percent_rank().over(w)).filter(
+        F.col("prk") >= 0.25
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("quality"), 6).alias("cutoff_quality"),
+            F.round(F.avg("quality"), 6).alias("avg_kept_quality"),
+        )
+        .orderBy("lang")
+    )

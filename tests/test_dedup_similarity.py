@@ -202,3 +202,29 @@ def test_embedding_near_dup_pairs_planted(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, 0.95).collect()}
     assert got == {(1, 2)}
+
+
+def test_label_centroid_cohesion_golden(spark):
+    """Hand-computable fixture: label 0 has two opposite-ish vectors,
+    label 1 has two identical vectors (cohesion exactly 1)."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        label_centroid_cohesion,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [2.0, 2.0], 1),
+            (4, [2.0, 2.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = {r["label"]: r for r in label_centroid_cohesion(df).collect()}
+    # label 0 centroid (.5,.5): cos of each member = .5/(1*sqrt(.5)) = 1/sqrt(2)
+    import math
+
+    want = round(1 / math.sqrt(2), 6)
+    assert rows[0]["n_members"] == 2
+    assert rows[0]["avg_cosine"] == want and rows[0]["min_cosine"] == want
+    assert rows[1]["avg_cosine"] == 1.0 and rows[1]["min_cosine"] == 1.0
