@@ -24,6 +24,7 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
     lexical_diversity,
     quality_score,
     token_count,
+    tokens,
 )
 from flight_delays_progetto_big_data_2024_spark.operators.curation import (
     curation_funnel,
@@ -974,4 +975,168 @@ def q74_quality_percentile_curation(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.avg("quality"), 6).alias("avg_kept_quality"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "q75_token_length_histogram",
+    sql=f"""
+    WITH counted AS (
+        SELECT source, len({_TOKS_SQL}) AS n_tokens FROM documents
+    )
+    SELECT source,
+           CASE WHEN n_tokens = 0 THEN -1
+                ELSE CAST(floor(log2(n_tokens)) AS INTEGER) END AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM counted
+    GROUP BY source, log2_bucket
+    ORDER BY source, log2_bucket
+    """,
+)
+def q75_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (log2 buckets) per source — the
+    standard pre-packing diagnostic (how much of the corpus fits a
+    context window; feeds q64's packing-budget choice). Empty docs get
+    bucket -1. Pure expressions + one aggregate."""
+    cat = Catalog(spark, sf_dir)
+    n = token_count("text")
+    return (
+        cat.documents.select(
+            "source",
+            F.when(n == 0, F.lit(-1))
+            .otherwise(F.floor(F.log2(n)).cast("int"))
+            .alias("log2_bucket"),
+            n.cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source", "log2_bucket")
+    )
+
+
+@register(
+    "q76_top_terms_per_source",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    counts AS (
+        SELECT source, term, count(*) AS occurrences
+        FROM toks GROUP BY source, term
+    )
+    SELECT source, term, occurrences, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY occurrences DESC, term
+        ) AS rnk FROM counts
+    ) WHERE rnk <= 3
+    ORDER BY source, rank
+    """,
+)
+def q76_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per source: explode → two-key hash aggregate (map-side
+    combine carries (source, term) partials) → windowed top-k
+    partitioned by source. The window input is one row per DISTINCT
+    (source, term) — vocabulary-sized, not corpus-sized."""
+    from flight_delays_progetto_big_data_2024_spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat.documents.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    return top_k_per_group(
+        counts, ["source"], [F.desc("occurrences"), F.col("term")], 3
+    ).orderBy("source", "rank")
+
+
+@register(
+    "q77_embedding_quantization_error",
+    sql="""
+    WITH q AS (
+        SELECT vec_id, label,
+               embedding::DOUBLE[] AS v,
+               list_min(embedding::DOUBLE[]) AS lo,
+               list_max(embedding::DOUBLE[]) AS hi
+        FROM embeddings
+    ),
+    err AS (
+        SELECT vec_id, label,
+               CASE WHEN hi > lo THEN
+                   list_aggregate(
+                       list_transform(v, x ->
+                           pow(x - (lo + round((x - lo) / ((hi - lo) / 255.0))
+                                    * ((hi - lo) / 255.0)), 2)),
+                       'sum') / len(v)
+               ELSE 0.0 END AS mse
+        FROM q
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(mse) * 1e6, 4) AS avg_mse_ppm,
+           round(max(mse) * 1e6, 4) AS max_mse_ppm
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def q77_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization diagnostic: per-vector min/max range
+    mapped to 256 levels, reconstruction MSE aggregated per label (the
+    go/no-go check before shipping a quantized ANN index). All
+    higher-order array expressions over the vector column — the
+    quantize-reconstruct round trip never leaves the JVM and the only
+    shuffle is the per-label rollup."""
+    from flight_delays_progetto_big_data_2024_spark.functions.vectors import (
+        as_double_array,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    v = as_double_array("embedding")
+    lo, hi = F.array_min(v), F.array_max(v)
+    step = (hi - lo) / 255.0
+    q = cat.embeddings.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        step.alias("step"),
+    )
+    recon_err = F.aggregate(
+        F.transform(
+            F.col("v"),
+            lambda x: F.pow(
+                x
+                - (
+                    F.col("lo")
+                    + F.round((x - F.col("lo")) / F.col("step")) * F.col("step")
+                ),
+                F.lit(2.0),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("v")
+    err = q.select(
+        "label",
+        F.when(F.col("hi") > F.col("lo"), recon_err).otherwise(F.lit(0.0)).alias(
+            "mse"
+        ),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("mse") * 1e6, 4).alias("avg_mse_ppm"),
+            F.round(F.max("mse") * 1e6, 4).alias("max_mse_ppm"),
+        )
+        .orderBy("label")
     )
