@@ -344,3 +344,104 @@ def test_extract_features_array_output_and_null_skip(spark):
     # aspect preserved: long side becomes 32, short side scales down
     assert max(r["out_width"], r["out_height"]) == 32
     assert r["out_width"] * r["height"] // r["width"] <= r["out_height"] + 1
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (purchases within 1h after a click,
+    same user) under availableNow must equal the batch equi+range join
+    on the same files."""
+    from flight_delays_progetto_big_data_2024_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    src = tmp_path / "ssj_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+    raw_schema = spark.read.parquet(str(src / "part-000.parquet")).schema
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return clicks, buys
+
+    stream = read_event_stream(spark, str(src), raw_schema)
+    sc, sb = split(stream)
+    sb = sb.withColumnRenamed("user_id_r", "user_id")
+    # disjoint-named key columns: interval join needs ONE shared key name
+    joined = stream_interval_join(
+        sc, sb, key="user_id", left_ts="click_ts", right_ts="buy_ts"
+    )
+    q = (
+        joined.select("click_id", "buy_id")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+    bc, bb = split(Catalog(spark, sf_dir).events)
+    want = {
+        (r["click_id"], r["buy_id"])
+        for r in bc.join(
+            bb,
+            (F.col("user_id") == F.col("user_id_r"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered events (same event_id, later arrival inside the
+    horizon) must be dropped; the first delivery survives."""
+    from flight_delays_progetto_big_data_2024_spark.streaming.joins import (
+        stream_dedup,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 10:05:00", 2.0),
+        (1, "2024-01-01 10:20:00", 99.0),  # redelivery of event 1
+        (3, "2024-01-01 11:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, value double"
+    ).selectExpr("event_id", "cast(ts_s as timestamp) as ts", "value")
+    df.coalesce(1).write.parquet(str(src / "b0"))
+
+    schema = spark.read.parquet(str(src / "b0")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "b0"))
+    deduped = stream_dedup(stream, ["event_id"], watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.sql("SELECT * FROM dedup_test").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == 1.0  # first delivery won, redelivery dropped
