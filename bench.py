@@ -39,6 +39,8 @@ HEADLINE = [
     "q43_purchase_asof_last_click",
     "q44_embedding_ivf_topk",
     "q59_tfidf_top_terms",
+    "q69_promo_window_shipments",
+    "q72_heavy_hitter_terms",
 ]
 
 

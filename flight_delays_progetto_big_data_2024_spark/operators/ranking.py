@@ -294,11 +294,19 @@ def heavy_hitter_terms(
     toks = docs.select(F.explode(tokens(text_col)).alias("term"))
 
     def mg_partition(batches):
+        # input is one TOKEN ARRAY per document (tokenized JVM-side):
+        # Arrow moves O(docs) rows, not O(tokens) — same bytes, a
+        # fraction of the per-row transfer overhead
+        from collections import Counter
+
         counters: dict[str, int] = {}
         n_local = 0
         for pdf in batches:
-            n_local += len(pdf)
-            counters = _mg_merge(counters, pdf["term"].value_counts(), k)
+            batch_counts: Counter = Counter()
+            for arr in pdf["toks"]:
+                batch_counts.update(arr)
+            n_local += sum(batch_counts.values())
+            counters = _mg_merge(counters, batch_counts, k)
         yield pd.DataFrame(
             {
                 "term": list(counters.keys()) + [None],
@@ -306,7 +314,8 @@ def heavy_hitter_terms(
             }
         )
 
-    summary = toks.mapInPandas(mg_partition, "term string, n_local long")
+    doc_tokens = docs.select(tokens(text_col).alias("toks"))
+    summary = doc_tokens.mapInPandas(mg_partition, "term string, n_local long")
     # cache: candidates and the total are both tiny projections of the
     # same pass-1 output; without it the MG scan would run twice
     summary = summary.persist()

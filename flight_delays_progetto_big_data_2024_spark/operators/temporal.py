@@ -61,6 +61,7 @@ def range_join_buckets(
     start_col: str = "start",
     end_col: str = "end",
     bucket_seconds: int = 86400,
+    broadcast_intervals: bool = False,
 ) -> DataFrame:
     """Interval containment join (``start <= ts < end``, no equi key)
     without the nested-loop blow-up: both sides are mapped to
@@ -76,6 +77,11 @@ def range_join_buckets(
     bucket near the typical interval length. Works with BOTH sides
     arbitrarily large (shuffle hash join on the bucket), which the
     broadcast-nested-loop fallback for raw theta joins does not.
+
+    Pass ``broadcast_intervals=True`` when the interval side is known
+    small: intervals produced by an aggregation have no size estimate,
+    so without the hint Catalyst may build the hash table from the
+    EVENT side — exactly wrong at scale.
     """
     width = F.lit(bucket_seconds).cast("long")
     lb = left.withColumn(
@@ -92,6 +98,8 @@ def range_join_buckets(
             )
         ),
     )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
     return (
         lb.join(iv, "__bucket")
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))

@@ -278,6 +278,7 @@ def q69_promo_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="w_start",
         end_col="w_end",
         bucket_seconds=86400,
+        broadcast_intervals=True,
     )
     return (
         matched.groupBy(
