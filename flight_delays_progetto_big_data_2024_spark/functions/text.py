@@ -34,6 +34,20 @@ def tokens(col: str | Column) -> Column:
     return F.array_remove(F.split(F.trim(_c(col)), r"\s+"), "")
 
 
+#: GPT-2-style pretokenization, restricted to RE2-compatible syntax (no
+#: lookaheads) so Spark's Java regex and DuckDB produce identical splits:
+#: contraction suffixes, space-prefixed letter runs, space-prefixed digit
+#: runs, space-prefixed punctuation runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_ish_tokens(col: str | Column) -> Column:
+    """Subword-style pretokens (the unit LLM tokenizers count, vs the
+    whitespace words of :func:`tokens`): the token-budget estimator for
+    packing/pricing when the real BPE vocab isn't in the pipeline."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
 def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
@@ -105,6 +119,39 @@ def char_shingles_of(norm: Column, k: int = 5) -> Column:
 def char_shingles(col: str | Column, k: int = 5) -> Column:
     """Distinct k-character shingles over the normalized text."""
     return char_shingles_of(normalize_text(col), k)
+
+
+def kgram_hashes_of(norm: Column, k: int = 5) -> Column:
+    """Positional k-gram hash sequence over normalized text: the first 8
+    md5 hex chars of each k-char gram (NON-distinct, order-preserving —
+    winnowing needs the sequence). Hex strings compare identically in
+    every engine, so min-selection is portable without a hex→int cast.
+    Texts shorter than k collapse to a single whole-text hash."""
+    return F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+            lambda i: F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8),
+        ),
+    ).otherwise(F.array(F.substring(F.md5(norm), 1, 8)))
+
+
+def winnow_of(hashes: Column, w: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD 2003) over a materialized
+    hash-sequence column: the distinct set of per-window minima for
+    windows of ``w`` consecutive k-gram hashes. Guarantees every match
+    of length >= w+k-1 chars shares a fingerprint, while keeping ~2/(w+1)
+    of the hashes. Sequences shorter than ``w`` yield their single
+    minimum."""
+    return F.when(
+        F.size(hashes) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+                lambda j: F.array_min(F.slice(hashes, j, w)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
 
 
 #: shingle fn → (base materializer, shingler-over-base); lets operators

@@ -30,6 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flight_delays_progetto_big_data_2024_spark.functions.text import (
     SHINGLE_PREP,
@@ -601,4 +602,58 @@ def simhash_near_dups(
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD 2003): one row per distinct
+    ``(id, fingerprint)``, where fingerprints are the minima of sliding
+    ``w``-windows over the k-gram hash sequence. Guarantees any shared
+    substring of >= w+k-1 chars yields a shared fingerprint at ~2/(w+1)
+    the density of full k-gram hashing.
+
+    Implementation is ROW-based on purpose: posexplode the hash
+    sequence, sliding ``min`` window per document, distinct. The pure
+    array-expression form (functions.text.winnow_of) fuses into one
+    giant codegen unit whose compilation degenerates when combined with
+    downstream multi-aggregates; exploded rows keep every generated
+    function small, and the window/distinct shuffles are keyed by
+    document — fully parallel at any corpus size.
+    """
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        kgram_hashes_of,
+        normalize_text,
+    )
+
+    # normalized text materialized alone: inlined, the normalization
+    # regex re-runs once per gram inside the transform lambda
+    normed = docs.select(
+        id_col, *extra_cols, normalize_text(text_col).alias("__nm")
+    )
+    hashed = normed.select(
+        id_col, *extra_cols, kgram_hashes_of(F.col("__nm"), k).alias("__h")
+    )
+    he = hashed.select(
+        id_col,
+        *extra_cols,
+        F.size("__h").alias("__n"),
+        F.posexplode("__h").alias("__j", "__hv"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__j")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        he.withColumn("__wmin", F.min("__hv").over(win))
+        .filter(F.col("__j") <= F.greatest(F.col("__n") - w, F.lit(0)))
+        .select(id_col, *extra_cols, F.col("__wmin").alias("fingerprint"))
+        .distinct()
     )

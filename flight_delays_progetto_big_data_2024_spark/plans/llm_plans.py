@@ -1140,3 +1140,111 @@ def q77_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q78_bpe_ish_token_budget",
+    sql=f"""
+    WITH per_doc AS (
+        SELECT source,
+               len({_TOKS_SQL}) AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+               )) AS bpe_tokens
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           round(sum(bpe_tokens) / nullif(sum(ws_tokens), 0), 6) AS fertility
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q78_bpe_ish_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimate per source: whitespace words vs BPE-ish
+    pretokens (functions.text.bpe_ish_tokens — the RE2-compatible
+    GPT-2-style split) and the fertility ratio between them. Both
+    tokenizations are single regex expressions in codegen; one
+    aggregate shuffle."""
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        bpe_ish_tokens,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    per_doc = cat.documents.select(
+        "source",
+        token_count("text").cast("long").alias("ws_tokens"),
+        F.size(bpe_ish_tokens("text")).cast("long").alias("bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("bpe_tokens")
+                / F.nullif(F.sum("ws_tokens"), F.lit(0)),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q79_winnowing_fingerprints",
+    sql=f"""
+    WITH base AS (SELECT doc_id, source, {_NORM_SQL} AS nm FROM documents),
+    g AS (
+        SELECT doc_id, source,
+               CASE WHEN len(nm) >= 5
+                    THEN list_transform(range(1, len(nm) - 3),
+                                        i -> substr(md5(nm[i:i+4]), 1, 8))
+                    ELSE [substr(md5(nm), 1, 8)] END AS h
+        FROM base
+    ),
+    fp AS (
+        SELECT doc_id, source,
+               CASE WHEN len(h) >= 4
+                    THEN list_distinct(list_transform(range(1, len(h) - 2),
+                                       j -> list_aggregate(h[j:j+3], 'min')))
+                    ELSE [list_aggregate(h, 'min')] END AS fps
+        FROM g
+    ),
+    stats AS (
+        SELECT source, count(*) AS n_docs,
+               round(avg(len(fps)), 4) AS avg_fingerprints
+        FROM fp GROUP BY source
+    ),
+    dist AS (
+        SELECT source, CAST(count(DISTINCT fpp) AS BIGINT) AS distinct_fingerprints
+        FROM (SELECT source, unnest(fps) AS fpp FROM fp) GROUP BY source
+    )
+    SELECT source, n_docs, avg_fingerprints, distinct_fingerprints
+    FROM stats JOIN dist USING (source)
+    ORDER BY source
+    """,
+)
+def q79_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.: rolling k-gram
+    hashes, sliding-window minima) — the plagiarism/containment-grade
+    fingerprint at ~2/(w+1) the density of full k-gram hashing.
+    Row-based implementation (operators.dedup.winnowing_fingerprints);
+    the oracle states the array form — results must be identical."""
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    fps = winnowing_fingerprints(cat.documents, extra_cols=["source"])
+    return (
+        fps.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(
+                F.count(F.lit(1)) / F.countDistinct("doc_id"), 4
+            ).alias("avg_fingerprints"),
+            F.countDistinct("fingerprint").alias("distinct_fingerprints"),
+        )
+        .orderBy("source")
+    )

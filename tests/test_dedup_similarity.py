@@ -228,3 +228,51 @@ def test_label_centroid_cohesion_golden(spark):
     assert rows[0]["n_members"] == 2
     assert rows[0]["avg_cosine"] == want and rows[0]["min_cosine"] == want
     assert rows[1]["avg_cosine"] == 1.0 and rows[1]["min_cosine"] == 1.0
+
+
+def test_winnowing_row_form_equals_array_form(spark):
+    """The row-based operator and the array-expression form must produce
+    identical fingerprint sets (incl. short-text fallbacks), and two
+    docs sharing a long substring must share a fingerprint."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        kgram_hashes_of,
+        normalize_text,
+        winnow_of,
+    )
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro text {shared} outro one"),
+            (2, f"completely different {shared} ending here"),
+            (3, "tiny"),          # shorter than k: whole-text fallback
+            (4, "exact seven"),   # few grams: < w windows
+            (5, "zzz unrelated content qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    arr = {
+        (r["doc_id"], fp)
+        for r in df.select(
+            "doc_id",
+            winnow_of(
+                kgram_hashes_of(normalize_text("text"), 5), 4
+            ).alias("fps"),
+        ).collect()
+        for fp in r["fps"]
+    }
+    rows = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnowing_fingerprints(df).collect()
+    }
+    assert rows == arr
+    fp1 = {f for d, f in rows if d == 1}
+    fp2 = {f for d, f in rows if d == 2}
+    fp5 = {f for d, f in rows if d == 5}
+    assert fp1 & fp2, "docs sharing a 40+ char substring must share a fingerprint"
+    assert not (fp1 & fp5)
