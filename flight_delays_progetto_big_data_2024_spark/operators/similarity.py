@@ -320,3 +320,63 @@ def label_centroid_cohesion(
         )
         .orderBy(label_col)
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means as an iterative DataFrame program, deterministic
+    end to end: seeds are the vectors with ``id_col < k`` (same contract
+    as ivf_topk's centroid choice), assignment ties break on the
+    squared distance ROUNDED to 6 decimals then lowest cluster id (so
+    float association order can't flip an assignment across engines).
+
+    Returns the final assignment ``(id, cluster_id, dist2)`` where
+    ``dist2`` is against the centroids that produced that assignment.
+
+    Scale shape: vectors live positionally exploded as (id, pos, val) —
+    assignment is a broadcast join of the k x dim centroid relation and
+    a (id, cid) hash aggregate (sum of squares), never a crossJoin of
+    vectors; the update step is a (cid, pos) aggregate. Each iteration
+    is 2 shuffles, both keyed and parallel. At petabyte scale persist
+    the exploded relation once and localCheckpoint per iteration to
+    truncate lineage (the graph.pagerank pattern).
+    """
+    from pyspark.sql.window import Window
+
+    e = df.select(
+        F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("pos", "val")
+    )
+    cent = e.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), "pos", F.col("val").alias("cval")
+    )
+    assign = None
+    for i in range(iterations):
+        d2 = (
+            e.join(F.broadcast(cent), "pos")
+            .groupBy(id_col, "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                ).alias("dist2")
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy(F.round("dist2", 6), "cid")
+        assign = (
+            d2.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, F.col("cid").alias("cluster_id"), "dist2")
+        )
+        if i < iterations - 1:
+            cent = (
+                e.join(
+                    assign.select(id_col, F.col("cluster_id").alias("cid")), id_col
+                )
+                .groupBy("cid", "pos")
+                .agg(F.avg("val").alias("cval"))
+            )
+    return assign

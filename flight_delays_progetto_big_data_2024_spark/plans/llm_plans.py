@@ -1248,3 +1248,143 @@ def q79_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q80_kmeans_clusters",
+    sql="""
+    WITH e AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM e WHERE vec_id < 8),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY round(d2, 6), cid
+                   ) AS rn
+            FROM (
+                SELECT e.vec_id, c.cid, sum((e.val - c.cval) ^ 2) AS d2
+                FROM e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid
+            )
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a1.cid, e.pos, avg(e.val) AS cval
+        FROM e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.pos
+    ),
+    a2 AS (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY round(d2, 6), cid
+                   ) AS rn
+            FROM (
+                SELECT e.vec_id, c.cid, sum((e.val - c.cval) ^ 2) AS d2
+                FROM e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid
+            )
+        ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id,
+           count(*) AS n_members,
+           round(avg(d2), 4) AS avg_dist2,
+           round(max(d2), 4) AS max_dist2
+    FROM a2 GROUP BY cid ORDER BY cluster_id
+    """,
+)
+def q80_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8, deterministic lowest-id
+    seeds) as an iterative DataFrame program
+    (operators.similarity.kmeans_lloyd); the oracle unrolls both
+    iterations as CTEs, so cluster membership and distances are
+    value-checked, not just shaped."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    assign = kmeans_lloyd(cat.embeddings, k=8, iterations=2)
+    return (
+        assign.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist2"), 4).alias("avg_dist2"),
+            F.round(F.max("dist2"), 4).alias("max_dist2"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "q81_conversion_funnel",
+    sql="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS first_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.first_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS viewed,
+           (SELECT count(*) FROM c) AS clicked_after_view,
+           (SELECT count(*) FROM p) AS purchased_after_click,
+           round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6)
+               AS view_to_click,
+           round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 6)
+               AS click_to_purchase
+    """,
+)
+def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click after it -> purchase
+    after that) per user, then stage totals + rates. Each stage is one
+    equi-join + min-aggregate on user_id — three co-partitioned
+    shuffles on the same key, no windows over raw events, no
+    driver-side state."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
+    return counts.select(
+        "viewed",
+        "clicked_after_view",
+        "purchased_after_click",
+        F.round(F.col("clicked_after_view") / F.col("viewed"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("purchased_after_click") / F.col("clicked_after_view"), 6
+        ).alias("click_to_purchase"),
+    )

@@ -276,3 +276,25 @@ def test_winnowing_row_form_equals_array_form(spark):
     fp5 = {f for d, f in rows if d == 5}
     assert fp1 & fp2, "docs sharing a 40+ char substring must share a fingerprint"
     assert not (fp1 & fp5)
+
+
+def test_kmeans_lloyd_separates_obvious_clusters(spark):
+    """Two well-separated blobs, seeds one per blob (ids 0,1): every
+    point must land with its blob and assignments must be stable across
+    an extra iteration."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    pts = [
+        (0, [0.0, 0.0]), (2, [0.5, 0.2]), (3, [0.1, 0.4]), (4, [0.3, 0.1]),
+        (1, [10.0, 10.0]), (5, [10.5, 9.8]), (6, [9.7, 10.2]), (7, [10.1, 10.3]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    for iters in (1, 3):
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in kmeans_lloyd(df, k=2, iterations=iters).collect()
+        }
+        assert {got[i] for i in (0, 2, 3, 4)} == {0}
+        assert {got[i] for i in (1, 5, 6, 7)} == {1}
