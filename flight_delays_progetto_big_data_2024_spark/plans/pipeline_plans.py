@@ -198,3 +198,141 @@ def q55_kafka_feed_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+@register(
+    "q82_lineitem_constraint_report",
+    sql="""
+    WITH row_rules AS (
+        SELECT * FROM (
+            SELECT 'quantity_positive' AS rule,
+                   sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS violations,
+                   count(*) AS total
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_in_range',
+                   sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.3) THEN 1 ELSE 0 END),
+                   count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'returnflag_in_set',
+                   sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END),
+                   count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'shipdate_non_null',
+                   sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+                   count(*)
+            FROM lineitem
+        )
+    ),
+    uniq AS (
+        SELECT 'unique_order_line' AS rule,
+               coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS violations,
+               coalesce(sum(n), 0) AS total
+        FROM (SELECT count(*) AS n FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+    )
+    SELECT rule, violations, total, violations = 0 AS pass
+    FROM (SELECT * FROM row_rules UNION ALL SELECT * FROM uniq)
+    ORDER BY rule
+    """,
+)
+def q82_lineitem_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators.quality): four row rules
+    evaluated in ONE aggregation pass (one scan regardless of rule
+    count — the oracle's UNION ALL of four scans states the semantics,
+    not the plan) plus a key-uniqueness check as a map-side-combined
+    groupBy."""
+    from flight_delays_progetto_big_data_2024_spark.operators.quality import (
+        constraint_report,
+        expect_in_range,
+        expect_in_set,
+        expect_non_null,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    return constraint_report(
+        cat.lineitem,
+        rules={
+            "quantity_positive": F.col("l_quantity") > 0,
+            "discount_in_range": expect_in_range("l_discount", 0.0, 0.3),
+            "returnflag_in_set": expect_in_set("l_returnflag", ["A", "N", "R"]),
+            "shipdate_non_null": expect_non_null("l_shipdate"),
+        },
+        unique_keys={"unique_order_line": ["l_orderkey", "l_linenumber"]},
+    ).orderBy("rule")
+
+
+@register(
+    "q83_mergeable_partial_aggregates",
+    sql="""
+    WITH direct AS (
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS total_value,
+               round(avg(value), 6) AS avg_value,
+               round(max(value), 6) AS max_value
+        FROM events GROUP BY event_type
+    )
+    SELECT * FROM direct ORDER BY event_type
+    """,
+)
+def q83_mergeable_partial_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic-aggregate decomposition — the incremental-pipeline
+    identity: per-day PARTIAL aggregates (count/sum/max carry; avg does
+    NOT — it travels as sum+count) merged into the same result as a
+    direct aggregation, which is what the oracle states. This is the
+    contract behind every incremental/backfill job: day partials merge
+    into month rollups without touching raw events again."""
+    cat = Catalog(spark, sf_dir)
+    partials = cat.events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum("value").alias("p_sum"),
+        F.max("value").alias("p_max"),
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("p_n").alias("n"),
+            F.round(F.sum("p_sum"), 4).alias("total_value"),
+            F.round(F.sum("p_sum") / F.sum("p_n"), 6).alias("avg_value"),
+            F.round(F.max("p_max"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q84_user_value_trend",
+    sql="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope_per_day,
+           round(regr_intercept(value, epoch(ts) / 86400.0), 4) AS intercept
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 20
+    ORDER BY user_id
+    """,
+)
+def q84_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time via built-in
+    ``regr_slope``/``regr_intercept`` (Spark >= 3.4) — the
+    'fit-a-line-per-group' task that tempts applyInPandas, done as a
+    plain algebraic aggregate instead: one shuffle, codegen, mergeable
+    partials."""
+    cat = Catalog(spark, sf_dir)
+    x = F.col("ts").cast("timestamp").cast("double") / 86400.0
+    return (
+        cat.events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        )
+        .filter(F.col("n_events") >= 20)
+        .orderBy("user_id")
+    )

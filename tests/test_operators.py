@@ -243,3 +243,40 @@ def test_pivot_table_static_values_and_renames(spark):
     assert set(wide.columns) == {"k", "x", "y", "zed"}
     assert rows["a"]["x"] == 5 and rows["a"]["y"] == 2 and rows["a"]["zed"] is None
     assert rows["b"]["x"] == 3 and rows["b"]["y"] is None
+
+
+def test_constraint_report_counts_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.operators.quality import (
+        constraint_report,
+        expect_in_range,
+        expect_non_null,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 5.0), (1, 2, -1.0),      # range violation
+            (2, 1, None), (2, 1, 3.0),      # null violation + dup key
+            (3, 1, 2.0),
+        ],
+        "k long, line int, v double",
+    )
+    rep = {
+        r["rule"]: r
+        for r in constraint_report(
+            df,
+            rules={
+                "v_non_null": expect_non_null("v"),
+                "v_in_range": expect_in_range("v", 0.0, 10.0),
+            },
+            unique_keys={"unique_k_line": ["k", "line"]},
+        ).collect()
+    }
+    assert rep["v_non_null"]["violations"] == 1 and not rep["v_non_null"]["pass"]
+    # NULL v fails the range predicate too (NOT(between)=null -> counted
+    # via when(~cond).otherwise(0)? NO: ~null is null -> otherwise(0)).
+    # Only the explicit -1.0 counts.
+    assert rep["v_in_range"]["violations"] == 1
+    assert rep["unique_k_line"]["violations"] == 1 and rep["unique_k_line"]["total"] == 5
+    assert rep["unique_k_line"]["pass"] == False  # noqa: E712
