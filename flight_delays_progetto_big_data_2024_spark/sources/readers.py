@@ -143,3 +143,17 @@ class Catalog:
         """Register every table as a temp view for ``spark.sql`` use."""
         for name in TESTDATA_TABLES:
             self.table(name).createOrReplaceTempView(name)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> DataFrame:
+    """JSON-lines reader with a REQUIRED explicit schema: schemaless
+    ``spark.read.json`` runs a full inference scan first (the S1
+    anti-pattern — SURVEY.md §4.3-1 — at JSONL's 5-10x inflation), and
+    inferred types drift (ints become doubles on the first null). Rows
+    that fail to parse land in ``_corrupt_record``-free PERMISSIVE
+    nulls unless callers opt into FAILFAST via .option upstream."""
+    return spark.read.schema(schema).json(path)

@@ -55,3 +55,21 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines writer — the lingua franca of LLM training-data
+    interchange. One JSON object per line, gzip by default (JSONL is
+    ~5-10x the parquet footprint uncompressed; splittable compression
+    doesn't exist for gzip, so downstream Spark reads get one task per
+    FILE — keep output files ~100-500MB via the upstream partition
+    count, not one giant file)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -280,3 +280,38 @@ def test_constraint_report_counts_planted_violations(spark):
     assert rep["v_in_range"]["violations"] == 1
     assert rep["unique_k_line"]["violations"] == 1 and rep["unique_k_line"]["total"] == 5
     assert rep["unique_k_line"]["pass"] == False  # noqa: E712
+
+
+def test_jsonl_roundtrip_and_mergeschema(spark, sf_dir, tmp_path):
+    """JSONL write/read round-trips values (incl. nulls and arrays);
+    parquet mergeSchema folds files with evolved schemas."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import (
+        read_jsonl,
+    )
+    from flight_delays_progetto_big_data_2024_spark.sources.writers import (
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs.withColumn("tags", F.array(F.lit("a"), F.col("lang"))), out)
+    back = read_jsonl(
+        spark,
+        out,
+        docs.withColumn("tags", F.array(F.lit("a"), F.col("lang"))).schema,
+    )
+    a = {tuple(r) for r in docs.select("doc_id", "text", "lang").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "text", "lang").collect()}
+    assert a == b and back.count() == 50
+    assert back.filter(F.col("tags")[1] == F.col("lang")).count() == 50
+
+    # schema evolution: second file adds a column; mergeSchema unifies
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "x")], "id long, s string").write.parquet(f"{p}/a")
+    spark.createDataFrame([(2, "y", 9.5)], "id long, s string, score double").write.parquet(f"{p}/b")
+    merged = spark.read.option("mergeSchema", True).parquet(f"{p}/a", f"{p}/b")
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(merged.columns) == {"id", "s", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
