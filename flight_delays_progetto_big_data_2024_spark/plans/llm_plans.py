@@ -1388,3 +1388,85 @@ def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchased_after_click") / F.col("clicked_after_view"), 6
         ).alias("click_to_purchase"),
     )
+
+
+@register(
+    "q85_winnowing_containment_pairs",
+    sql=f"""
+    WITH base AS (SELECT doc_id, {_NORM_SQL} AS nm FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(nm) >= 5
+                    THEN list_transform(range(1, len(nm) - 3),
+                                        i -> substr(md5(nm[i:i+4]), 1, 8))
+                    ELSE [substr(md5(nm), 1, 8)] END AS h
+        FROM base
+    ),
+    fp AS (
+        SELECT doc_id, unnest(
+               CASE WHEN len(h) >= 4
+                    THEN list_distinct(list_transform(range(1, len(h) - 2),
+                                       j -> list_aggregate(h[j:j+3], 'min')))
+                    ELSE [list_aggregate(h, 'min')] END) AS fingerprint
+        FROM g
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+                           AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           round(p.shared / least(sa.n_fp, sb.n_fp), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.shared / least(sa.n_fp, sb.n_fp) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q85_winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment candidates from winnowing fingerprints: doc pairs
+    whose shared-fingerprint count covers >= 80% of the smaller doc's
+    fingerprint set (the copy/quote detector — asymmetric, unlike
+    Jaccard, so a short doc embedded in a long one still scores 1.0).
+    Inverted-index self-join on fingerprint (the jaccard_pairs shape):
+    pair candidates are generated per posting list, never by document
+    crossJoin."""
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    fp = winnowing_fingerprints(cat.documents).persist()
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_fp_a", "n_fp_b"), 6),
+        )
+        .filter(F.col("shared") / F.least("n_fp_a", "n_fp_b") >= 0.8)
+        .select("doc_a", "doc_b", "shared", "containment")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -185,3 +185,100 @@ def q68_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q86_densified_daily_series",
+    sql="""
+    WITH bounds AS (
+        SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+        FROM events
+    ),
+    calendar AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events WHERE event_type = 'signup' GROUP BY day
+    )
+    SELECT strftime(c.day, '%Y-%m-%d') AS day,
+           coalesce(d.n, 0) AS num_events,
+           coalesce(d.total_value, 0.0) AS total_value
+    FROM calendar c LEFT JOIN daily d USING (day)
+    ORDER BY day
+    """,
+)
+def q86_densified_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (the calendar-scaffold pattern): days
+    with ZERO signups must appear as explicit 0 rows — a groupBy alone
+    silently drops them, which corrupts downstream moving averages and
+    charts. The scaffold is generated with ``sequence()`` from the
+    min/max bounds (one 1-row subquery), exploded, and left-joined to
+    the aggregate — never a driver-side date loop."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.withColumn("ts", F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("tv"),
+        )
+    )
+    return (
+        calendar.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("num_events"),
+            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q87_referential_integrity",
+    sql="""
+    SELECT
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey)) AS unknown_parts,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+        (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)) AS inactive_customers
+    """,
+)
+def q87_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key health across the star schema via left_anti joins —
+    the join kind the reference never uses (SURVEY.md §2.3 'missing
+    join kinds'). Each anti-join shuffles only its key columns; the
+    four scalar counts cross-join into one row (no collect)."""
+    cat = Catalog(spark, sf_dir)
+
+    def anti_count(left, right, lk, rk, alias):
+        return (
+            left.select(lk)
+            .join(right.select(F.col(rk).alias(lk)), lk, "left_anti")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    return (
+        anti_count(cat.lineitem, cat.orders, "l_orderkey", "o_orderkey", "orphan_lineitems")
+        .crossJoin(anti_count(cat.lineitem, cat.part, "l_partkey", "p_partkey", "unknown_parts"))
+        .crossJoin(anti_count(cat.orders, cat.customer, "o_custkey", "c_custkey", "orphan_orders"))
+        .crossJoin(anti_count(cat.customer, cat.orders, "c_custkey", "o_custkey", "inactive_customers"))
+    )
