@@ -229,3 +229,46 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return (
         verts.join(corner_counts, "id", "left").na.fill(0, ["triangle_count"])
     )
+
+
+def shortest_hops(
+    edges: DataFrame,
+    source: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source BFS: minimum hop count from ``source`` (a 1-row
+    DataFrame with an ``id`` column — kept as a plan, not a collected
+    scalar) to every reachable vertex within ``max_hops``.
+
+    Frontier expansion as iterative joins: each round joins the CURRENT
+    frontier (not the full distance table) to the edge list, anti-joins
+    already-settled vertices, and unions the new layer in. The per-round
+    ``isEmpty`` early-exit is a control-plane action on an
+    already-shrunk frontier — the standard BFS driver loop; data never
+    collects. Frontiers persist for the round they're used and
+    distances localCheckpoint so lineage stays O(1) per round rather
+    than O(rounds²) at replay.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist()
+    dist = source.select(F.col("id"), F.lit(0).alias("hops")).persist()
+    frontier = dist.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["__s"])
+            .select(F.col("__d").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        new_dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt.select("id")
+    e.unpersist()
+    return dist

@@ -136,3 +136,82 @@ def q22_nation_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.select(
         F.col("id").alias("nation"), "in_degree", "out_degree"
     ).orderBy("nation")
+
+
+@register(
+    "q88_nation_shortest_hops",
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    s0 AS (SELECT min(src) AS sid FROM edges),
+    walk(id, hops) AS (
+        SELECT sid, 0 FROM s0
+        UNION
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.id
+        WHERE w.hops < 6
+    )
+    SELECT id, CAST(min(hops) AS INTEGER) AS hops
+    FROM walk GROUP BY id ORDER BY hops, id
+    """,
+)
+def q88_nation_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the nation trade graph (source = lexically
+    first nation, chosen IN-PLAN via a 1-row aggregate — no collected
+    scalar): minimum hops to every reachable nation within 6. The
+    oracle is a recursive CTE; the Spark side is the frontier-join loop
+    (graph.algorithms.shortest_hops)."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        shortest_hops,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    edges = _nation_edges(cat)
+    source = edges.agg(F.min("src").alias("id"))
+    dist = shortest_hops(edges, source, max_hops=6)
+    return dist.select("id", F.col("hops").cast("int").alias("hops")).orderBy(
+        "hops", "id"
+    )
+
+
+@register(
+    "q89_salted_priority_volumes",
+    sql="""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS num_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def q89_salted_priority_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation join in the graded path: lineitem ⋈ orders
+    via operators.skew.salted_join (deterministic partition-id salt on
+    the big side, 8x replicated small side) — byte-identical results to
+    the plain join the oracle states, but a hot orderkey spreads over 8
+    reducers instead of melting one task. The aggregate after it is an
+    ordinary map-combined rollup."""
+    from flight_delays_progetto_big_data_2024_spark.operators.skew import (
+        salted_join,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    joined = salted_join(
+        cat.lineitem.select(
+            F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+        ),
+        cat.orders.select(
+            F.col("o_orderkey").alias("k"), "o_orderpriority"
+        ),
+        on=["k"],
+        n_salt=8,
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("num_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("priority")
+    )

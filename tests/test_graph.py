@@ -150,3 +150,28 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(df, vertices=verts).collect()
     }
     assert got == want
+
+
+def test_shortest_hops_golden_path_graph(spark):
+    """Path a->b->c->d plus a shortcut a->c and an unreachable island:
+    hop counts must be the true minima and the island absent."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        shortest_hops,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    source = spark.createDataFrame([("a",)], "id string")
+    got = {r["id"]: r["hops"] for r in shortest_hops(edges, source).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    # max_hops truncation
+    got2 = {
+        r["id"]: r["hops"]
+        for r in shortest_hops(edges, source, max_hops=1).collect()
+    }
+    assert got2 == {"a": 0, "b": 1, "c": 1}
