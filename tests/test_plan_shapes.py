@@ -63,3 +63,41 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 def test_topk_plans_take_ordered(spark):
     plan = _plan(registry.QUERIES["q48_brand_revenue_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """q69's interval join must plan as a (broadcast) HASH join on the
+    bucket key with the containment predicate as its residual — a
+    BroadcastNestedLoopJoin between the fact and interval sides means
+    the bucketing regressed to a raw theta join."""
+    plan = _plan(registry.QUERIES["q69_promo_window_shipments"](spark, SF))
+    assert re.search(r"BroadcastHashJoin \[__bucket#\d+L\], \[__bucket#\d+L\]", plan), plan
+    # the only nested loop allowed is the 1-row global-average scalar
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Cross" in m.group(0), m.group(0)
+
+
+def test_pivot_static_values_single_scan(spark):
+    """q65 must read orders ONCE: a second scan means the pivot fell
+    back to the distinct-value-discovery job."""
+    plan = _plan(registry.QUERIES["q65_orders_month_priority_pivot"](spark, SF))
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+
+
+def test_cube_is_one_expand_pass(spark):
+    plan = _plan(registry.QUERIES["q66_returnflag_status_cube"](spark, SF))
+    assert plan.count("Expand") >= 1
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+
+
+def test_kmeans_broadcasts_centroids_not_vectors(spark):
+    """Every join in the k-means plan must be hash/broadcast — a
+    CartesianProduct means assignment degenerated to all-pairs."""
+    plan = _plan(registry.QUERIES["q80_kmeans_clusters"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_referential_integrity_anti_joins(spark):
+    plan = _plan(registry.QUERIES["q87_referential_integrity"](spark, SF))
+    assert plan.count("LeftAnti") == 4, plan
