@@ -343,3 +343,168 @@ def q70_user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "q90_daily_user_retention",
+    sql="""
+    WITH active AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+    ),
+    counts AS (SELECT day, count(*) AS dau FROM active GROUP BY day),
+    retained AS (
+        SELECT a.day, count(*) AS returned
+        FROM active a
+        JOIN active b ON b.user_id = a.user_id
+                     AND b.day = strftime(strptime(a.day, '%Y-%m-%d')
+                                          + INTERVAL 1 DAY, '%Y-%m-%d')
+        GROUP BY a.day
+    )
+    SELECT c.day, c.dau,
+           coalesce(r.returned, 0) AS returned_next_day,
+           round(coalesce(r.returned, 0) * 1.0 / c.dau, 6) AS retention
+    FROM counts c LEFT JOIN retained r USING (day)
+    ORDER BY day
+    """,
+)
+def q90_daily_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: of each day's active users, the share active
+    again the following day. The self-join runs on the DISTINCT
+    (day, user) relation — events collapse first, so the join input is
+    DAU-sized, not event-sized; both sides share the user_id shuffle
+    key."""
+    cat = Catalog(spark, sf_dir)
+    active = cat.events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    counts = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    a = active.select(
+        "day",
+        F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd").alias(
+            "day_next"
+        ),
+        "user_id",
+    )
+    b = active.select(
+        F.col("day").alias("day_b"), F.col("user_id").alias("user_b")
+    )
+    retained = (
+        a.join(
+            b,
+            (a["user_id"] == b["user_b"]) & (b["day_b"] == a["day_next"]),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("returned"))
+    )
+    return (
+        counts.join(retained, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("returned", F.lit(0)).alias("returned_next_day"),
+            F.round(
+                F.coalesce("returned", F.lit(0)) / F.col("dau"), 6
+            ).alias("retention"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q91_trailing_week_order_volume",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               count(*) AS n_orders,
+               sum(o_totalprice) AS day_value
+        FROM orders GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_orders,
+           CAST(sum(n_orders) OVER w AS BIGINT) AS trailing_7d_orders,
+           round(avg(day_value) OVER w, 4) AS trailing_7d_avg_value
+    FROM daily
+    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                        AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q91_trailing_week_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day order volume via a RANGE window frame (value-based,
+    unlike q51's ROWS frame): days missing from the data contribute
+    nothing, so a gap does NOT stretch the window — the semantics ROWS
+    frames get wrong. Runs post-aggregation over one row per day
+    (module docstring of reshape_plans re the global-window caveat)."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    daily = cat.orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("day_value"),
+    )
+    # RANGE frame needs a numeric/date ordering expression: days since
+    # epoch makes the 6-preceding bound mean "6 calendar days"
+    w = (
+        Window.orderBy(F.unix_date("day"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_orders",
+            F.sum("n_orders").over(w).alias("trailing_7d_orders"),
+            F.round(F.avg("day_value").over(w), 4).alias("trailing_7d_avg_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q92_event_type_transitions",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n_transitions,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 6)
+               AS p_next_given_prev
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def q92_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: P(next event type |
+    previous) per user sequence. One lag window partitioned by user
+    (event_id tiebreak for simultaneous events), then a count aggregate
+    and a per-prev-type normalizing window over the 25-row matrix —
+    never over raw events."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    seq = cat.events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p_next_given_prev",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(norm), 6
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
