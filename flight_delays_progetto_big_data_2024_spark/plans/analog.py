@@ -817,3 +817,39 @@ def q51_monthly_order_running_total(spark: SparkSession, sf_dir: str) -> DataFra
         monthly.withColumn("running_total", F.sum("num_orders").over(w))
         .orderBy("month")
     )
+
+
+@register(
+    "q93_order_size_distribution",
+    sql="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, count(l.l_orderkey) AS n_items
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    )
+    SELECT n_items, count(*) AS n_orders,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+    FROM per_order GROUP BY n_items ORDER BY n_items
+    """,
+)
+def q93_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size histogram INCLUDING empty orders: the left join +
+    count(join-side column) keeps orders with zero lineitems as
+    n_items=0 (an inner join silently drops them — the fill-rate bug).
+    count(col) null-skipping (SURVEY A6) is what makes the zero bucket
+    correct."""
+    cat = Catalog(spark, sf_dir)
+    per_order = (
+        cat.orders.select("o_orderkey")
+        .join(
+            cat.lineitem.select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+    hist = per_order.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+    return with_pct_of_total(hist, "n_orders", alias="pct", scale=4).orderBy(
+        "n_items"
+    )

@@ -119,3 +119,58 @@ def test_commit_marker_skips_replayed_batch(spark, sf_dir, tmp_path):
     wrapped(df, 7)  # replay of a committed batch: must not re-write
     wrapped(df, 8)
     assert [b for b, _ in appended] == [7, 8]
+
+
+def test_streaming_materialized_view_maintenance(spark, sf_dir, tmp_path):
+    """foreachBatch incremental aggregate maintenance: partial
+    aggregates merged per micro-batch into a parquet 'view' must equal
+    the direct batch aggregate over all input (the q83 algebraic
+    identity, driven through Structured Streaming)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b0.parquet")
+    out = str(tmp_path / "mv_out")
+    schema = spark.read.parquet(str(src / "b0.parquet")).schema
+
+    def merge_batch(batch_df, batch_id):
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("p_n"), F.sum("value").alias("p_sum")
+        )
+        try:
+            existing = spark.read.parquet(out)
+            merged = (
+                existing.unionByName(partial)
+                .groupBy("event_type")
+                .agg(F.sum("p_n").alias("p_n"), F.sum("p_sum").alias("p_sum"))
+            )
+        except Exception:
+            merged = partial
+        merged.coalesce(1).write.mode("overwrite").parquet(out + "_tmp")
+        spark.read.parquet(out + "_tmp").write.mode("overwrite").parquet(out)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["p_n"], round(r["p_sum"], 4))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 4))
+        for r in spark.read.parquet(str(src))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) == 5

@@ -315,3 +315,52 @@ def test_jsonl_roundtrip_and_mergeschema(spark, sf_dir, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert set(merged.columns) == {"id", "s", "score"}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_csv_corrupt_record_modes(spark, tmp_path):
+    """PERMISSIVE keeps bad rows (nulls + captured raw line), DROPMALFORMED
+    drops them, FAILFAST raises — the ingestion contract for dirty feeds."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("qty", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = {r["id"]: r for r in permissive.collect()}
+    assert rows[1]["qty"] == 10 and rows[1]["_corrupt_record"] is None
+    assert rows[2]["qty"] is None and "notanumber" in rows[2]["_corrupt_record"]
+
+    dropped = (
+        spark.read.schema(schema.fields[0].dataType and schema)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert {r["id"] for r in dropped.collect()} == {1, 3}
+
+    failfast = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(str(p))
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        failfast.collect()
