@@ -282,3 +282,110 @@ def q87_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(anti_count(cat.orders, cat.customer, "o_custkey", "c_custkey", "orphan_orders"))
         .crossJoin(anti_count(cat.customer, cat.orders, "c_custkey", "o_custkey", "inactive_customers"))
     )
+
+
+@register(
+    "q94_grouping_sets_sql_surface",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(strftime(date_trunc('year', l_shipdate), '%Y'), 'ALL')
+               AS ship_year,
+           count(*) AS num_items,
+           round(sum(l_extendedprice), 2) AS gross
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (date_trunc('year', l_shipdate)))
+    ORDER BY returnflag, ship_year
+    """,
+)
+def q94_grouping_sets_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither cube nor rollup: two disjoint
+    marginal breakdowns in ONE pass), exercised through the engine's
+    SQL surface — ``spark.sql`` over registered temp views — which the
+    reference never uses (SURVEY.md §2.9 'SQL surface: none'). Same
+    Catalyst plan (Expand) as the DataFrame cube/rollup path."""
+    cat = Catalog(spark, sf_dir)
+    cat.lineitem.createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(date_format(date_trunc('year', l_shipdate), 'yyyy'),
+                        'ALL') AS ship_year,
+               count(*) AS num_items,
+               round(sum(l_extendedprice), 2) AS gross
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (date_trunc('year', l_shipdate)))
+        ORDER BY returnflag, ship_year
+        """
+    )
+
+
+@register(
+    "q95_repeat_customers_intersect",
+    sql="""
+    WITH jan AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE strftime(o_orderdate, '%m') = '01'
+    ),
+    feb AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE strftime(o_orderdate, '%m') = '02'
+    )
+    SELECT count(*) AS both_months,
+           (SELECT count(*) FROM jan) AS jan_only_base,
+           (SELECT count(*) FROM feb) AS feb_only_base
+    FROM (SELECT o_custkey FROM jan INTERSECT SELECT o_custkey FROM feb)
+    """,
+)
+def q95_repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (the set op q19/q50 don't cover): customers ordering in
+    both January and February (any year). Spark plans intersect as a
+    left-semi join over pre-distincted sides — both sides shuffle on
+    the key once."""
+    cat = Catalog(spark, sf_dir)
+    month = F.date_format("o_orderdate", "MM")
+    jan = cat.orders.filter(month == "01").select("o_custkey").distinct()
+    feb = cat.orders.filter(month == "02").select("o_custkey").distinct()
+    return (
+        jan.intersect(feb)
+        .agg(F.count(F.lit(1)).alias("both_months"))
+        .crossJoin(jan.agg(F.count(F.lit(1)).alias("jan_only_base")))
+        .crossJoin(feb.agg(F.count(F.lit(1)).alias("feb_only_base")))
+    )
+
+
+@register(
+    "q96_orders_above_customer_average",
+    sql="""
+    SELECT o.o_custkey AS custkey,
+           count(*) AS n_above,
+           round(max(o.o_totalprice), 2) AS max_above
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+                            WHERE i.o_custkey = o.o_custkey)
+    GROUP BY o.o_custkey
+    HAVING count(*) >= 5
+    ORDER BY custkey
+    """,
+)
+def q96_orders_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery classic (orders above their own
+    customer's average), DECORRELATED as a window average over the
+    customer partition — one shuffle on custkey instead of a
+    per-row subquery; exactly the rewrite Catalyst can't always do for
+    arbitrary correlations, stated directly."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey")
+    flagged = cat.orders.withColumn(
+        "cust_avg", F.avg("o_totalprice").over(w)
+    ).filter(F.col("o_totalprice") > F.col("cust_avg"))
+    return (
+        flagged.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.max("o_totalprice"), 2).alias("max_above"),
+        )
+        .filter(F.col("n_above") >= 5)
+        .orderBy("custkey")
+    )

@@ -180,3 +180,47 @@ def test_triangle_count_matches_bruteforce(spark, edges):
             for v in (a, b, c):
                 expected[v] += 1
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ts_offsets=st.lists(st.integers(0, 200), min_size=1, max_size=40),
+    intervals=st.lists(
+        st.tuples(st.integers(-10, 190), st.integers(1, 60)),
+        min_size=1,
+        max_size=10,
+    ),
+    bucket=st.sampled_from([3600, 7200, 21600, 86400]),
+)
+def test_range_join_buckets_matches_theta_join(spark, ts_offsets, intervals, bucket):
+    """For arbitrary event times, intervals, and bucket widths, the
+    bucketed range join must equal the naive theta join exactly."""
+    import datetime as dt
+
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    left_rows = [
+        (i, base + dt.timedelta(hours=h)) for i, h in enumerate(ts_offsets)
+    ]
+    iv_rows = [
+        (j, base + dt.timedelta(hours=s), base + dt.timedelta(hours=s + d))
+        for j, (s, d) in enumerate(intervals)
+    ]
+    left = spark.createDataFrame(left_rows, "id long, ts timestamp")
+    iv = spark.createDataFrame(iv_rows, "ivid long, start timestamp, end timestamp")
+    got = {
+        (r["id"], r["ivid"])
+        for r in range_join_buckets(
+            left, iv, bucket_seconds=bucket
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, t in left_rows
+        for j, s, e in iv_rows
+        if s <= t < e
+    }
+    assert got == want
