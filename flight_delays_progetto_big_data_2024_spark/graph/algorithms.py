@@ -64,6 +64,7 @@ def pagerank(
     vertices: DataFrame | None = None,
     checkpoint: bool = True,
     checkpoint_interval: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Static PageRank with GraphX/GraphFrames semantics (reference
     graphframes_flights.py:44-46: resetProbability=0.15, maxIter=10).
@@ -72,13 +73,24 @@ def pagerank(
     src ∪ dst. Distinct parallel edges are kept as distinct contribution
     channels only if present in ``edges`` — pass a deduped edge set for
     simple-graph semantics.
+
+    ``num_partitions`` pins the loop's exchanges to an explicit width.
+    Iterative jobs pay the per-task scheduling cost ``iterations``
+    times, so partition count should track GRAPH size, not the session
+    default: a 25-vertex graph wants 1-8 partitions, a billion-edge
+    graph wants thousands. Leave ``None`` to inherit the session
+    shuffle setting (AQE coalesces after stats, but the first exchange
+    of every stage still schedules the full width).
     """
     # Persist the edge list FIRST: vertices, out-degrees and the contrib
     # base all derive from it, and the caller's edge derivation may be an
     # arbitrarily expensive join pipeline — without persist it would
     # re-execute in every iteration (10× the scan + shuffle cost at
     # 100 TB).
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if num_partitions:
+        e = e.repartition(num_partitions, "src")
+    e = e.persist()
     verts = (vertices or _vertices_from_edges(e, "src", "dst")).select("id")
 
     # No broadcast hints: out-degree and rank tables are O(|V|) — forcing
@@ -92,12 +104,14 @@ def pagerank(
 
     ranks = verts.withColumn("rank", F.lit(1.0))
     for i in range(max_iter):
-        contribs = (
-            contrib_base.join(ranks, contrib_base["src"] == ranks["id"])
-            .select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("mass"))
-        )
+        contribs = contrib_base.join(
+            ranks, contrib_base["src"] == ranks["id"]
+        ).select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
+        if num_partitions:
+            # pre-partitioning on the agg key at the pinned width means
+            # the groupBy needs no further exchange
+            contribs = contribs.repartition(num_partitions, "dst")
+        contribs = contribs.groupBy("dst").agg(F.sum("contrib").alias("mass"))
         ranks = verts.join(contribs, verts["id"] == contribs["dst"], "left").select(
             "id",
             (

@@ -65,7 +65,10 @@ def q20_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphframes_flights.py:44,131) as an iterative DataFrame loop with
     lineage truncation; GraphX/GraphFrames static semantics."""
     cat = Catalog(spark, sf_dir)
-    ranks = pagerank(_nation_edges(cat), RESET_PROB, MAX_ITER)
+    # 25-vertex graph: pin loop exchanges narrow (see pagerank docstring
+    # — iterative jobs pay scheduling cost per iteration; width should
+    # track graph size, not the session shuffle default)
+    ranks = pagerank(_nation_edges(cat), RESET_PROB, MAX_ITER, num_partitions=4)
     return (
         ranks.select(
             F.col("id").alias("nation"), F.round("pagerank", 6).alias("pagerank")
