@@ -1470,3 +1470,97 @@ def q85_winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_a", "doc_b", "shared", "containment")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "q97_vocabulary_table",
+    sql=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS occurrences FROM toks GROUP BY term)
+    SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, term) - 1
+                AS INTEGER) AS token_id,
+           term, occurrences
+    FROM counts
+    WHERE occurrences >= 5
+    ORDER BY token_id
+    """,
+)
+def q97_vocabulary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with dense token ids (the tokenizer-
+    training output): count per term (shuffle is O(V)), min-count
+    filter BEFORE the ranking window so the global-sort window only
+    ever sees the kept vocabulary. Ties rank lexically — ids are
+    deterministic across engines and runs."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat.documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("occurrences") >= 5)
+    )
+    w = Window.orderBy(F.desc("occurrences"), "term")
+    return counts.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "term",
+        "occurrences",
+    ).orderBy("token_id")
+
+
+@register(
+    "q98_training_mixture_plan",
+    sql=f"""
+    WITH per_source AS (
+        SELECT source, sum(len({_TOKS_SQL})) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, src_tokens,
+               CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3.0
+                    ELSE 1.0 END AS weight
+        FROM per_source
+    ),
+    tot AS (SELECT sum(weight) AS wsum FROM weighted)
+    SELECT source,
+           CAST(src_tokens AS BIGINT) AS src_tokens,
+           round(weight / wsum, 6) AS mixture_share,
+           CAST(round(1000000 * weight / wsum) AS BIGINT) AS target_tokens,
+           round(1000000 * weight / wsum / src_tokens, 4) AS epochs_needed
+    FROM weighted, tot
+    ORDER BY source
+    """,
+)
+def q98_training_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner: given per-source upsampling weights and
+    a 1M-token budget, each source's share, target tokens, and the
+    epochs (repeat factor) needed to supply them — the over-epoching
+    diagnostic (epochs >> 1 on a high-weight tiny source means
+    memorization risk). One aggregate + a broadcast 1-row weight-sum
+    join; weights decode via a when-chain (SURVEY F10 pattern)."""
+    cat = Catalog(spark, sf_dir)
+    budget = 1_000_000
+    per_source = cat.documents.groupBy("source").agg(
+        F.sum(token_count("text")).alias("src_tokens")
+    )
+    weighted = per_source.withColumn(
+        "weight",
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(3.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    tot = weighted.agg(F.sum("weight").alias("wsum"))
+    share = F.col("weight") / F.col("wsum")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("src_tokens").cast("long").alias("src_tokens"),
+            F.round(share, 6).alias("mixture_share"),
+            F.round(budget * share).cast("long").alias("target_tokens"),
+            F.round(budget * share / F.col("src_tokens"), 4).alias("epochs_needed"),
+        )
+        .orderBy("source")
+    )
