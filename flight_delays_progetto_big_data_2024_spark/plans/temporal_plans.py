@@ -508,3 +508,40 @@ def q92_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "q99_out_of_order_arrivals",
+    sql="""
+    WITH seq AS (
+        SELECT user_id,
+               CASE WHEN ts < lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+               ) THEN 1 ELSE 0 END AS ooo
+        FROM events
+    )
+    SELECT CAST(sum(ooo) AS BIGINT) AS out_of_order_events,
+           count(*) AS total_events,
+           round(sum(ooo) * 1.0 / count(*), 6) AS ooo_ratio
+    FROM seq
+    """,
+)
+def q99_out_of_order_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder diagnostic: per user, how often does event
+    time step BACKWARDS along the arrival sequence (event_id as arrival
+    order)? This ratio is what sizes streaming watermarks — a watermark
+    shorter than the observed disorder horizon silently drops data
+    (streaming.windowed docstring). One lag window on the user
+    partition, then a global 1-row rollup."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = cat.events.select(
+        F.when(F.col("ts") < F.lag("ts").over(w), 1).otherwise(0).alias("ooo")
+    )
+    return seq.agg(
+        F.sum("ooo").cast("long").alias("out_of_order_events"),
+        F.count(F.lit(1)).alias("total_events"),
+        F.round(F.sum("ooo") / F.count(F.lit(1)), 6).alias("ooo_ratio"),
+    )
