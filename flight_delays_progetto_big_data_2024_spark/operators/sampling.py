@@ -166,3 +166,21 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.sum("length").alias("n_tokens"),
         F.round(F.sum("length") / F.lit(float(budget)), 6).alias("fill_ratio"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "w",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with PER-ROW keep probability
+    ``weight_col`` (clamped to [0,1]): keep iff the row's md5-derived
+    uniform < weight. Content-hash randomness, zero RNG state — the
+    same row always makes the same decision regardless of partitioning,
+    executor count, or retries (speculative task re-runs produce
+    identical samples, which ``rand()`` does NOT guarantee). A pure
+    projection+filter: no shuffle, pushes down past column pruning."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = F.conv(_hash_bucket(id_col, salt), 16, 10).cast("double") / float(_BUCKETS)
+    return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))

@@ -1564,3 +1564,190 @@ def q98_training_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q100_quality_weighted_sample",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks, len(text) AS n,
+               len(text) - len(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
+                         / len(toks) END AS atl,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks))::DOUBLE / len(toks) END AS diversity,
+               CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS pr
+        FROM base
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE round(0.6 * diversity
+                               + 0.4 * (CASE WHEN atl >= 3.0 AND atl <= 8.0
+                                             THEN 1.0 ELSE 0.5 END)
+                               - pr, 6) END AS quality
+        FROM m
+    ),
+    kept AS (
+        SELECT doc_id, source, quality FROM scored
+        WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'w'), 1, 4))::INTEGER
+                   AS DOUBLE) / 65536.0
+              < least(greatest(quality, 0.0), 1.0)
+    )
+    SELECT source, count(*) AS n_kept,
+           round(avg(quality), 6) AS avg_kept_quality
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def q100_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: each doc's keep probability IS
+    its quality score (operators.sampling.weighted_sample) — the
+    soft-curation alternative to q74's hard percentile cut. Hash-based
+    Bernoulli, so the kept set is deterministic under retries and
+    repartitioning; the oracle replays the identical md5 decision."""
+    from flight_delays_progetto_big_data_2024_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    scored = cat.documents.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    kept = weighted_sample(scored, "quality")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("quality"), 6).alias("avg_kept_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q101_zscore_normalization",
+    sql="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    ),
+    normed AS (
+        SELECT e.event_type, (e.value - s.mu) / s.sigma AS z
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(z), 6) AS z_mean,
+           round(stddev_samp(z), 6) AS z_std,
+           round(max(abs(z)), 4) AS max_abs_z
+    FROM normed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q101_zscore_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature normalization (train-time stats applied
+    back to the data): group stats via ONE aggregate, applied through a
+    broadcastable stats join — NOT a window over raw events, which
+    would sort every partition of the fact table to compute two
+    numbers per group. Output checks mean~0 / std~1 and flags outliers
+    via max |z|."""
+    cat = Catalog(spark, sf_dir)
+    stats = cat.events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    normed = cat.events.join(F.broadcast(stats), "event_type").select(
+        "event_type", ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z")
+    )
+    return (
+        normed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("z"), 6).alias("z_mean"),
+            F.round(F.stddev_samp("z"), 6).alias("z_std"),
+            F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q102_cluster_best_representative",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks, len(text) AS n,
+               len(text) - len(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS n_punct,
+               md5({_NORM_SQL}) AS h
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, h,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
+                         / len(toks) END AS atl,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks))::DOUBLE / len(toks) END AS diversity,
+               CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS pr
+        FROM base
+    ),
+    scored AS (
+        SELECT doc_id, h,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE round(0.6 * diversity
+                               + 0.4 * (CASE WHEN atl >= 3.0 AND atl <= 8.0
+                                             THEN 1.0 ELSE 0.5 END)
+                               - pr, 6) END AS quality
+        FROM m
+    ),
+    ranked AS (
+        SELECT doc_id, h, quality,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY quality DESC, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY h) AS cluster_size
+        FROM scored
+    )
+    SELECT CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(max(cluster_size) AS BIGINT) AS largest_cluster,
+           round(avg(CASE WHEN rn = 1 THEN quality END), 6) AS avg_kept_quality
+    FROM ranked
+    """,
+)
+def q102_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with QUALITY-AWARE survivor selection: within each
+    exact-duplicate cluster (normalized-text hash) keep the highest-
+    quality copy, not an arbitrary one — `dropDuplicates` keeps
+    whichever row a partition happened to see first, which silently
+    biases the kept corpus. One window over (hash) with a
+    deterministic (quality desc, doc_id) order; same pattern plugs
+    into q58's near-dup components as the cluster key."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    scored = cat.documents.select(
+        "doc_id",
+        fingerprint("text").alias("h"),
+        quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("h").orderBy(F.desc("quality"), "doc_id")
+    ranked = scored.select(
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("cluster_size"),
+    )
+    return ranked.agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.max("cluster_size").cast("long").alias("largest_cluster"),
+        F.round(F.avg(F.when(F.col("rn") == 1, F.col("quality"))), 6).alias(
+            "avg_kept_quality"
+        ),
+    )
