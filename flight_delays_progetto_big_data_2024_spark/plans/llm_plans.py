@@ -1751,3 +1751,61 @@ def q102_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
             "avg_kept_quality"
         ),
     )
+
+
+@register(
+    "q103_corpus_snapshot_diff",
+    sql=f"""
+    WITH v1 AS (SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN md5(trim(regexp_replace(lower(text || ' rev2'),
+                                                 '\\s+', ' ', 'g')))
+                    ELSE md5({_NORM_SQL}) END AS h
+        FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT CAST(sum(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS added,
+           CAST(sum(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS removed,
+           CAST(sum(CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+                          AND v1.h <> v2.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS changed,
+           CAST(sum(CASE WHEN v1.h = v2.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS unchanged
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    """,
+)
+def q103_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the data-versioning primitive: what changed
+    between two corpus builds): FULL OUTER join on doc_id, rows
+    classified added/removed/changed/unchanged by comparing content
+    fingerprints — so a re-crawl that rewrote bytes but not normalized
+    content counts as unchanged. One co-partitioned join + a 1-row
+    rollup; v2 is simulated deterministically (every 10th doc dropped,
+    every 7th edited) so the oracle replays it exactly."""
+    cat = Catalog(spark, sf_dir)
+    v1 = cat.documents.select("doc_id", fingerprint("text").alias("h"))
+    v2 = (
+        cat.documents.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                fingerprint(F.concat(F.col("text"), F.lit(" rev2"))),
+            )
+            .otherwise(fingerprint("text"))
+            .alias("h"),
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    ah, bh = F.col("a.h"), F.col("b.h")
+    return j.agg(
+        F.sum(F.when(ah.isNull(), 1).otherwise(0)).cast("long").alias("added"),
+        F.sum(F.when(bh.isNull(), 1).otherwise(0)).cast("long").alias("removed"),
+        F.sum(
+            F.when(ah.isNotNull() & bh.isNotNull() & (ah != bh), 1).otherwise(0)
+        ).cast("long").alias("changed"),
+        F.sum(F.when(ah == bh, 1).otherwise(0)).cast("long").alias("unchanged"),
+    )

@@ -364,3 +364,22 @@ def test_csv_corrupt_record_modes(spark, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         failfast.collect()
+
+
+def test_operator_misuse_raises_cleanly(spark):
+    """Invalid operator arguments fail fast with clear messages instead
+    of producing silently-wrong plans."""
+    import pytest
+
+    from flight_delays_progetto_big_data_2024_spark.operators.quality import (
+        expect_unique_key,
+    )
+    from flight_delays_progetto_big_data_2024_spark.operators.skew import (
+        salted_join,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(AssertionError, match="inner/left"):
+        salted_join(df, df, ["k"], how="full_outer")
+    with pytest.raises(NotImplementedError, match="unique"):
+        expect_unique_key("k")
