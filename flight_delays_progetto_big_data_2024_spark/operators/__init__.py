@@ -1,33 +1,62 @@
+"""Operator namespace: parameterized DataFrame -> DataFrame functions.
+
+Re-exports the most commonly composed operators; specialized families
+(dedup, similarity, ranking, sampling, multimodal, quality, skew,
+temporal, curation) are imported from their modules directly.
+"""
+
+from flight_delays_progetto_big_data_2024_spark.operators.prep import (
+    drop_columns,
+    drop_null_rows,
+    fill_nulls,
+    null_profile,
+    split_by_flag,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.quality import (
+    constraint_report,
+)
 from flight_delays_progetto_big_data_2024_spark.operators.relational import (
-    count_by,
     avg_by,
-    sum_by,
+    count_by,
     decode_map,
     dim_decorate,
+    pivot_table,
     popular_groups,
+    sum_by,
     top_k,
     top_k_per_group,
     two_sided_totals,
     unpivot_measures,
     with_pct_of_total,
 )
-from flight_delays_progetto_big_data_2024_spark.operators.prep import (
-    null_profile,
-    split_by_flag,
+from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+    asof_join,
+    range_join_buckets,
+    scd2_from_changes,
+    session_windows,
 )
 
 __all__ = [
-    "count_by",
+    "asof_join",
     "avg_by",
-    "sum_by",
+    "constraint_report",
+    "count_by",
     "decode_map",
     "dim_decorate",
+    "drop_columns",
+    "drop_null_rows",
+    "fill_nulls",
+    "null_profile",
+    "pivot_table",
     "popular_groups",
+    "range_join_buckets",
+    "scd2_from_changes",
+    "session_windows",
+    "split_by_flag",
+    "sum_by",
     "top_k",
     "top_k_per_group",
     "two_sided_totals",
     "unpivot_measures",
     "with_pct_of_total",
-    "null_profile",
-    "split_by_flag",
 ]
