@@ -184,3 +184,35 @@ def weighted_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = F.conv(_hash_bucket(id_col, salt), 16, 10).cast("double") / float(_BUCKETS)
     return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
+
+
+def chunk_documents_udtf(spark):
+    """Register and return the sliding-window token chunker UDTF (the
+    RAG/pretraining chunking op): one output row per chunk of
+    ``chunk_size`` tokens advancing by ``stride`` (overlap =
+    chunk_size - stride). A chunk at start s>0 is emitted only if the
+    PREVIOUS chunk didn't already reach the document's end
+    (s - stride + chunk_size < n) — no redundant tail chunks.
+
+    A UDTF (table function) rather than explode-of-array because each
+    input row yields a VARIABLE number of rows with per-row derived
+    state — exactly the one-to-many generator shape the UDTF API exists
+    for; Spark runs it arrow-batched per partition.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_chunk_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str, chunk_size: int, stride: int):
+            toks = [t for t in (text or "").split() if t]
+            n = len(toks)
+            if n == 0:
+                return
+            idx = 0
+            for s in range(0, n, stride):
+                if s == 0 or s - stride + chunk_size < n:
+                    yield idx, min(chunk_size, n - s)
+                    idx += 1
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return ChunkDoc

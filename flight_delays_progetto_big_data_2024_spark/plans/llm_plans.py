@@ -1809,3 +1809,51 @@ def q103_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("changed"),
         F.sum(F.when(ah == bh, 1).otherwise(0)).cast("long").alias("unchanged"),
     )
+
+
+@register(
+    "q104_sliding_window_chunks",
+    sql=f"""
+    WITH docs AS (
+        SELECT source, len({_TOKS_SQL}) AS n FROM documents
+    ),
+    chunks AS (
+        SELECT source, n,
+               unnest(list_transform(
+                   list_filter(range(0, n, 32), s -> s = 0 OR s - 32 + 40 < n),
+                   s -> least(40, n - s))) AS n_chunk_tokens
+        FROM docs WHERE n > 0
+    )
+    SELECT source,
+           count(*) AS n_chunks,
+           round(avg(n_chunk_tokens), 4) AS avg_chunk_tokens,
+           round(sum(CASE WHEN n_chunk_tokens = 40 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS full_chunk_frac
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+)
+def q104_sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (chunk 40 tokens, stride 32)
+    through a Python UDTF in a LATERAL join —
+    operators.sampling.chunk_documents_udtf; the variable-rows-per-doc
+    generator shape that neither explode-of-expression nor mapInPandas
+    states as directly. The oracle replays the chunk-start rule in
+    pure SQL, so the UDTF's Python is value-checked row for row."""
+    from flight_delays_progetto_big_data_2024_spark.operators.sampling import (
+        chunk_documents_udtf,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    chunk_documents_udtf(spark)
+    cat.documents.createOrReplaceTempView("v_docs_chunking")
+    return spark.sql(
+        """
+        SELECT source,
+               count(*) AS n_chunks,
+               round(avg(c.n_chunk_tokens), 4) AS avg_chunk_tokens,
+               round(sum(CASE WHEN c.n_chunk_tokens = 40 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS full_chunk_frac
+        FROM v_docs_chunking, LATERAL chunk_doc(text, 40, 32) c
+        GROUP BY source ORDER BY source
+        """
+    )

@@ -383,3 +383,45 @@ def test_operator_misuse_raises_cleanly(spark):
         salted_join(df, df, ["k"], how="full_outer")
     with pytest.raises(NotImplementedError, match="unique"):
         expect_unique_key("k")
+
+
+def test_observation_metrics_free_with_action(spark, sf_dir):
+    """df.observe() collects pipeline metrics DURING the action (no
+    second scan) — the hook for row-count/quality telemetry in
+    production jobs; values must equal a direct aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    obs = Observation("ingest")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_values"),
+    )
+    n_purchases = observed.filter(F.col("event_type") == "purchase").count()
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg"),
+    ).collect()[0]
+    assert obs.get["rows"] == direct["rows"]
+    assert obs.get["neg_values"] == direct["neg"]
+    assert n_purchases > 0
+
+
+def test_explode_outer_preserves_empty_docs(spark):
+    """explode drops rows with empty arrays; explode_outer keeps them as
+    nulls — the difference between 'tokens seen' and 'docs seen'."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    inner = df.select("doc_id", F.explode(tokens("text")).alias("t"))
+    outer = df.select("doc_id", F.explode_outer(tokens("text")).alias("t"))
+    assert {r["doc_id"] for r in inner.collect()} == {1}
+    rows = outer.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    assert {r["t"] for r in rows if r["doc_id"] != 1} == {None}
