@@ -31,6 +31,7 @@ HEADLINE = [
     "q23_dedup_exact_documents",
     "q25_doc_quality_scores",
     "q30_embedding_topk_cosine",
+    "q31_embedding_cosine_histogram",
     "q32_ngram_jaccard_pairs",
     "q33_minhash_lsh_near_dups",
     "q34_simhash_near_dups",

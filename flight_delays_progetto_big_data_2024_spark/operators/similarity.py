@@ -380,3 +380,81 @@ def kmeans_lloyd(
                 .agg(F.avg("val").alias("cval"))
             )
     return assign
+
+
+def blocked_cosine_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """All-pairs cosine histogram via BLOCKED matrix products — the
+    scale-correct form of the n² diagnostic. The naive self-join
+    materializes both vectors on every pair row (O(n²·d) shuffle
+    bytes); here vectors group into ``n_blocks`` hash blocks (one
+    O(n·d) shuffle), block PAIRS join (each block travels n_blocks
+    times, O(n·d·n_blocks) bytes — n/n_blocks-fold less), and a numpy
+    GEMM per block pair computes the same dot products at BLAS speed
+    inside an Arrow batch. Pair-dedup rule: across distinct blocks
+    every (a, b) combination appears exactly once (block_a < block_b);
+    within the diagonal block the id order filters duplicates.
+
+    Same exact histogram as the expression form (modulo float-sum
+    association inside the GEMM, sub-ulp on unit-scale cosines).
+    """
+    import pandas as pd
+
+    prep = _prep(df, id_col, vec_col)
+    packed = (
+        prep.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vs"),
+            F.collect_list("nrm").alias("ns"),
+        )
+    )
+    a = packed.select(
+        F.col("blk").alias("ba"),
+        F.col("ids").alias("ids_a"),
+        F.col("vs").alias("vs_a"),
+        F.col("ns").alias("ns_a"),
+    )
+    b = packed.select(
+        F.col("blk").alias("bb"),
+        F.col("ids").alias("ids_b"),
+        F.col("vs").alias("vs_b"),
+        F.col("ns").alias("ns_b"),
+    )
+    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    def gemm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            counts: dict[int, int] = {}
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a)
+                ids_b = np.asarray(row.ids_b)
+                va = np.vstack(row.vs_a)
+                vb = np.vstack(row.vs_b)
+                cos = (va @ vb.T) / np.outer(np.asarray(row.ns_a), np.asarray(row.ns_b))
+                if row.ba == row.bb:
+                    keep = ids_a[:, None] < ids_b[None, :]
+                else:
+                    keep = np.ones_like(cos, dtype=bool)
+                # mirror F.round (HALF_UP) then floor into 0.1 buckets
+                vals = np.floor(np.floor(cos[keep] * 1e6 + 0.5) / 1e6 * 10)
+                for bucket, cnt in zip(*np.unique(vals, return_counts=True)):
+                    counts[int(bucket)] = counts.get(int(bucket), 0) + int(cnt)
+            yield pd.DataFrame(
+                {"bucket": list(counts.keys()), "n_partial": list(counts.values())}
+            )
+
+    partials = pairs.mapInPandas(gemm, "bucket long, n_partial long")
+    return (
+        partials.groupBy("bucket")
+        .agg(F.sum("n_partial").alias("n_pairs"))
+        .orderBy("bucket")
+    )
