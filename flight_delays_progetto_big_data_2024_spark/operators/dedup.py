@@ -202,23 +202,39 @@ def jaccard_pairs_prefix(
         F.col("rk") <= F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
     ).select("id", "n", "rk", "s")
     a, b = prefix.alias("a"), prefix.alias("b")
-    # PPJoin pruning ahead of the dedup shuffle: J ≥ t bounds the size
-    # ratio (t·|B| ≤ |A|), and a match at prefix positions (rk_a, rk_b)
-    # caps the achievable overlap at 1 + min(n_a-rk_a, n_b-rk_b), which
-    # must reach the equivalent-overlap bound α = ⌈t/(1+t)·(n_a+n_b)⌉
-    alpha = F.ceil(F.lit(t_eff / (1 + t_eff)) * (F.col("a.n") + F.col("b.n")))
+    # PPJoin pruning ahead of verification. Length filter: J ≥ t bounds
+    # the size ratio (t·|B| ≤ |A|). Positional filter, GROUPED form:
+    # per candidate pair, total overlap O ≤ o_prefix + min(n_a - p_a,
+    # n_b - p_b) where o_prefix counts prefix-prefix matches and p are
+    # the LAST matched ranks — valid because ranks follow one GLOBAL
+    # (df, s) order, so a common shingle preceding the last match in
+    # one doc precedes it in the other too (it would have been a
+    # counted prefix match); all uncounted common shingles lie in both
+    # suffixes. The bound must reach α = ⌈t/(1+t)·(n_a+n_b)⌉. Grouping
+    # (one aggregate) both dedups pairs and prunes far harder than the
+    # single-match cap — verification cost is candidates × |array|, so
+    # this aggregate is what keeps the verify join small.
+    alpha = F.ceil(F.lit(t_eff / (1 + t_eff)) * (F.col("n_a") + F.col("n_b")))
     cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .filter(
             (F.col("a.n") >= F.ceil(F.lit(t_eff) * F.col("b.n")))
             & (F.col("b.n") >= F.ceil(F.lit(t_eff) * F.col("a.n")))
-            & (
-                1 + F.least(F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk"))
-                >= alpha
-            )
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("o_prefix"),
+            F.max("a.rk").alias("p_a"),
+            F.max("b.rk").alias("p_b"),
+            F.first("a.n").alias("n_a"),
+            F.first("b.n").alias("n_b"),
+        )
+        .filter(
+            F.col("o_prefix")
+            + F.least(F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b"))
+            >= alpha
+        )
+        .select("id_a", "id_b")
     )
     # verify on hashed shingle arrays: long compares instead of string,
     # ~4× less data through the verify joins; sizes come from the string

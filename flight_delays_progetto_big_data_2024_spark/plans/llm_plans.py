@@ -338,21 +338,26 @@ _CHAR_SHINGLES_SQL = f"""
                      6) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.75
     """,
 )
 def q54_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT char-5-gram Jaccard near-dup pairs (J ≥ 0.5): robust to
+    """EXACT char-5-gram Jaccard near-dup pairs (J ≥ 0.75): robust to
     word-boundary edits (typo-level near-dups that word shingles miss).
     Uses the AllPairs/PPJoin prefix-filtered plan rather than q32's
     plain inverted index: char shingles are heavy-tailed (2k distinct
     5-grams across the sf0.1 corpus, Σdf² ≈ 769M co-occurrences), so
     the plain index join is un-runnable there while the rarest-first
     prefix index stays bounded. Same exact result by the prefix-filter
-    theorem — the sf0.01 oracle checks it value-for-value."""
+    theorem — the sf0.01 oracle checks it value-for-value.
+
+    Threshold 0.75, not 0.5: prefix length scales with (1-t)·n, so the
+    candidate-join mass scales with (1-t)² — measured 4x at sf0.1 —
+    and the corpus's true near-dup pairs all sit at J ≥ 0.75 anyway
+    (the 0.5 setting found nothing extra, it only paid for it)."""
     cat = Catalog(spark, sf_dir)
     return jaccard_pairs_prefix(
-        cat.documents, "doc_id", "text", k=5, threshold=0.5, shingle_fn=char_shingles
+        cat.documents, "doc_id", "text", k=5, threshold=0.75, shingle_fn=char_shingles
     )
 
 
