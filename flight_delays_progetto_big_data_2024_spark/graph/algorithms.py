@@ -65,6 +65,7 @@ def pagerank(
     checkpoint: bool = True,
     checkpoint_interval: int = 3,
     num_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Static PageRank with GraphX/GraphFrames semantics (reference
     graphframes_flights.py:44-46: resetProbability=0.15, maxIter=10).
@@ -87,7 +88,8 @@ def pagerank(
     # arbitrarily expensive join pipeline — without persist it would
     # re-execute in every iteration (10× the scan + shuffle cost at
     # 100 TB).
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
     if num_partitions:
         e = e.repartition(num_partitions, "src")
     e = e.persist()
@@ -96,7 +98,10 @@ def pagerank(
     # No broadcast hints: out-degree and rank tables are O(|V|) — forcing
     # a broadcast is a scale bug at billions of vertices. AQE converts
     # these joins to broadcast at runtime whenever the side is small.
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
+    # weighted: contribution splits rank by edge weight share instead of
+    # 1/out_degree; with no weight_col every edge weighs 1.0 and this is
+    # exactly the classic formulation
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     contrib_base = e.join(out_deg, "src")
 
     verts = verts.persist()
@@ -106,7 +111,9 @@ def pagerank(
     for i in range(max_iter):
         contribs = contrib_base.join(
             ranks, contrib_base["src"] == ranks["id"]
-        ).select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
+        ).select(
+            "dst", (F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib")
+        )
         if num_partitions:
             # pre-partitioning on the agg key at the pinned width means
             # the groupBy needs no further exchange

@@ -22,6 +22,9 @@ from flight_delays_progetto_big_data_2024_spark.plans.analog import (
     _NATION_EDGES_SQL as _EDGES_SQL,
 )
 from flight_delays_progetto_big_data_2024_spark.plans.analog import (
+    _NATION_PAIR_SQL,
+)
+from flight_delays_progetto_big_data_2024_spark.plans.analog import (
     _nation_edges,
 )
 from flight_delays_progetto_big_data_2024_spark.plans.registry import register
@@ -217,4 +220,67 @@ def q89_salted_priority_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
         .orderBy("priority")
+    )
+
+
+def _weighted_pagerank_sql(iters: int = MAX_ITER, reset: float = RESET_PROB) -> str:
+    damp = 1.0 - reset
+    parts = [
+        f"""WITH edges AS (
+            SELECT supp_nation AS src, cust_nation AS dst,
+                   sum(l_quantity) AS w
+            FROM ({_NATION_PAIR_SQL})
+            GROUP BY src, dst
+        ),""",
+        "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),",
+        "r0 AS (SELECT id, 1.0 AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+                SELECT v.id, {reset} + {damp} * coalesce(m.mass, 0) AS rank
+                FROM verts v LEFT JOIN (
+                    SELECT e.dst AS id, sum(r.rank * e.w / o.ow) AS mass
+                    FROM edges e
+                    JOIN r{i - 1} r ON e.src = r.id
+                    JOIN outw o ON e.src = o.src
+                    GROUP BY e.dst
+                ) m ON v.id = m.id
+            )"""
+        )
+    parts.append(
+        f" SELECT id AS nation, round(rank, 6) AS pagerank FROM r{iters}"
+        " ORDER BY pagerank DESC, nation"
+    )
+    return "\n".join(parts)
+
+
+@register("q105_weighted_nation_pagerank", sql=_weighted_pagerank_sql())
+def q105_weighted_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-volume-weighted PageRank: each nation's rank mass splits
+    across outgoing edges proportionally to shipped QUANTITY, not
+    uniformly (the weighted generalization GraphFrames exposes via
+    edge-weight columns). Same iterative loop as q20 with weight_col
+    set; the oracle unrolls all 10 weighted iterations."""
+    from flight_delays_progetto_big_data_2024_spark.plans.analog import (
+        _nation_pair_lineitems,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        _nation_pair_lineitems(cat)
+        .groupBy(
+            F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst")
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    ranks = pagerank(
+        edges, RESET_PROB, MAX_ITER, num_partitions=4, weight_col="w"
+    )
+    return (
+        ranks.select(
+            F.col("id").alias("nation"), F.round("pagerank", 6).alias("pagerank")
+        )
+        .orderBy(F.desc("pagerank"), "nation")
     )

@@ -545,3 +545,119 @@ def q99_out_of_order_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_events"),
         F.round(F.sum("ooo") / F.count(F.lit(1)), 6).alias("ooo_ratio"),
     )
+
+
+@register(
+    "q106_mad_outlier_detection",
+    sql="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 6) AS median_value,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           count(*) AS n_total
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def q106_mad_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (immune to
+    the outliers themselves, unlike z-scores): two aggregate passes
+    (median, then median of absolute deviations) with the per-group
+    medians applied through broadcastable joins — the exact-percentile
+    form; at fact scale both medians swap to percentile_approx with the
+    same plan shape."""
+    cat = Catalog(spark, sf_dir)
+    med = cat.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = cat.events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("median_value"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q107_time_to_convert_percentiles",
+    sql="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(date_diff('microsecond', v.first_view,
+                                         p.first_purchase) / 3600000000.0,
+                               0.50), 4) AS p50_hours,
+           round(quantile_cont(date_diff('microsecond', v.first_view,
+                                         p.first_purchase) / 3600000000.0,
+                               0.90), 4) AS p90_hours
+    FROM p JOIN v USING (user_id)
+    """,
+)
+def q107_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, first view to first
+    subsequent purchase; p50/p90 of the gap in hours. The funnel joins
+    stay keyed on user_id (q81's shape); the latency percentile is one
+    exact aggregate over the converted-user relation."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    hours = (
+        F.col("first_purchase").cast("timestamp").cast("double")
+        - F.col("first_view").cast("timestamp").cast("double")
+    ) / 3600.0
+    return (
+        p.join(v, "user_id")
+        .select(hours.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("h", F.lit(0.5)), 4).alias("p50_hours"),
+            F.round(F.percentile("h", F.lit(0.9)), 4).alias("p90_hours"),
+        )
+    )
