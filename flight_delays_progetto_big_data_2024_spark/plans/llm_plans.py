@@ -1866,3 +1866,117 @@ def q104_sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY source ORDER BY source
         """
     )
+
+
+@register(
+    "q108_source_kl_divergence",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    src_counts AS (
+        SELECT source, term, count(*) AS c FROM toks GROUP BY source, term
+    ),
+    src_totals AS (
+        SELECT source, sum(c) AS n FROM src_counts GROUP BY source
+    ),
+    corpus AS (
+        SELECT term, sum(c) AS cc FROM src_counts GROUP BY term
+    ),
+    corpus_total AS (SELECT sum(cc) AS nn FROM corpus)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS vocab_used,
+           round(sum((s.c / t.n) * ln((s.c / t.n) / (q.cc / ct.nn))), 6)
+               AS kl_from_corpus
+    FROM src_counts s
+    JOIN src_totals t USING (source)
+    JOIN corpus q USING (term)
+    CROSS JOIN corpus_total ct
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def q108_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source unigram dist ‖ corpus
+    unigram dist) — the standard check that one slice of a training mix
+    isn't lexically alien (or duplicated boilerplate). Finite without
+    smoothing because every source term exists in the corpus
+    distribution by construction. Shuffles carry (source, term) counts
+    — vocabulary-sized; corpus totals ride broadcast joins."""
+    cat = Catalog(spark, sf_dir)
+    src_counts = (
+        cat.documents.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist()
+    src_totals = src_counts.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = src_counts.groupBy("term").agg(F.sum("c").alias("cc"))
+    corpus_total = corpus.agg(F.sum("cc").alias("nn"))
+    p = F.col("c") / F.col("n")
+    q = F.col("cc") / F.col("nn")
+    return (
+        src_counts.join(src_totals, "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_used"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_from_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q109_customer_revenue_gini",
+    sql="""
+    WITH per_cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               row_number() OVER (ORDER BY revenue, o_custkey) AS i,
+               count(*) OVER () AS n,
+               sum(revenue) OVER () AS total
+        FROM per_cust
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(any_value(total), 2) AS total_revenue,
+           round(2.0 * sum(i * revenue) / (any_value(n) * any_value(total))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q109_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Gini coefficient) over customers, via the
+    rank formula G = 2·Σ(i·x_i)/(n·Σx) - (n+1)/n on revenue sorted
+    ascending. The global rank window runs over the per-customer
+    AGGREGATE (orders of magnitude smaller than the fact table) —
+    the same post-aggregation global-window pattern as q67/q91, with
+    o_custkey tiebreaking equal revenues for engine-portable ranks
+    (the formula's value is tie-order-invariant, the check is
+    belt-and-braces)."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    per_cust = cat.orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("revenue", "o_custkey")
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.any_value("n").cast("long").alias("n_customers"),
+        F.round(F.any_value("total"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("revenue"))
+            / (F.any_value("n") * F.any_value("total"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            6,
+        ).alias("gini"),
+    )
