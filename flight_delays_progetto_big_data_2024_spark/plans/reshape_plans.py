@@ -389,3 +389,102 @@ def q96_orders_above_customer_average(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("n_above") >= 5)
         .orderBy("custkey")
     )
+
+
+@register(
+    "q110_brand_rank_families",
+    sql="""
+    WITH brand_rev AS (
+        SELECT p.p_brand AS brand,
+               round(sum(l.l_extendedprice), 0) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY brand
+    )
+    SELECT brand, revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, brand) AS INTEGER)
+               AS rn,
+           CAST(rank() OVER (ORDER BY revenue DESC) AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY revenue DESC) AS INTEGER) AS drnk
+    FROM brand_rev
+    ORDER BY rn
+    """,
+)
+def q110_brand_rank_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three ranking families side by side on brand revenue
+    (rounded to whole units so ties actually occur): row_number is a
+    total order (needs the brand tiebreak to be deterministic), rank
+    leaves gaps after ties, dense_rank doesn't — the difference that
+    silently corrupts 'top 10' reports when revenue ties. Window runs
+    over the ~25-brand aggregate."""
+    cat = Catalog(spark, sf_dir)
+    brand_rev = (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.round(F.sum("l_extendedprice"), 0).alias("revenue"))
+    )
+    by_rev = Window.orderBy(F.desc("revenue"))
+    by_rev_tb = Window.orderBy(F.desc("revenue"), "brand")
+    return brand_rev.select(
+        "brand",
+        "revenue",
+        F.row_number().over(by_rev_tb).cast("int").alias("rn"),
+        F.rank().over(by_rev).cast("int").alias("rnk"),
+        F.dense_rank().over(by_rev).cast("int").alias("drnk"),
+    ).orderBy("rn")
+
+
+@register(
+    "q111_nation_share_of_region",
+    sql="""
+    WITH nation_rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(o.o_totalprice) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY region, nation
+    )
+    SELECT region, nation,
+           round(revenue, 2) AS revenue,
+           round(100.0 * revenue / sum(revenue) OVER (PARTITION BY region), 4)
+               AS pct_of_region,
+           round(100.0 * revenue / sum(revenue) OVER (), 4) AS pct_of_total
+    FROM nation_rev
+    ORDER BY region, nation
+    """,
+)
+def q111_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's revenue as a share of
+    its region AND of the whole — two window sums over the 25-row
+    aggregate (partitioned by region; the global one is the only
+    unpartitioned window, and it sees 25 rows, not the fact table).
+    The multi-level percentage pattern the reference computed
+    driver-side in pandas (SURVEY A11)."""
+    cat = Catalog(spark, sf_dir)
+    nation_rev = (
+        cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    by_region = Window.partitionBy("region")
+    overall = Window.partitionBy()
+    return nation_rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(by_region), 4).alias(
+            "pct_of_region"
+        ),
+        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(overall), 4).alias(
+            "pct_of_total"
+        ),
+    ).orderBy("region", "nation")
