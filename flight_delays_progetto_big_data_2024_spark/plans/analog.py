@@ -853,3 +853,92 @@ def q93_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pct_of_total(hist, "n_orders", alias="pct", scale=4).orderBy(
         "n_items"
     )
+
+
+@register(
+    "q112_fulfillment_latency",
+    sql="""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_items,
+           round(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate), 0.5), 1)
+               AS p50_days,
+           round(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate), 0.95), 1)
+               AS p95_days,
+           CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT) AS shipped_before_order
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def q112_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per priority, plus the
+    impossible-negative-latency count (a built-in data-quality probe:
+    ship date before order date means a broken feed, and it must be
+    COUNTED, not silently clipped). Fact-fact equi-join on the order
+    key; the day-difference derives before aggregation so the
+    percentile input is one int per row."""
+    cat = Catalog(spark, sf_dir)
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderpriority").alias("priority"), days.alias("d"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.percentile("d", F.lit(0.5)), 1).alias("p50_days"),
+            F.round(F.percentile("d", F.lit(0.95)), 1).alias("p95_days"),
+            F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("shipped_before_order"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "q113_brand_concentration_hhi",
+    sql="""
+    WITH brand_type AS (
+        SELECT p.p_type AS ptype, p.p_brand AS brand,
+               sum(l.l_extendedprice) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY ptype, brand
+    ),
+    shares AS (
+        SELECT ptype,
+               revenue / sum(revenue) OVER (PARTITION BY ptype) AS s
+        FROM brand_type
+    )
+    SELECT ptype,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           round(sum(pow(s, 2)), 6) AS hhi
+    FROM shares
+    GROUP BY ptype
+    ORDER BY ptype
+    """,
+)
+def q113_brand_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand concentration per part type via the Herfindahl index (sum
+    of squared revenue shares; 1/n = perfectly even, 1.0 = monopoly).
+    Shares come from a window over the (type, brand) AGGREGATE — the
+    share-then-reaggregate pattern, never a window over lineitem."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    brand_type = (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy(F.col("p_type").alias("ptype"), F.col("p_brand").alias("brand"))
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+    )
+    share = F.col("revenue") / F.sum("revenue").over(Window.partitionBy("ptype"))
+    return (
+        brand_type.select("ptype", share.alias("s"))
+        .groupBy("ptype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brands"),
+            F.round(F.sum(F.pow(F.col("s"), F.lit(2.0))), 6).alias("hhi"),
+        )
+        .orderBy("ptype")
+    )
