@@ -275,6 +275,7 @@ def shortest_hops(
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist()
     dist = source.select(F.col("id"), F.lit(0).alias("hops")).persist()
     frontier = dist.select("id")
+    prev_frontier = None  # persisted frontier backing `frontier`
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["id"] == e["__s"])
@@ -290,6 +291,14 @@ def shortest_hops(
         new_dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         dist.unpersist()
         dist = new_dist
+        # the eager checkpoint above fully materialized nxt's cache, so
+        # the frontier that produced it is dead — drop it now instead of
+        # leaking every round's frontier until function exit
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_frontier = nxt
         frontier = nxt.select("id")
+    if prev_frontier is not None:
+        prev_frontier.unpersist()
     e.unpersist()
     return dist

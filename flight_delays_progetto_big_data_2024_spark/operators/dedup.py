@@ -506,10 +506,20 @@ def _bit_masks() -> list[int]:
     return [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
 
 
+#: Engine-portable 60-bit token hash (Spark SQL form): md5 is defined
+#: identically everywhere, and 15 hex chars (60 bits) always fit a
+#: signed BIGINT, so DuckDB's ``('0x'||substr(md5(t),1,15))::BIGINT``
+#: reproduces it bit-for-bit. Default stays xxhash64 (~2-3x faster
+#: JVM-side) for the 100 TB path; use this form where an external
+#: engine must replay the signature pipeline value-for-value.
+PORTABLE_TOKEN_HASH_SQL = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash_sql: str = "xxhash64(t)",
 ) -> DataFrame:
     """(id, sh) SimHash relation, computed in ONE pass over the token
     stream: explode token hashes to rows, take the 64 per-bit ±1 votes
@@ -537,7 +547,9 @@ def simhash_signatures(
     # sign-bit mask (the min-long literal itself doesn't parse).
     hashes = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("toks")
-    ).selectExpr("id", "explode_outer(transform(toks, t -> xxhash64(t))) AS h")
+    ).selectExpr(
+        "id", f"explode_outer(transform(toks, t -> {token_hash_sql})) AS h"
+    )
     counts = hashes.groupBy("id").agg(
         F.expr("count(h) AS n"),
         *[F.expr(f"sum(shiftrightunsigned(h, {j}) & 1) AS c{j}") for j in range(64)],
@@ -556,6 +568,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 7,
     blocks: int = 8,
+    token_hash_sql: str = "xxhash64(t)",
 ) -> DataFrame:
     """All pairs within Hamming distance ≤ max_hamming of their 64-bit
     SimHash. Pigeonhole blocking: with ``blocks`` equal bit-blocks, any
@@ -564,7 +577,7 @@ def simhash_near_dups(
     max_hamming ≤ blocks-1 — this is exact, not approximate."""
     assert max_hamming < blocks, "pigeonhole guarantee needs max_hamming < blocks"
     width = 64 // blocks
-    docs = simhash_signatures(df, id_col, text_col)
+    docs = simhash_signatures(df, id_col, text_col, token_hash_sql)
     mask = (1 << width) - 1
     blocked = docs.select(
         "id",

@@ -304,6 +304,8 @@ def heavy_hitter_terms(
         for pdf in batches:
             batch_counts: Counter = Counter()
             for arr in pdf["toks"]:
+                if arr is None:  # null text row -> null token array
+                    continue
                 batch_counts.update(arr)
             n_local += sum(batch_counts.values())
             counters = _mg_merge(counters, batch_counts, k)

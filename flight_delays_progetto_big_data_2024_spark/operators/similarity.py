@@ -444,8 +444,13 @@ def blocked_cosine_histogram(
                     keep = ids_a[:, None] < ids_b[None, :]
                 else:
                     keep = np.ones_like(cos, dtype=bool)
-                # mirror F.round (HALF_UP) then floor into 0.1 buckets
-                vals = np.floor(np.floor(cos[keep] * 1e6 + 0.5) / 1e6 * 10)
+                # mirror F.round (HALF_UP = half away from zero) then
+                # floor into 0.1 buckets; np.floor(x*1e6+0.5) alone
+                # rounds half-ties toward +inf, which diverges from
+                # Spark for negative cosines exactly on a half-ulp
+                c = cos[keep]
+                rounded = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+                vals = np.floor(rounded * 10)
                 for bucket, cnt in zip(*np.unique(vals, return_counts=True)):
                     counts[int(bucket)] = counts.get(int(bucket), 0) + int(cnt)
             yield pd.DataFrame(

@@ -30,6 +30,7 @@ from flight_delays_progetto_big_data_2024_spark.operators.curation import (
     curation_funnel,
 )
 from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+    PORTABLE_TOKEN_HASH_SQL,
     cross_corpus_containment,
     dedup_exact,
     jaccard_pairs,
@@ -50,6 +51,7 @@ from flight_delays_progetto_big_data_2024_spark.operators.sampling import (
     stratified_sample,
 )
 from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+    _hyperplanes,
     cosine_topk,
     embedding_near_dup_pairs,
     lsh_topk,
@@ -590,10 +592,11 @@ def q60_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a AS (
         SELECT count(*) AS raw,
-               sum(CASE WHEN lang_known THEN 1 ELSE 0 END) AS lang_known,
-               sum(CASE WHEN lang_known AND length_ok THEN 1 ELSE 0 END) AS length_ok,
+               sum(CASE WHEN lang_known THEN 1 ELSE 0 END)::BIGINT AS lang_known,
+               sum(CASE WHEN lang_known AND length_ok THEN 1 ELSE 0 END)::BIGINT
+                   AS length_ok,
                sum(CASE WHEN lang_known AND length_ok AND quality_ok
-                        THEN 1 ELSE 0 END) AS quality_ok,
+                        THEN 1 ELSE 0 END)::BIGINT AS quality_ok,
                count(DISTINCT CASE WHEN lang_known AND length_ok AND quality_ok
                                    THEN fp END) AS deduped
         FROM f
@@ -704,7 +707,7 @@ def q63_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shard,
            floor((running - length) / 512)::BIGINT AS bin,
            count(*) AS n_docs,
-           sum(length) AS n_tokens,
+           sum(length)::BIGINT AS n_tokens,
            round(sum(length) / 512.0, 6) AS fill_ratio
     FROM w
     GROUP BY shard, bin
@@ -725,29 +728,141 @@ def q64_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, budget=512)
 
 
-@register("q33_minhash_lsh_near_dups")
+@register(
+    "q33_minhash_lsh_near_dups",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
 def q33_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard —
-    the sub-quadratic near-dedup path. xxhash64-based signatures have no
-    DuckDB equivalent → rows-only for the driver; pytest checks
-    precision=1 and recall vs q32 on the same data."""
+    the sub-quadratic near-dedup path. The oracle is the IDEAL output
+    (brute-force exact Jaccard ≥ 0.5): precision is 1.0 by construction
+    (candidates are re-verified exactly), so a value match additionally
+    certifies recall = 1.0 on this corpus — every real near-dup pair
+    here has J ≥ 0.88, where the 16-band/4-row collision probability is
+    1-(1-J⁴)¹⁶ > 0.9998. A hash mismatch against this oracle is a
+    banding-recall regression, which is exactly what it should flag."""
     cat = Catalog(spark, sf_dir)
     return minhash_near_dups(cat.documents, "doc_id", "text", k=3, threshold=0.5)
 
 
-@register("q34_simhash_near_dups")
+def _simhash_portable_oracle_sql(max_hamming: int = 7) -> str:
+    """DuckDB SQL replaying the ENTIRE portable-hash SimHash pipeline:
+    tokenize → 60-bit md5 token hash → per-bit majority votes → 64-bit
+    signature → brute-force Hamming pairs. Brute force is fine for the
+    oracle (sf0.01 = 125k pairs); the Spark side's pigeonhole block join
+    is exact at this radius, so outputs must agree value-for-value."""
+    tok_hash = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    counts = ",\n               ".join(
+        f"sum((h >> {j}) & 1) AS c{j}" for j in range(60)
+    )
+    bits = "\n               | ".join(
+        f"(CASE WHEN 2 * c{j} > n THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(60)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {tok_hash} AS h FROM t),
+    c AS (
+        SELECT doc_id, count(*) AS n,
+               {counts}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               {bits} AS sh
+        FROM c
+        UNION ALL
+        SELECT doc_id, 0::BIGINT AS sh
+        FROM documents WHERE coalesce(len({_TOKS_SQL}), 0) = 0
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+    FROM p WHERE hamming <= {max_hamming}
+    """
+
+
+@register("q34_simhash_near_dups", sql=_simhash_portable_oracle_sql(7))
 def q34_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 pairs within Hamming ≤ 7 via pigeonhole block join —
-    exact for that radius by construction (rows-only: xxhash64)."""
+    exact for that radius by construction. Registered with the
+    engine-portable md5-60-bit token hash (PORTABLE_TOKEN_HASH_SQL) so
+    DuckDB replays signatures bit-for-bit and the driver value-checks
+    the WHOLE pipeline, not just row counts; the xxhash64 default
+    (~2-3x faster hashing) stays the 100 TB path and is cross-checked
+    against the expression form in pytest."""
     cat = Catalog(spark, sf_dir)
-    return simhash_near_dups(cat.documents, "doc_id", "text")
+    return simhash_near_dups(
+        cat.documents, "doc_id", "text", token_hash_sql=PORTABLE_TOKEN_HASH_SQL
+    ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
-@register("q35_embedding_lsh_topk")
+def _lsh_topk_oracle_sql(k: int = 5, n_planes: int = 4) -> str:
+    """DuckDB SQL replaying hyperplane-LSH top-k exactly: the seeded
+    hyperplanes are inlined as float literals (repr round-trips), bucket
+    bits from the same sign tests, multi-probe = bucket + all 1-bit
+    flips, exact-cosine re-rank. Deterministic end to end, so this is a
+    full value oracle even though LSH recall < 1 vs brute force."""
+    planes = _hyperplanes(64, n_planes, 42)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    bucket = "\n             | ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    probes = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+    WITH n AS ({_EMB_PREP_SQL}),
+    b AS (
+        SELECT vec_id, v, nrm,
+               ({bucket})::BIGINT AS bucket
+        FROM n
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+        FROM b WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, qv, qn, unnest([{probes}]) AS bucket FROM q
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS candidate_id,
+               round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6) AS cosine
+        FROM probes p JOIN b c USING (bucket)
+        WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, candidate_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@register("q35_embedding_lsh_topk", sql=_lsh_topk_oracle_sql(5, 4))
 def q35_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (multi-probe) — the scale path
-    for similarity search. Rows-only for the driver (recall < 1 by
-    design); pytest measures recall against exact q30."""
+    for similarity search. Fully deterministic under the fixed seed, so
+    the oracle replays the SAME LSH (inlined plane literals) in DuckDB
+    and value-checks candidates + re-ranked scores; pytest separately
+    measures recall against exact q30."""
     cat = Catalog(spark, sf_dir)
     emb = cat.embeddings
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4)

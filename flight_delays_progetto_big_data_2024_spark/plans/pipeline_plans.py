@@ -206,30 +206,31 @@ def q55_kafka_feed_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH row_rules AS (
         SELECT * FROM (
             SELECT 'quantity_positive' AS rule,
-                   sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS violations,
+                   sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END)::BIGINT
+                       AS violations,
                    count(*) AS total
             FROM lineitem
             UNION ALL
             SELECT 'discount_in_range',
-                   sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.3) THEN 1 ELSE 0 END),
+                   sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.3) THEN 1 ELSE 0 END)::BIGINT,
                    count(*)
             FROM lineitem
             UNION ALL
             SELECT 'returnflag_in_set',
-                   sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END),
+                   sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END)::BIGINT,
                    count(*)
             FROM lineitem
             UNION ALL
             SELECT 'shipdate_non_null',
-                   sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(*)
             FROM lineitem
         )
     ),
     uniq AS (
         SELECT 'unique_order_line' AS rule,
-               coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS violations,
-               coalesce(sum(n), 0) AS total
+               coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)::BIGINT AS violations,
+               coalesce(sum(n), 0)::BIGINT AS total
         FROM (SELECT count(*) AS n FROM lineitem
               GROUP BY l_orderkey, l_linenumber)
     )

@@ -305,7 +305,7 @@ def q69_promo_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT version,
            count(*) AS n_rows,
-           sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+           sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_current,
            round(avg(date_diff('microsecond', valid_from, valid_to)
                      / 3600000000.0), 4) AS avg_hours_valid,
            round(avg(value), 6) AS avg_value
