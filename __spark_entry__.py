@@ -98,6 +98,10 @@ VERIFY_FIRST: list[str] = [
 #: q67/q84/q91 lag/rolling windows ~ q51), and all pass the in-repo
 #: oracle sweep.
 VERIFY_NEXT: list[str] = [
+    "q114_cosine_histogram_sampled",  # new in r2 (sampled q31 variant)
+    "q115_embedding_near_dup_clusters",  # new in r2 (semantic dedup)
+    "q116_token_entropy_by_source",  # new in r2 (lexical diversity)
+    "q117_zipf_slope",  # new in r2 (corpus health fit)
     "q36_event_dedup_earliest",
     "q67_daily_event_delta",
     "q75_token_length_histogram",

@@ -382,6 +382,42 @@ def kmeans_lloyd(
     return assign
 
 
+def _block_pairs(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int
+) -> DataFrame:
+    """Shared prep for the blocked all-pairs GEMM operators: hash rows
+    into ``n_blocks`` packed blocks (one O(n·d) shuffle) and join block
+    PAIRS (ba <= bb) so each unordered block combination meets exactly
+    once. The packed relation is persisted — both sides of the
+    self-join read the SAME cache entry; without it each side re-scans
+    the corpus and re-runs the pack aggregation (the broadcast and
+    shuffle exchanges differ, so Spark can't ReuseExchange them)."""
+    prep = _prep(df, id_col, vec_col)
+    packed = (
+        prep.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vs"),
+            F.collect_list("nrm").alias("ns"),
+        )
+        .persist()
+    )
+    a = packed.select(
+        F.col("blk").alias("ba"),
+        F.col("ids").alias("ids_a"),
+        F.col("vs").alias("vs_a"),
+        F.col("ns").alias("ns_a"),
+    )
+    b = packed.select(
+        F.col("blk").alias("bb"),
+        F.col("ids").alias("ids_b"),
+        F.col("vs").alias("vs_b"),
+        F.col("ns").alias("ns_b"),
+    )
+    return a.join(b, F.col("ba") <= F.col("bb"))
+
+
 def blocked_cosine_histogram(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -405,29 +441,7 @@ def blocked_cosine_histogram(
     """
     import pandas as pd
 
-    prep = _prep(df, id_col, vec_col)
-    packed = (
-        prep.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
-        .groupBy("blk")
-        .agg(
-            F.collect_list("id").alias("ids"),
-            F.collect_list("v").alias("vs"),
-            F.collect_list("nrm").alias("ns"),
-        )
-    )
-    a = packed.select(
-        F.col("blk").alias("ba"),
-        F.col("ids").alias("ids_a"),
-        F.col("vs").alias("vs_a"),
-        F.col("ns").alias("ns_a"),
-    )
-    b = packed.select(
-        F.col("blk").alias("bb"),
-        F.col("ids").alias("ids_b"),
-        F.col("vs").alias("vs_b"),
-        F.col("ns").alias("ns_b"),
-    )
-    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+    pairs = _block_pairs(df, id_col, vec_col, n_blocks)
 
     def gemm(batches):
         import numpy as np
@@ -463,3 +477,111 @@ def blocked_cosine_histogram(
         .agg(F.sum("n_partial").alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup PAIRS: every unordered (id_a <
+    id_b) pair whose rounded cosine >= ``threshold``, via the same
+    blocked-GEMM plan as the histogram — output volume is bounded by
+    the match count, not the pair count, so only the GEMM itself is
+    quadratic.
+
+    100 TB posture: this exact enumerator is the oracle / profile-scale
+    path and the recall-1 reference for tuning. At full corpus scale
+    route candidate generation through ``lsh_topk``'s hyperplane
+    buckets (sub-quadratic, recall < 1) or raise ``n_blocks`` with a
+    corpus pre-sample — the quadratic GEMM over 10^9 vectors does not
+    run no matter how it's blocked, and the system is honest about
+    that (same caveat as blocked_cosine_histogram).
+    """
+    import pandas as pd
+
+    pairs = _block_pairs(df, id_col, vec_col, n_blocks)
+
+    def gemm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_c: list[float] = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a)
+                ids_b = np.asarray(row.ids_b)
+                va = np.vstack(row.vs_a)
+                vb = np.vstack(row.vs_b)
+                cos = (va @ vb.T) / np.outer(np.asarray(row.ns_a), np.asarray(row.ns_b))
+                # round half away from zero (Spark/DuckDB double semantics)
+                rounded = np.sign(cos) * np.floor(np.abs(cos) * 10**scale + 0.5) / 10**scale
+                keep = rounded >= threshold
+                if row.ba == row.bb:
+                    keep &= ids_a[:, None] < ids_b[None, :]
+                ia, ib = np.nonzero(keep)
+                if ia.size:
+                    left = ids_a[ia]
+                    right = ids_b[ib]
+                    # canonical id order regardless of block assignment
+                    lo = np.minimum(left, right)
+                    hi = np.maximum(left, right)
+                    out_a.extend(lo.tolist())
+                    out_b.extend(hi.tolist())
+                    out_c.extend(rounded[keep].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return pairs.mapInPandas(gemm, "id_a long, id_b long, cosine double")
+
+
+def sampled_cosine_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_hex_lt: str = "4",
+    n_blocks: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Estimated all-pairs cosine histogram from a DETERMINISTIC row
+    sample — the 100 TB form of the pair-distribution diagnostic.
+
+    ``blocked_cosine_histogram`` is exact but quadratic by semantics:
+    at n = 10^9 vectors there are ~5·10^17 pairs and no blocking factor
+    saves it. The profiling question it answers ("where do cosines
+    concentrate, where should the near-dup threshold sit?") only needs
+    the DISTRIBUTION, which a uniform pair sample estimates with
+    ±1/sqrt(count) relative error per bucket. So: keep rows whose
+    ``md5(id)`` first hex digit is < ``sample_hex_lt`` (rate p = h/16
+    for h = int(sample_hex_lt, 16) — content-addressed, layout- and
+    engine-invariant, replayable by the DuckDB oracle), run the exact
+    blocked histogram on the sample, and scale each bucket count by
+    1/p² (a pair survives iff both endpoints do, independently under
+    md5). ``est_pairs`` is an unbiased estimator of the exact bucket
+    count; relative CI half-width ≈ 1.96/sqrt(n_sampled) per bucket.
+
+    When to use which at 100 TB: this sampled variant for threshold
+    profiling (cost O((pn)²) — p = 1/16 cuts the GEMM work 256×;
+    smaller p for bigger corpora); the exact variant only when every
+    pair is genuinely needed downstream, i.e. never at full corpus
+    scale — route exact pair enumeration through the LSH/banded
+    operators instead, which bound cost by collision structure.
+    """
+    p_num = int(sample_hex_lt, 16)
+    inv_p2 = (16 * 16) // (p_num * p_num) if (16 % p_num == 0) else None
+    sample = df.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) < sample_hex_lt
+    )
+    hist = blocked_cosine_histogram(sample, id_col, vec_col, n_blocks, scale)
+    if inv_p2 is not None:
+        est = (F.col("n_pairs") * F.lit(inv_p2)).cast("long")
+    else:
+        est = F.round(F.col("n_pairs") * F.lit(256.0 / (p_num * p_num))).cast("long")
+    return hist.select(
+        "bucket",
+        F.col("n_pairs").alias("n_sampled"),
+        est.alias("est_pairs"),
+    ).orderBy("bucket")

@@ -68,10 +68,19 @@ def q20_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphframes_flights.py:44,131) as an iterative DataFrame loop with
     lineage truncation; GraphX/GraphFrames static semantics."""
     cat = Catalog(spark, sf_dir)
-    # 25-vertex graph: pin loop exchanges narrow (see pagerank docstring
-    # — iterative jobs pay scheduling cost per iteration; width should
-    # track graph size, not the session shuffle default)
-    ranks = pagerank(_nation_edges(cat), RESET_PROB, MAX_ITER, num_partitions=4)
+    # 25-vertex graph: pin loop exchanges to ONE partition (see pagerank
+    # docstring — iterative jobs pay scheduling cost per iteration; width
+    # should track graph size, not the session shuffle default) and
+    # checkpoint at the measured sweet spot (interval 5: fewer eager
+    # materializations than 3, without the plan-analysis blowup of
+    # never checkpointing — 3.1s vs 4.0s vs 5.4s at sf0.1)
+    ranks = pagerank(
+        _nation_edges(cat),
+        RESET_PROB,
+        MAX_ITER,
+        num_partitions=1,
+        checkpoint_interval=5,
+    )
     return (
         ranks.select(
             F.col("id").alias("nation"), F.round("pagerank", 6).alias("pagerank")
@@ -276,7 +285,12 @@ def q105_weighted_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("l_quantity").alias("w"))
     )
     ranks = pagerank(
-        edges, RESET_PROB, MAX_ITER, num_partitions=4, weight_col="w"
+        edges,
+        RESET_PROB,
+        MAX_ITER,
+        num_partitions=1,
+        checkpoint_interval=5,
+        weight_col="w",
     )
     return (
         ranks.select(

@@ -2095,3 +2095,198 @@ def q109_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q114_cosine_histogram_sampled",
+    sql=f"""
+    WITH n AS (
+        SELECT * FROM ({_EMB_PREP_SQL})
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+    ),
+    pairs AS (
+        SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(cosine * 10) AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n_sampled,
+           (count(*) * 16)::BIGINT AS est_pairs
+    FROM pairs GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q114_cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated cosine-pair histogram from a deterministic md5 row
+    sample (rate 4/16) — the variant of q31 that still runs at 100 TB.
+    The exact all-pairs form is quadratic by semantics; this keeps the
+    same blocked-GEMM plan but only over the sampled rows (256× less
+    GEMM work at rate 1/16... here 1/4 → 16×) and reports both the
+    sampled bucket counts and the 1/p²-scaled unbiased estimate. The
+    oracle replays the identical md5 row filter, so the comparison is
+    exact, not statistical (operators.similarity.sampled_cosine_histogram)."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        sampled_cosine_histogram,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    return sampled_cosine_histogram(cat.embeddings)
+
+
+@register(
+    "q115_embedding_near_dup_clusters",
+    sql=f"""
+    WITH RECURSIVE n AS ({_EMB_PREP_SQL}),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+    ),
+    e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION
+        SELECT id_b AS u, id_a AS v FROM p
+    ),
+    r(id, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.u, r.comp FROM e JOIN r ON r.id = e.v
+    )
+    SELECT id AS vec_id, min(comp) AS cluster_id, id = min(comp) AS is_kept
+    FROM r GROUP BY id
+    """,
+)
+def q115_embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup collapse — the semantic-dedup analogue
+    of q58's lexical version: exact cosine pairs >= 0.35
+    (operators.similarity.cosine_pairs, blocked GEMM) become undirected
+    edges; connected components label each vector with its cluster's
+    min id; one representative (is_kept) survives per cluster. The
+    0.35 threshold sits at the ~99.9th percentile of this corpus's pair
+    distribution (profiled via q114) — in production the threshold
+    comes from exactly that histogram read. Oracle = DuckDB
+    recursive-CTE reachability over the same exact pair predicate."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = cosine_pairs(cat.embeddings, threshold=0.35)
+    cc = connected_components(
+        pairs,
+        "id_a",
+        "id_b",
+        vertices=cat.embeddings.select(F.col("vec_id").alias("id")),
+    )
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    )
+
+
+@register(
+    "q116_token_entropy_by_source",
+    sql=f"""
+    WITH tok AS (
+        SELECT source, doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT source, doc_id, term, count(*) AS c
+        FROM tok GROUP BY source, doc_id, term
+    ),
+    per_doc AS (
+        SELECT source, doc_id,
+               sum(c)::BIGINT AS n,
+               count(*)::BIGINT AS n_types,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+               round(count(*)::DOUBLE / sum(c), 6) AS ttr
+        FROM tf GROUP BY source, doc_id
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(avg(entropy), 6) AS avg_entropy,
+           round(avg(ttr), 6) AS avg_ttr
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q116_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document (H = ln n - Σc·ln c / n, the
+    numerically stable form) and type-token ratio, averaged per source
+    — the lexical-diversity quality signal that separates template/spam
+    sources from natural text in a curation pipeline. Two keyed
+    shuffles (doc×term, then doc), both map-side combinable; per-doc
+    values round at 1e-6 before the source average so both engines
+    aggregate identical multisets."""
+    cat = Catalog(spark, sf_dir)
+    tf = (
+        cat.documents.select(
+            "source", "doc_id", F.explode(tokens("text")).alias("term")
+        )
+        .groupBy("source", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tf.groupBy("source", "doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q117_zipf_slope",
+    sql=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*)::BIGINT AS freq FROM tok GROUP BY term),
+    top AS (
+        SELECT term, freq,
+               row_number() OVER (ORDER BY freq DESC, term) AS rnk
+        FROM tf ORDER BY freq DESC, term LIMIT 100
+    )
+    SELECT count(*)::BIGINT AS n_terms,
+           round(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(freq), ln(rnk)), 6) AS zipf_intercept
+    FROM top
+    """,
+)
+def q117_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-100 term frequencies: OLS slope of
+    ln(freq) on ln(rank) — the corpus-health diagnostic (natural text
+    sits near -1; template/boilerplate corpora flatten). The top-k is a
+    TakeOrderedAndProject (distributed, no full-vocabulary window); the
+    rank window then runs over exactly 100 rows, so the unpartitioned
+    Window is O(k), not a single-task funnel over the vocabulary."""
+    tf = (
+        Catalog(spark, sf_dir)
+        .documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "term").limit(100)
+    from pyspark.sql.window import Window
+
+    ranked = top.select(
+        "freq", F.row_number().over(Window.orderBy(F.desc("freq"), "term")).alias("rnk")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 6).alias("zipf_slope"),
+        F.round(
+            F.regr_intercept(F.log("freq"), F.log("rnk")), 6
+        ).alias("zipf_intercept"),
+    )

@@ -298,3 +298,47 @@ def test_kmeans_lloyd_separates_obvious_clusters(spark):
         }
         assert {got[i] for i in (0, 2, 3, 4)} == {0}
         assert {got[i] for i in (1, 5, 6, 7)} == {1}
+
+
+def test_cosine_pairs_exact_and_canonical(spark):
+    """cosine_pairs must enumerate exactly the >=threshold pairs, once
+    each, in canonical id_a < id_b order, regardless of which hash block
+    the ids land in."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    pts = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),   # ~parallel to 0
+        (2, [0.0, 1.0]),      # orthogonal to 0/1
+        (3, [0.0, 0.998]),    # ~parallel to 2
+        (4, [-1.0, 0.0]),     # anti-parallel to 0
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    rows = cosine_pairs(df, threshold=0.9, n_blocks=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == {(0, 1), (2, 3)}
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["cosine"] >= 0.9 for r in rows)
+    # threshold low enough to include anti-parallel: still canonical
+    all_rows = cosine_pairs(df, threshold=-1.0, n_blocks=3).collect()
+    assert len(all_rows) == 10  # C(5,2), each unordered pair exactly once
+    assert len({(r["id_a"], r["id_b"]) for r in all_rows}) == 10
+
+
+def test_sampled_histogram_buckets_subset_of_exact(spark):
+    """The md5 row-sample's bucket counts can never exceed the exact
+    histogram's, and est_pairs is exactly 16x the sampled count."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        blocked_cosine_histogram,
+        sampled_cosine_histogram,
+    )
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+    from tests.conftest import SF_DIR
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    exact = {r["bucket"]: r["n_pairs"] for r in blocked_cosine_histogram(emb).collect()}
+    for r in sampled_cosine_histogram(emb).collect():
+        assert r["n_sampled"] <= exact.get(r["bucket"], 0)
+        assert r["est_pairs"] == 16 * r["n_sampled"]

@@ -101,3 +101,40 @@ def test_kmeans_broadcasts_centroids_not_vectors(spark):
 def test_referential_integrity_anti_joins(spark):
     plan = _plan(registry.QUERIES["q87_referential_integrity"](spark, SF))
     assert plan.count("LeftAnti") == 4, plan
+
+
+def test_jaccard_pairs_no_cartesian_product(spark):
+    """q32's candidate generation is an inverted-index equi-join on
+    shingle — a CartesianProduct/NestedLoop between document sides means
+    the index degenerated to all-pairs."""
+    plan = _plan(registry.QUERIES["q32_ngram_jaccard_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_blocked_histogram_joins_only_block_summaries(spark):
+    """q31's only theta join (blk <= blk) must run over the n_blocks-row
+    packed summaries, AFTER the collect_list aggregation, and both join
+    sides must read the PERSISTED packed relation (InMemoryTableScan) —
+    otherwise the corpus is scanned and pack-aggregated twice."""
+    plan = _plan(registry.QUERIES["q31_embedding_cosine_histogram"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # bounded block-pair join
+    assert "MapInPandas" in plan, plan
+    assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_sampled_histogram_pushes_sample_filter_to_scan(spark):
+    """q114's md5 row-sample must filter BEFORE the pack/GEMM (scan-level
+    Filter), so the quadratic stage only ever sees the sample."""
+    df = registry.QUERIES["q114_cosine_histogram_sampled"](spark, SF)
+    plan = _plan(df)
+    assert re.search(r"Filter .*md5", plan), plan
+    assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_pagerank_loop_width_is_pinned(spark):
+    """q20 pins the iterative exchanges narrow (25-vertex graph);
+    inheriting the session's 8-32 shuffle partitions multiplies
+    empty-task scheduling cost by iterations."""
+    df = registry.QUERIES["q20_nation_pagerank"](spark, SF)
+    assert df.rdd.getNumPartitions() <= 8
