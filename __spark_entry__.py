@@ -102,6 +102,12 @@ VERIFY_NEXT: list[str] = [
     "q115_embedding_near_dup_clusters",  # new in r2 (semantic dedup)
     "q116_token_entropy_by_source",  # new in r2 (lexical diversity)
     "q117_zipf_slope",  # new in r2 (corpus health fit)
+    "q118_corpus_merge_upsert",  # new in r2 (CDC MERGE shape)
+    "q119_hourly_event_ohlc",  # new in r2 (window value functions)
+    "q120_ivf_recall_at_k",  # new in r2 (ANN eval harness)
+    "q121_dup_rate_by_source",  # new in r2 (dedup analytics)
+    "q122_group_holdout_split",  # new in r2 (leakage-safe group split)
+    "q123_cluster_safe_split",  # new in r2 (contamination-safe split)
     "q36_event_dedup_earliest",
     "q67_daily_event_delta",
     "q75_token_length_histogram",

@@ -187,3 +187,29 @@ def asof_join(
     for c in carried:
         out = out.withColumn(c, F.col("__carry").getField(c))
     return out.drop("__side", "__carry")
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """CDC MERGE: apply a change batch (upserts + deletes) to a snapshot
+    in one pass — the Delta/Iceberg ``MERGE INTO`` shape expressed as
+    pure DataFrame ops. Rows whose key appears in the batch drop out of
+    the target (left anti); non-delete change rows come back in. Net:
+    deletes disappear, updates are replaced, inserts appended.
+
+    The change batch must carry at most one row per key (enforce
+    upstream — CDC compaction by max LSN — or this union keeps all of
+    them). At 100 TB both sides shuffle once on ``key``; with bucketed
+    tables on ``key`` the anti-join is shuffle-free, which is why
+    snapshot tables in an incremental corpus pipeline should be
+    bucketed by document id.
+    """
+    change_keys = changes.select(key)
+    kept = target.join(change_keys, key, "left_anti")
+    incoming = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+    return kept.unionByName(incoming)

@@ -2290,3 +2290,199 @@ def q117_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_intercept(F.log("freq"), F.log("rnk")), 6
         ).alias("zipf_intercept"),
     )
+
+
+@register(
+    "q121_dup_rate_by_source",
+    sql=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                    6) >= 0.5
+    ),
+    e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION
+        SELECT id_b AS u, id_a AS v FROM p
+    ),
+    r(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.comp FROM e JOIN r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM r GROUP BY id),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id)
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN s.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_in_dup_clusters,
+           sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_removable,
+           round(sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_rate
+    FROM comp c
+    JOIN sizes s ON s.cluster_id = c.cluster_id
+    JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q121_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ANALYTICS: which sources are polluting the corpus? Joins
+    q58's near-dup clusters back to document provenance and reports,
+    per source, how many docs sit in multi-doc clusters and how many a
+    keep-min-id collapse would remove — the report that drives
+    source-level crawl policy. Cluster labels are O(docs) after the
+    pair stage, so the added cost over q58 is two broadcast-sized
+    joins and a source rollup."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    cc = connected_components(
+        pairs, "id_a", "id_b",
+        vertices=docs.select(F.col("doc_id").alias("id")),
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    labeled = (
+        cc.join(sizes, "component")
+        .join(docs.select("doc_id", "source"), cc["id"] == F.col("doc_id"))
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias(
+                "n_in_dup_clusters"
+            ),
+            F.sum(
+                F.when(F.col("id") != F.col("component"), 1).otherwise(0)
+            ).alias("n_removable"),
+            F.round(
+                F.sum(F.when(F.col("id") != F.col("component"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q122_group_holdout_split",
+    sql=f"""
+    WITH s AS (
+        SELECT CASE
+                 WHEN substr(md5(source), 1, 4) < 'cccc' THEN 'train'
+                 WHEN substr(md5(source), 1, 4) < 'e666' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               source,
+               len({_TOKS_SQL}) AS n_toks
+        FROM documents
+    )
+    SELECT split,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(*)::BIGINT AS n_docs,
+           round(avg(n_toks), 4) AS avg_tokens
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def q122_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level train/val/test assignment: the split key is the
+    SOURCE, not the document, so every document of a source lands in
+    the same split — the standard defense against near-dup leakage
+    across splits when a source re-publishes the same content (row-
+    level splits leak; q57 is the row-level variant). Same
+    content-deterministic md5 bucketing (operators.sampling.hash_split
+    with id_col='source'), still a pure projection — no shuffle."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        hash_split(cat.documents, id_col="source")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "q123_cluster_safe_split",
+    sql=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                    6) >= 0.5
+    ),
+    e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION
+        SELECT id_b AS u, id_a AS v FROM p
+    ),
+    r(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.comp FROM e JOIN r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM r GROUP BY id),
+    s AS (
+        SELECT CASE
+                 WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < 'cccc' THEN 'train'
+                 WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               cluster_id, doc_id
+        FROM comp
+    )
+    SELECT split,
+           count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_docs
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def q123_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe split: the split key is the NEAR-DUP CLUSTER
+    id, so a document and its near-duplicates can never straddle
+    train/test — the leakage that silently inflates eval scores when
+    dedup and splitting are run independently. Composition of q58's
+    connected components with q57's deterministic hash split, keyed on
+    the cluster label instead of the doc id."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    cc = connected_components(
+        pairs, "id_a", "id_b",
+        vertices=docs.select(F.col("doc_id").alias("id")),
+    )
+    split = hash_split(
+        cc.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        ),
+        id_col="cluster_id",
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+            ).alias("n_dup_docs"),
+        )
+        .orderBy("split")
+    )

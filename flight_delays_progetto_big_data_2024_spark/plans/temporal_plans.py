@@ -661,3 +661,200 @@ def q107_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.percentile("h", F.lit(0.9)), 4).alias("p90_hours"),
         )
     )
+
+
+@register(
+    "q118_corpus_merge_upsert",
+    sql="""
+    WITH chg AS (
+        SELECT doc_id, text, lang, source, n_chars, 'delete' AS op
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id, upper(text), lang, source, n_chars, 'upsert'
+        FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, 'ingest_batch', n_chars, 'upsert'
+        FROM documents WHERE doc_id % 13 = 0
+    ),
+    merged AS (
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d ANTI JOIN chg c ON d.doc_id = c.doc_id
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars FROM chg WHERE op <> 'delete'
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(len(text))::BIGINT AS sum_chars,
+           sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END)::BIGINT AS n_upper
+    FROM merged GROUP BY source ORDER BY source
+    """,
+)
+def q118_corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot maintenance — the Delta/Iceberg MERGE INTO
+    shape as pure DataFrame ops (operators.temporal.merge_upsert): a
+    deterministic CDC batch (deletes doc_id%11, uppercasing updates
+    doc_id%7, appends doc_id%13 under a new source) applies to the
+    documents snapshot in one anti-join + union pass; the per-source
+    profile of the merged snapshot is the value probe. At 100 TB the
+    snapshot lives bucketed by doc_id so the anti-join is
+    shuffle-free per batch."""
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        merge_upsert,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    deletes = docs.filter(F.col("doc_id") % 11 == 0).withColumn("op", F.lit("delete"))
+    updates = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0))
+        .withColumn("text", F.upper("text"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("ingest_batch"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    merged = merge_upsert(docs, changes, "doc_id")
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.sum(
+                F.when(F.col("text") == F.upper("text"), 1).otherwise(0)
+            ).alias("n_upper"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q119_hourly_event_ohlc",
+    sql="""
+    SELECT DISTINCT
+        date_trunc('hour', ts) AS bucket_hour,
+        first_value(value) OVER w AS open,
+        max(value) OVER w AS high,
+        min(value) OVER w AS low,
+        last_value(value) OVER w AS close,
+        nth_value(value, 2) OVER w AS second_fill,
+        count(*) OVER w AS volume
+    FROM events
+    WINDOW w AS (
+        PARTITION BY date_trunc('hour', ts)
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    ORDER BY bucket_hour
+    """,
+)
+def q119_hourly_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling of the event value stream — the window
+    VALUE-function surface (first_value/last_value/nth_value with an
+    explicit unbounded ROWS frame; Spark's default frame for last_value
+    stops at CURRENT ROW, the classic silent-wrong-answer). Ordering
+    ties break on event_id so both engines pick identical rows. One
+    shuffle on the hour bucket; the distinct collapses the per-row
+    window output to one row per bucket."""
+    from pyspark.sql.window import Window
+
+    events = Catalog(spark, sf_dir).events
+    h = F.date_trunc("hour", F.col("ts"))
+    w = (
+        Window.partitionBy(h)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            h.alias("bucket_hour"),
+            F.first("value").over(w).alias("open"),
+            F.max("value").over(w).alias("high"),
+            F.min("value").over(w).alias("low"),
+            F.last("value").over(w).alias("close"),
+            F.nth_value("value", 2).over(w).alias("second_fill"),
+            F.count(F.lit(1)).over(w).alias("volume"),
+        )
+        .distinct()
+        .orderBy("bucket_hour")
+    )
+
+
+_EXACT_TOPK_SQL = """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, candidate_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+"""
+
+
+@register(
+    "q120_ivf_recall_at_k",
+    sql=f"""
+    WITH exact AS ({_EXACT_TOPK_SQL}),
+    approx AS (SELECT query_id, candidate_id FROM ({_IVF_SQL}) t)
+    SELECT e.query_id,
+           count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN a.candidate_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_hit,
+           round(sum(CASE WHEN a.candidate_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.candidate_id = e.candidate_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def q120_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN EVALUATION harness: recall@5 of the IVF index against exact
+    brute-force ground truth, per query — the measurement loop every
+    production ANN deployment needs before trusting an index config
+    (n_cells/n_probe here). Both sides are deterministic, so the whole
+    eval is value-hash-checked. At 100 TB ground truth comes from a
+    query SAMPLE (exact top-k is one corpus pass per query batch —
+    affordable for eval-sized query sets, never for all queries)."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "candidate_id")
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).select(
+        "query_id", F.col("candidate_id").alias("hit_id")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["candidate_id"] == approx["hit_id"]),
+        "left",
+    ).select(exact["query_id"], "candidate_id", "hit_id")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+            F.round(
+                F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

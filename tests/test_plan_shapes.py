@@ -138,3 +138,19 @@ def test_pagerank_loop_width_is_pinned(spark):
     empty-task scheduling cost by iterations."""
     df = registry.QUERIES["q20_nation_pagerank"](spark, SF)
     assert df.rdd.getNumPartitions() <= 8
+
+
+def test_merge_upsert_plans_anti_join(spark):
+    """q118's MERGE must be one LeftAnti against the change keys plus a
+    union — a full outer join or cartesian means the CDC shape
+    regressed."""
+    plan = _plan(registry.QUERIES["q118_corpus_merge_upsert"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_group_split_is_pure_projection(spark):
+    """q122's split assignment must not shuffle before the aggregate:
+    exactly one exchange (the groupBy) on top of the scan."""
+    plan = _plan(registry.QUERIES["q122_group_holdout_split"](spark, SF))
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan

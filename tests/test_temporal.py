@@ -314,3 +314,21 @@ def test_scd2_versions_and_validity(spark):
     assert hist[(1, 2)]["value"] == "b" and hist[(1, 2)]["valid_to"] == hist[(1, 3)]["valid_from"]
     assert hist[(1, 3)]["value"] == "c" and hist[(1, 3)]["is_current"]
     assert hist[(2, 1)]["is_current"] and hist[(2, 1)]["valid_to"] is None
+
+
+def test_merge_upsert_semantics(spark):
+    """Deletes drop the key, updates replace in place, inserts append,
+    untouched rows survive byte-identical."""
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (9, "z", "upsert")],
+        "id long, val string, op string",
+    )
+    got = {r["id"]: r["val"] for r in merge_upsert(target, changes, "id").collect()}
+    assert got == {1: "a", 2: "B", 9: "z"}
