@@ -55,7 +55,16 @@ def _shingle_docs(
     text) materialized in its OWN projection via SHINGLE_PREP: embedded
     inside the higher-order shingling lambda, the interpreted evaluator
     recomputes the base once per array element — measured as ~half of
-    q32's runtime. Unknown shingle fns fall back to the embedded form."""
+    q32's runtime. Unknown shingle fns fall back to the embedded form.
+
+    Width guard: a small parquet scan arrives as ONE partition, which
+    would run all normalization/shingling single-threaded before the
+    first exchange. One doc-level repartition restores session width;
+    at real corpus scale the scan is already wide and nothing happens.
+    """
+    sess_width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < sess_width:
+        df = df.repartition(sess_width, id_col)
     prep = SHINGLE_PREP.get(shingle_fn)
     if prep is None:
         return df.select(
@@ -648,14 +657,22 @@ def winnowing_fingerprints(
     substring of >= w+k-1 chars yields a shared fingerprint at ~2/(w+1)
     the density of full k-gram hashing.
 
-    Implementation is ROW-based on purpose: posexplode the hash
-    sequence, sliding ``min`` window per document, distinct. The pure
-    array-expression form (functions.text.winnow_of) fuses into one
-    giant codegen unit whose compilation degenerates when combined with
-    downstream multi-aggregates; exploded rows keep every generated
-    function small, and the window/distinct shuffles are keyed by
-    document — fully parallel at any corpus size.
+    Execution: k-gram hashing stays JVM-side (md5 column expressions —
+    engine-portable, so the oracle can replay it), then the sliding-min
+    + per-doc dedup runs in ONE Arrow ``mapInPandas`` pass with ZERO
+    shuffles — winnowing is per-document, so no row ever needs to
+    leave its partition. The earlier posexplode + per-doc-window +
+    global-distinct form shuffled the full k-gram sequence twice
+    (~25M rows at sf0.1, 2-5x slower measured; unboundedly worse at
+    100 TB where the gram sequence is ~1000x the document bytes). The
+    pure array-expression form (functions.text.winnow_of) is also
+    avoided deliberately: fused into downstream multi-aggregates its
+    codegen unit degenerates (see verify SKILL known-hazard note).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
     from flight_delays_progetto_big_data_2024_spark.functions.text import (
         kgram_hashes_of,
         normalize_text,
@@ -666,23 +683,41 @@ def winnowing_fingerprints(
     normed = docs.select(
         id_col, *extra_cols, normalize_text(text_col).alias("__nm")
     )
+    # width guard: a small parquet scan arrives as ONE partition, which
+    # would serialize the hash+winnow work AND leave downstream joins
+    # over the (often persisted) output single-task. One doc-level
+    # shuffle restores the session width; at real corpus scale the scan
+    # is already wide and this is a no-op (no shuffle added).
+    sess_width = normed.sparkSession.sparkContext.defaultParallelism
+    if normed.rdd.getNumPartitions() < sess_width:
+        normed = normed.repartition(sess_width, id_col)
     hashed = normed.select(
         id_col, *extra_cols, kgram_hashes_of(F.col("__nm"), k).alias("__h")
     )
-    he = hashed.select(
-        id_col,
-        *extra_cols,
-        F.size("__h").alias("__n"),
-        F.posexplode("__h").alias("__j", "__hv"),
+    carry = [id_col, *extra_cols]
+    schema = StructType(
+        [hashed.schema[c] for c in carry]
+        + [StructField("fingerprint", StringType())]
     )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("__j")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    return (
-        he.withColumn("__wmin", F.min("__hv").over(win))
-        .filter(F.col("__j") <= F.greatest(F.col("__n") - w, F.lit(0)))
-        .select(id_col, *extra_cols, F.col("__wmin").alias("fingerprint"))
-        .distinct()
-    )
+
+    def winnow(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            outs: dict[str, list] = {c: [] for c in carry}
+            fps: list[str] = []
+            for *meta, h in zip(*[pdf[c] for c in carry], pdf["__h"]):
+                if h is None:  # null text -> null gram array, drop (as
+                    continue  # posexplode of null did)
+                h = np.asarray(h)
+                if h.size >= w:
+                    mins = sliding_window_view(h, w).min(axis=1)
+                else:
+                    mins = h.min(keepdims=True)
+                u = np.unique(mins)
+                for c, v in zip(carry, meta):
+                    outs[c].extend([v] * len(u))
+                fps.extend(u.tolist())
+            yield pd.DataFrame({**outs, "fingerprint": fps})
+
+    return hashed.mapInPandas(winnow, schema)
