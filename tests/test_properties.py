@@ -224,3 +224,82 @@ def test_range_join_buckets_matches_theta_join(spark, ts_offsets, intervals, buc
         if s <= t < e
     }
     assert got == want
+
+
+vectors_strategy = st.lists(
+    st.lists(
+        st.floats(-4, 4, allow_nan=False, width=32).map(lambda x: round(x, 3)),
+        min_size=3,
+        max_size=3,
+    ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vecs=vectors_strategy, threshold=st.sampled_from([-0.5, 0.0, 0.7, 0.95]))
+@settings(**_SETTINGS)
+def test_cosine_pairs_matches_bruteforce(spark, vecs, threshold):
+    import math
+
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, threshold, n_blocks=3).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        c = d / (na * nb)
+        return math.copysign(math.floor(abs(c) * 1e6 + 0.5) / 1e6, c)
+
+    want = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if cos(vecs[i], vecs[j]) >= threshold
+    }
+    assert got == want
+
+
+merge_target_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.text("ab", max_size=2)),
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+merge_changes_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 12),
+        st.text("xy", max_size=2),
+        st.sampled_from(["upsert", "delete"]),
+    ),
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(target=merge_target_strategy, changes=merge_changes_strategy)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_dict_reference(spark, target, changes):
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        merge_upsert,
+    )
+
+    t = spark.createDataFrame(target or [(0, "a")], "id long, val string")
+    c = spark.createDataFrame(
+        changes or [(99, "z", "upsert")], "id long, val string, op string"
+    )
+    got = {r["id"]: r["val"] for r in merge_upsert(t, c, "id").collect()}
+
+    ref = dict(target or [(0, "a")])
+    for i, v, op in changes or [(99, "z", "upsert")]:
+        if op == "delete":
+            ref.pop(i, None)
+        else:
+            ref[i] = v
+    assert got == ref
