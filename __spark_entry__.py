@@ -108,6 +108,8 @@ VERIFY_NEXT: list[str] = [
     "q121_dup_rate_by_source",  # new in r2 (dedup analytics)
     "q122_group_holdout_split",  # new in r2 (leakage-safe group split)
     "q123_cluster_safe_split",  # new in r2 (contamination-safe split)
+    "q124_unigram_surprisal_filter",  # new in r2 (LM-score quality filter)
+    "q125_order_price_item_correlation",  # new in r2 (corr/covar surface)
     "q36_event_dedup_earliest",
     "q67_daily_event_delta",
     "q75_token_length_histogram",

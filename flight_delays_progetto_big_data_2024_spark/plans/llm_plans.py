@@ -2486,3 +2486,70 @@ def q123_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "q124_unigram_surprisal_filter",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    n AS (SELECT sum(c) AS total FROM tf),
+    doc_s AS (
+        SELECT t.doc_id, any_value(t.source) AS source,
+               count(*) AS n_toks,
+               round(avg(-ln(tf.c / n.total)), 6) AS surprisal
+        FROM tok t JOIN tf ON tf.term = t.term CROSS JOIN n
+        GROUP BY t.doc_id
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(avg(surprisal), 6) AS avg_surprisal,
+           sum(CASE WHEN surprisal >= 3.41 THEN 1 ELSE 0 END)::BIGINT
+               AS n_flagged
+    FROM doc_s GROUP BY source ORDER BY source
+    """,
+)
+def q124_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter with a self-trained unigram LM:
+    per-document mean surprisal -ln p(token) under the corpus's own
+    unigram distribution — the cheap LM-scoring filter every pretraining
+    pipeline runs before the expensive model-based one (high surprisal =
+    rare-token soup; low = boilerplate). The 3.41 flag threshold is the
+    ~90th percentile of this corpus's per-doc surprisal — in production
+    it comes from exactly that quantile read. Plan: one token explode feeds
+    BOTH the model (term counts) and the scoring join; the corpus total
+    is a 1-row broadcast. Per-doc surprisal rounds at 1e-6 before the
+    source average so both engines aggregate identical multisets.
+    At 100 TB the term-count model is Zipf-bounded (vocab ≪ corpus) and
+    the scoring join is a broadcast of that vocab table."""
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").alias("total"))
+    doc_s = (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 6).alias(
+                "surprisal"
+            ),
+        )
+    )
+    return (
+        doc_s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+            F.sum(F.when(F.col("surprisal") >= 3.41, 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+        )
+        .orderBy("source")
+    )

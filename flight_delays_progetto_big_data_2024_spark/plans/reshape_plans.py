@@ -488,3 +488,62 @@ def q111_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_total"
         ),
     ).orderBy("region", "nation")
+
+
+@register(
+    "q125_order_price_item_correlation",
+    sql="""
+    WITH per_order AS (
+        SELECT o.o_orderpriority AS priority,
+               o.o_totalprice / 1000.0 AS price_k,
+               count(l.l_orderkey) AS n_items
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_totalprice
+    )
+    SELECT priority,
+           count(*)::BIGINT AS n_orders,
+           round(corr(price_k, n_items), 6) AS price_items_corr,
+           round(covar_samp(price_k, n_items), 4) AS price_items_covar,
+           round(var_samp(price_k), 4) AS price_var_k,
+           round(stddev_samp(n_items), 6) AS items_stddev
+    FROM per_order GROUP BY priority ORDER BY priority
+    """,
+)
+def q125_order_price_item_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface: Pearson correlation, sample
+    covariance and variance/stddev of order price vs line-item count,
+    per priority — price rescaled to k$ so the variance magnitude
+    (~1e3, not ~1e9) leaves rounding headroom above float
+    association-order drift; correlation is scale-invariant. These
+    four share identical definitions across engines (unlike skewness/kurtosis, where Spark computes population
+    moments and DuckDB bias-corrected sample moments — those are
+    deliberately NOT oracle-paired; express them from raw power sums if
+    portability is needed). One shuffle for the per-order rollup, one
+    for the priority aggregate; corr/covar are algebraic, so both
+    map-side combine."""
+    cat = Catalog(spark, sf_dir)
+    per_order = (
+        cat.orders.join(
+            cat.lineitem, cat.lineitem["l_orderkey"] == cat.orders["o_orderkey"]
+        )
+        .groupBy("o_orderkey", "o_orderpriority", "o_totalprice")
+        .agg(F.count("l_orderkey").alias("n_items"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (F.col("o_totalprice") / 1000.0).alias("price_k"),
+            "n_items",
+        )
+    )
+    return (
+        per_order.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.corr("price_k", "n_items"), 6).alias("price_items_corr"),
+            F.round(F.covar_samp("price_k", "n_items"), 4).alias(
+                "price_items_covar"
+            ),
+            F.round(F.var_samp("price_k"), 4).alias("price_var_k"),
+            F.round(F.stddev_samp("n_items"), 6).alias("items_stddev"),
+        )
+        .orderBy("priority")
+    )

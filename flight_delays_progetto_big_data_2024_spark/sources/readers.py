@@ -157,3 +157,17 @@ def read_jsonl(
     that fail to parse land in ``_corrupt_record``-free PERMISSIVE
     nulls unless callers opt into FAILFAST via .option upstream."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """ORC reader. Unlike CSV/JSONL, ORC files embed their schema, so
+    ``schema`` is optional and used only to assert/project a stable
+    shape (still no inference scan — the footer carries types)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

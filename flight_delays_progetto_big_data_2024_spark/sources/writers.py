@@ -73,3 +73,19 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (native Spark, no extra package): same partitioned
+    layout contract as write_parquet. ORC matters for interop with
+    Hive/Trino-centric warehouses; predicate pushdown and column
+    pruning work the same way as parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -425,3 +425,27 @@ def test_explode_outer_preserves_empty_docs(spark):
     rows = outer.collect()
     assert {r["doc_id"] for r in rows} == {1, 2, 3}
     assert {r["t"] for r in rows if r["doc_id"] != 1} == {None}
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC write/read round-trip preserves rows and types, and a filter
+    on the read side reaches the ORC scan as a pushed predicate."""
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import (
+        Catalog,
+        read_orc,
+    )
+    from flight_delays_progetto_big_data_2024_spark.sources.writers import write_orc
+
+    ev = Catalog(spark, sf_dir).events
+    out = str(tmp_path / "events_orc")
+    write_orc(ev, out)
+    back = read_orc(spark, out)
+    assert back.count() == ev.count()
+    assert dict(back.dtypes) == dict(ev.dtypes)
+    plan = (
+        back.filter(back["event_type"] == "click")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "event_type" in plan, plan
