@@ -110,6 +110,7 @@ VERIFY_NEXT: list[str] = [
     "q123_cluster_safe_split",  # new in r2 (contamination-safe split)
     "q124_unigram_surprisal_filter",  # new in r2 (LM-score quality filter)
     "q125_order_price_item_correlation",  # new in r2 (corr/covar surface)
+    "q126_minhash_calibration",  # new in r2 (minhash estimator eval)
     "q36_event_dedup_earliest",
     "q67_daily_event_delta",
     "q75_token_length_histogram",

@@ -2491,17 +2491,20 @@ def q123_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q124_unigram_surprisal_filter",
     sql=f"""
-    WITH tok AS (
-        SELECT doc_id, source, unnest({_TOKS_SQL}) AS term FROM documents
+    WITH dtf AS (
+        SELECT doc_id, any_value(source) AS source, term, count(*) AS c_dt
+        FROM (SELECT doc_id, source, unnest({_TOKS_SQL}) AS term FROM documents)
+        GROUP BY doc_id, term
     ),
-    tf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tf AS (SELECT term, sum(c_dt) AS c FROM dtf GROUP BY term),
     n AS (SELECT sum(c) AS total FROM tf),
     doc_s AS (
-        SELECT t.doc_id, any_value(t.source) AS source,
-               count(*) AS n_toks,
-               round(avg(-ln(tf.c / n.total)), 6) AS surprisal
-        FROM tok t JOIN tf ON tf.term = t.term CROSS JOIN n
-        GROUP BY t.doc_id
+        SELECT d.doc_id, any_value(d.source) AS source,
+               sum(d.c_dt) AS n_toks,
+               round(sum(d.c_dt * -ln(tf.c / n.total)) / sum(d.c_dt), 6)
+                   AS surprisal
+        FROM dtf d JOIN tf ON tf.term = d.term CROSS JOIN n
+        GROUP BY d.doc_id
     )
     SELECT source,
            count(*)::BIGINT AS n_docs,
@@ -2518,28 +2521,40 @@ def q124_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     pipeline runs before the expensive model-based one (high surprisal =
     rare-token soup; low = boilerplate). The 3.41 flag threshold is the
     ~90th percentile of this corpus's per-doc surprisal — in production
-    it comes from exactly that quantile read. Plan: one token explode feeds
-    BOTH the model (term counts) and the scoring join; the corpus total
-    is a 1-row broadcast. Per-doc surprisal rounds at 1e-6 before the
-    source average so both engines aggregate identical multisets.
-    At 100 TB the term-count model is Zipf-bounded (vocab ≪ corpus) and
-    the scoring join is a broadcast of that vocab table."""
+    it comes from exactly that quantile read.
+
+    Plan: ONE tokenization pass into (doc, term) counts; the unigram
+    model is a rollup of those counts (never a second corpus scan), the
+    corpus total a 1-row broadcast, and the scoring join runs over the
+    count table — both orders of magnitude smaller than the token
+    stream. Surprisal is the count-weighted sum, identical in value to
+    the per-token mean; rounding at 1e-6 before the source average
+    keeps both engines aggregating identical multisets. At 100 TB the
+    vocab table is Zipf-bounded (≪ corpus) and broadcasts."""
     docs = Catalog(spark, sf_dir).documents
-    tok = docs.select(
-        "doc_id", "source", F.explode(tokens("text")).alias("term")
+    # the doc-term count relation feeds BOTH the vocab rollup and the
+    # scoring join; lineage truncation (the tfidf() pattern) stops
+    # Catalyst from planning the explode+groupBy subtree twice
+    dtf = (
+        docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.any_value("source").alias("source"), F.count(F.lit(1)).alias("c_dt"))
+        .localCheckpoint(eager=False)
     )
-    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tf = dtf.groupBy("term").agg(F.sum("c_dt").alias("c"))
     total = tf.agg(F.sum("c").alias("total"))
     doc_s = (
-        tok.join(tf, "term")
+        dtf.join(tf, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.any_value("source").alias("source"),
-            F.count(F.lit(1)).alias("n_toks"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 6).alias(
-                "surprisal"
-            ),
+            F.sum("c_dt").alias("n_toks"),
+            F.round(
+                F.sum(F.col("c_dt") * -F.log(F.col("c") / F.col("total")))
+                / F.sum("c_dt"),
+                6,
+            ).alias("surprisal"),
         )
     )
     return (
@@ -2552,4 +2567,100 @@ def q124_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q126_minhash_calibration",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                    6) >= 0.02
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), j ->
+                   list_aggregate(
+                       list_transform(s, x ->
+                           substr(md5(CAST(j AS VARCHAR) || ':' || x), 1, 8)),
+                       'min')) AS m
+        FROM sh
+    ),
+    est AS (
+        SELECT p.id_a, p.id_b, p.jaccard,
+               len(list_filter(range(1, 17), j -> sa.m[j] = sb.m[j])) / 16.0
+                   AS est_j
+        FROM p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+    )
+    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(jaccard), 6) AS avg_exact,
+           round(avg(est_j), 6) AS avg_est,
+           round(avg(abs(est_j - jaccard)), 6) AS mean_abs_err
+    FROM est GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q126_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION harness — the dedup-side analogue of q120's
+    ANN recall eval: over exact-Jaccard pairs >= 0.02, compare the
+    16-permutation minhash signature agreement (an unbiased estimator
+    of J, sd = sqrt(J(1-J)/16)) against the exact value, bucketed by
+    exact J — the report that justifies a chosen band/row LSH config
+    before deploying it on a corpus too big for exact verification.
+    Signatures use md5-keyed permutations (min over substr(md5(j:x)))
+    so the DuckDB oracle replays them bit-for-bit — the same
+    engine-portable-hash trick as q34's simhash variant. Signature
+    build is one explode + 16 min-aggregates in a single keyed shuffle;
+    est_j values are multiples of 1/16, exactly representable."""
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        _shingle_docs,
+        word_shingles,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.02)
+    sh = _shingle_docs(docs, "doc_id", "text", 3, word_shingles)
+    sig = (
+        sh.select("id", F.explode("shingles").alias("s"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 8)
+                ).alias(f"m{j}")
+                for j in range(16)
+            ]
+        )
+    )
+    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(16)])
+    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(16)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(16)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_j", matches / F.lit(16.0))
+    )
+    return (
+        est.groupBy(F.floor(F.col("jaccard") * 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_exact"),
+            F.round(F.avg("est_j"), 6).alias("avg_est"),
+            F.round(F.avg(F.abs(F.col("est_j") - F.col("jaccard"))), 6).alias(
+                "mean_abs_err"
+            ),
+        )
+        .orderBy("bucket")
     )

@@ -174,3 +174,80 @@ def test_streaming_materialized_view_maintenance(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_streaming_cdc_merge_upsert_snapshot(spark, sf_dir, tmp_path):
+    """foreachBatch + merge_upsert: a stream of CDC batches (upserts
+    then deletes for a key subset) maintained into a parquet snapshot
+    must equal applying the batches in order — the incremental-corpus
+    maintenance loop (q118's operator) driven through Structured
+    Streaming with availableNow."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        merge_upsert,
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    # batch 0: upsert everything tagged v1; batch 1: delete doc_id%3==0,
+    # re-tag doc_id%5==0 as v2 (files ingested in name order; the
+    # streaming file source wants FLAT files, so extract the part file)
+    def write_flat(df, name):
+        import shutil
+        from pathlib import Path
+
+        tmp = tmp_path / f"_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(Path(tmp).glob("part-*.parquet"))
+        shutil.move(str(part), str(src / name))
+
+    write_flat(
+        docs.withColumn("ver", F.lit("v1")).withColumn("op", F.lit("upsert")),
+        "b0.parquet",
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "ver", F.lit(None).cast("string")
+    ).withColumn("op", F.lit("delete")).unionByName(
+        docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 != 0))
+        .withColumn("ver", F.lit("v2"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    write_flat(b1, "b1.parquet")
+
+    out = str(tmp_path / "snapshot")
+    schema = spark.read.parquet(str(src / "b0.parquet")).schema
+
+    def apply_cdc(batch_df, batch_id):
+        try:
+            target = spark.read.parquet(out)
+        except Exception:
+            target = batch_df.sparkSession.createDataFrame(
+                [], "doc_id long, source string, ver string"
+            )
+        merged = merge_upsert(target, batch_df, "doc_id")
+        merged.coalesce(1).write.mode("overwrite").parquet(out + "_tmp")
+        spark.read.parquet(out + "_tmp").write.mode("overwrite").parquet(out)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(apply_cdc)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["ver"] for r in spark.read.parquet(out).collect()}
+    want = {}
+    for r in docs.collect():
+        d = r["doc_id"]
+        if d % 3 == 0:
+            want.pop(d, None)
+        else:
+            want[d] = "v2" if d % 5 == 0 else "v1"
+    assert got == want
