@@ -11,12 +11,13 @@ package; this module just exposes its registry.
 Ordering: the round-1 driver recorded correctness rows for exactly the
 first 50 queries in ``queries()`` iteration order, so the registry is
 re-ordered each round to rotate every registered query through that
-verification window. Round 2 leads with the 63 queries that have no
-round-1 row (plus q61, whose round-1 hash mismatch is fixed); the 14
-that still don't fit — all of which pass the same oracle comparison in
-the in-repo driver-sim (see .claude/skills/verify/SKILL.md) and whose
-operator families already have green round-1 rows via sibling queries —
-are queued immediately after the window for the round-3 rotation.
+verification window. Round 2 leads with q61 (whose round-1 hash
+mismatch is fixed) plus 49 queries with no round-1 row; ``VERIFY_NEXT``
+holds the remaining 28 — 14 carried from round 1 (operator families
+already green via sibling queries) and the 14 added this round
+(q114-q127) — all of which pass the same oracle comparison in the
+in-repo driver-sim (see .claude/skills/verify/SKILL.md) and fit
+round 3's window together with room to spare.
 """
 
 from __future__ import annotations
@@ -111,6 +112,7 @@ VERIFY_NEXT: list[str] = [
     "q124_unigram_surprisal_filter",  # new in r2 (LM-score quality filter)
     "q125_order_price_item_correlation",  # new in r2 (corr/covar surface)
     "q126_minhash_calibration",  # new in r2 (minhash estimator eval)
+    "q127_corpus_health_report",  # new in r2 (composed dashboard)
     "q36_event_dedup_earliest",
     "q67_daily_event_delta",
     "q75_token_length_histogram",

@@ -2664,3 +2664,109 @@ def q126_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q127_corpus_health_report",
+    sql=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                    6) >= 0.5
+    ),
+    e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p
+    ),
+    r(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.comp FROM e JOIN r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM r GROUP BY id),
+    dup AS (
+        SELECT d.source,
+               sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END) AS n_rm,
+               count(*) AS n_docs
+        FROM comp c JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    tok AS (
+        SELECT source, doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT source, doc_id, term, count(*) AS c
+        FROM tok GROUP BY source, doc_id, term
+    ),
+    ent AS (
+        SELECT source,
+               round(avg(doc_h), 6) AS avg_entropy
+        FROM (
+            SELECT source, doc_id,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS doc_h
+            FROM tf GROUP BY source, doc_id
+        ) GROUP BY source
+    )
+    SELECT dup.source,
+           dup.n_docs::BIGINT AS n_docs,
+           round(dup.n_rm::DOUBLE / dup.n_docs, 6) AS dup_rate,
+           ent.avg_entropy
+    FROM dup JOIN ent ON ent.source = dup.source
+    ORDER BY dup.source
+    """,
+)
+def q127_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composability showcase: the per-source corpus-health dashboard a
+    curation team actually reads — near-dup removal rate (q121's
+    cluster labels) joined with lexical diversity (q116's entropy) in
+    ONE plan, built purely by composing the library operators. The
+    per-source sub-aggregates are tiny (one row per source), so the
+    final join is broadcast-sized regardless of corpus scale; each
+    branch keeps its own documented shuffle profile."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    cc = connected_components(
+        pairs, "id_a", "id_b",
+        vertices=docs.select(F.col("doc_id").alias("id")),
+    )
+    dup = (
+        cc.join(docs.select("doc_id", "source"), cc["id"] == F.col("doc_id"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("id") != F.col("component"), 1).otherwise(0)
+            ).alias("n_rm"),
+        )
+    )
+    tf = (
+        docs.select("source", "doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = (
+        tf.groupBy("source", "doc_id")
+        .agg(
+            F.round(
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+            ).alias("doc_h")
+        )
+        .groupBy("source")
+        .agg(F.round(F.avg("doc_h"), 6).alias("avg_entropy"))
+    )
+    return (
+        dup.join(ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_rm") / F.col("n_docs"), 6).alias("dup_rate"),
+            "avg_entropy",
+        )
+        .orderBy("source")
+    )
