@@ -13,9 +13,9 @@ first 50 queries in ``queries()`` iteration order, so the registry is
 re-ordered each round to rotate every registered query through that
 verification window. Round 2 leads with q61 (whose round-1 hash
 mismatch is fixed) plus 49 queries with no round-1 row; ``VERIFY_NEXT``
-holds the remaining 28 — 14 carried from round 1 (operator families
-already green via sibling queries) and the 14 added this round
-(q114-q127) — all of which pass the same oracle comparison in the
+holds the remaining 29 — 14 carried from round 1 (operator families
+already green via sibling queries) and the 15 added this round
+(q114-q128) — all of which pass the same oracle comparison in the
 in-repo driver-sim (see .claude/skills/verify/SKILL.md) and fit
 round 3's window together with room to spare.
 """
@@ -113,6 +113,7 @@ VERIFY_NEXT: list[str] = [
     "q125_order_price_item_correlation",  # new in r2 (corr/covar surface)
     "q126_minhash_calibration",  # new in r2 (minhash estimator eval)
     "q127_corpus_health_report",  # new in r2 (composed dashboard)
+    "q128_pii_redaction_report",  # new in r2 (PII scrub stage)
     "q36_event_dedup_earliest",
     "q67_daily_event_delta",
     "q75_token_length_histogram",

@@ -2770,3 +2770,91 @@ def q127_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "q128_pii_redaction_report",
+    sql=f"""
+    WITH enriched AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now'
+                    WHEN doc_id % 17 = 0
+                    THEN text || ' call 555-123-4567'
+                    ELSE text END AS t
+        FROM documents
+    ),
+    scanned AS (
+        SELECT source,
+               len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phone,
+               len(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g')) AS red_len
+        FROM enriched
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS docs_with_pii,
+           sum(n_email)::BIGINT AS total_emails,
+           sum(n_phone)::BIGINT AS total_phones,
+           sum(red_len)::BIGINT AS redacted_chars
+    FROM scanned GROUP BY source ORDER BY source
+    """,
+)
+def q128_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass — the mandatory curation stage before text ships
+    to training: detect + redact email/phone patterns, report incidence
+    per source and the redacted footprint. PII is PLANTED
+    deterministically (doc_id-derived emails / a literal phone) so the
+    oracle verifies real matches, not vacuous zeros, and both regexes
+    stay in the Java∩RE2 common syntax (no lookarounds) so Spark and
+    DuckDB match byte-for-byte. Pure narrow projections + one rollup —
+    zero extra shuffles at any scale."""
+    docs = Catalog(spark, sf_dir).documents
+    t = (
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" call 555-123-4567")),
+        )
+        .otherwise(F.col("text"))
+    )
+    scanned = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0)).alias("n_phone"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("red_len"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_email") + F.col("n_phone") > 0, 1).otherwise(0)
+            ).alias("docs_with_pii"),
+            F.sum("n_email").alias("total_emails"),
+            F.sum("n_phone").alias("total_phones"),
+            F.sum("red_len").alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
