@@ -128,6 +128,11 @@ VERIFY_NEXT: list[str] = [
     "q109_customer_revenue_gini",
     "q110_brand_rank_families",
     "q111_nation_share_of_region",
+    "q129_scd2_snapshot_asof",  # new in r2 (SCD2 time travel)
+    "q130_daily_peak_concurrency",  # new in r2 (distributed prefix sum)
+    "q131_user_activity_bitmap",  # new in r2 (bitmap retention)
+    "q132_weighted_median_price",  # new in r2 (weighted order statistic)
+    "q136_winsorized_price_stats",  # new in r2 (robust clip means)
 ]
 
 

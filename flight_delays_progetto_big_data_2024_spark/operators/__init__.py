@@ -29,16 +29,28 @@ from flight_delays_progetto_big_data_2024_spark.operators.relational import (
     unpivot_measures,
     with_pct_of_total,
 )
+from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+    bucketed_running_sum,
+    max_concurrency,
+    weighted_median,
+    winsorize,
+)
 from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
     asof_join,
     range_join_buckets,
     scd2_from_changes,
     session_windows,
+    snapshot_as_of,
 )
 
 __all__ = [
     "asof_join",
     "avg_by",
+    "bucketed_running_sum",
+    "max_concurrency",
+    "snapshot_as_of",
+    "weighted_median",
+    "winsorize",
     "constraint_report",
     "count_by",
     "decode_map",

@@ -189,6 +189,25 @@ def asof_join(
     return out.drop("__side", "__carry")
 
 
+def snapshot_as_of(
+    history: DataFrame,
+    as_of: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Time-travel read over an SCD type-2 history (``scd2_from_changes``
+    output): the one version per key whose validity interval contains
+    ``as_of`` (``valid_from <= t < valid_to``, null ``valid_to`` =
+    current). A pure filter — predicate pushdown reaches the scan, and a
+    history PARTITIONED on a date-truncated ``valid_from`` additionally
+    prunes whole partitions at 100 TB."""
+    t = F.lit(as_of).cast("timestamp")
+    return history.filter(
+        (F.col(valid_from) <= t)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     changes: DataFrame,
