@@ -133,6 +133,15 @@ VERIFY_NEXT: list[str] = [
     "q131_user_activity_bitmap",  # new in r2 (bitmap retention)
     "q132_weighted_median_price",  # new in r2 (weighted order statistic)
     "q136_winsorized_price_stats",  # new in r2 (robust clip means)
+    "q133_vocab_novelty_curve",  # new in r2 (corpus growth)
+    "q134_cms_term_frequency",  # new in r2 (portable count-min sketch)
+    "q137_embedding_pca_variance",  # new in r2 (rows-only: eigensolve)
+    "q139_incremental_ingest_dedup",  # new in r2 (cross-relation Jaccard)
+    "q135_zorder_curve_buckets",  # new in r2 (Z-order layout keys)
+    "q140_bigram_surprisal",  # new in r2 (bigram-LM quality filter)
+    "q142_copurchase_pairs",  # new in r2 (market-basket affinity)
+    "q143_rfm_segments",  # new in r2 (RFM quartile segmentation)
+    "q144_approx_percentile_bounds",  # new in r2 (GK rank-bound certificate)
 ]
 
 

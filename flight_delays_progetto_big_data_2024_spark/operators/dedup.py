@@ -721,3 +721,58 @@ def winnowing_fingerprints(
             yield pd.DataFrame({**outs, "fingerprint": fps})
 
     return hashed.mapInPandas(winnow, schema)
+
+
+def jaccard_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    scale: int = 6,
+    shingle_fn=word_shingles,
+) -> DataFrame:
+    """Exact Jaccard pairs ACROSS two relations — the incremental-ingest
+    dedup join: every (left, right) pair with word-k-gram Jaccard ≥
+    threshold, where ``left`` is an incoming batch and ``right`` the
+    standing corpus. Same inverted-index decomposition as
+    :func:`jaccard_pairs` (explode → equi-join on the 64-bit shingle
+    hash → per-pair intersection count), but the join is left-postings ⋈
+    right-postings with no id ordering — relation membership already
+    de-duplicates the pair space.
+
+    At 100 TB the standing corpus's postings list is the big side and
+    the incoming batch's is small: Spark broadcasts the batch postings
+    under AQE, so a nightly ingest never re-shuffles the corpus. For
+    repeated ingests, persist the corpus postings (id, shingle-hash)
+    once as a bucketed table and this join is shuffle-free.
+
+    Returns (id_left, id_right, jaccard).
+    """
+    dl = _shingle_docs(left, id_col, text_col, k, shingle_fn).persist()
+    dr = _shingle_docs(right, id_col, text_col, k, shingle_fn).persist()
+    il = dl.select(F.col("id").alias("id_left"), F.explode("shingles").alias("s"))
+    ir = dr.select(F.col("id").alias("id_right"), F.explode("shingles").alias("s"))
+    il = il.select("id_left", F.xxhash64("s").alias("s"))
+    ir = ir.select("id_right", F.xxhash64("s").alias("s"))
+    common = (
+        il.join(ir, "s")
+        .groupBy("id_left", "id_right")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sl = dl.select(F.col("id").alias("id_left"), F.size("shingles").alias("n_l"))
+    sr = dr.select(F.col("id").alias("id_right"), F.size("shingles").alias("n_r"))
+    return (
+        common.join(sl, "id_left")
+        .join(sr, "id_right")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_l") + F.col("n_r") - F.col("n_common")),
+                scale,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_left", "id_right", "jaccard")
+    )

@@ -585,3 +585,94 @@ def sampled_cosine_histogram(
         F.col("n_pairs").alias("n_sampled"),
         est.alias("est_pairs"),
     ).orderBy("bucket")
+
+
+def pca_variance_profile(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Top-``k`` principal-component variance profile of an embedding
+    corpus: (component, eigenvalue, variance_ratio, cum_ratio), the
+    dimensionality-reduction diagnostic run before choosing a projection
+    rank for ANN indexes or whitening.
+
+    Split exactly as Spark MLlib's RowMatrix does it: the DISTRIBUTED
+    pass computes the d-vector mean and the d×d second-moment (Gram)
+    matrix — mapInPandas partials of fixed size (one row per partition:
+    n, sum, flattened X'X; Arrow-batched BLAS ``M.T @ M`` per batch),
+    reduced by a posexplode + groupBy-position sum so the driver only
+    ever sees the FINAL d² aggregate. The driver pass is the O(d³)
+    eigendecomposition of the d×d covariance — scale-INdependent: the
+    collected state is d²·8 bytes no matter whether the corpus is 2k or
+    2B rows. No SQL oracle exists for an eigensolve (registered
+    rows-only); correctness is pinned against numpy's full-data PCA in
+    tests/test_ordered.py.
+    """
+    import numpy as np
+
+    def part(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if s is None:
+                s = M.sum(axis=0)
+                g = M.T @ M
+            else:
+                s += M.sum(axis=0)
+                g += M.T @ M
+            n += len(M)
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = emb.select(vec_col).mapInPandas(
+        part, schema="n bigint, s array<double>, g array<double>"
+    )
+    # reduce the per-partition partials to ONE row inside Spark: counts
+    # as a plain sum, the two arrays element-wise via posexplode (the
+    # partial relation is <= numPartitions rows — trivially small)
+    summed = (
+        parts.select("n", F.posexplode("g").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    svec = (
+        parts.select(F.posexplode("s").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    n_total = parts.agg(F.sum("n").alias("n"))
+
+    # the ONLY driver materialization: one d² + one d + one scalar row —
+    # fixed-size final aggregates (see docstring)
+    n = n_total.first()["n"]
+    s = np.array([r["v"] for r in svec.orderBy("pos").collect()])
+    g_flat = np.array([r["v"] for r in summed.orderBy("pos").collect()])
+    d = s.shape[0]
+    mean = s / n
+    cov = g_flat.reshape(d, d) / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    top = evals[:k]
+    cum = np.cumsum(top)
+    spark = emb.sparkSession
+    rows = [
+        (
+            int(i),
+            round(float(top[i]), 8),
+            round(float(top[i] / total), 6),
+            round(float(cum[i] / total), 6),
+        )
+        for i in range(len(top))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, variance_ratio double, cum_ratio double"
+    )

@@ -10,5 +10,8 @@ from flight_delays_progetto_big_data_2024_spark.plans import pipeline_plans  # n
 from flight_delays_progetto_big_data_2024_spark.plans import reshape_plans  # noqa: F401
 from flight_delays_progetto_big_data_2024_spark.plans import temporal_plans  # noqa: F401
 from flight_delays_progetto_big_data_2024_spark.plans import semistructured_plans  # noqa: F401
+from flight_delays_progetto_big_data_2024_spark.plans import ordered_plans  # noqa: F401
+from flight_delays_progetto_big_data_2024_spark.plans import sketch_plans  # noqa: F401
+from flight_delays_progetto_big_data_2024_spark.plans import behavior_plans  # noqa: F401
 
 __all__ = ["registry"]

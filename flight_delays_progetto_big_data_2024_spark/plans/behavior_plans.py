@@ -1,0 +1,295 @@
+"""Behavioral / market-basket / language-model analytics.
+
+Classic warehouse analytics (RFM segmentation, co-purchase affinity)
+plus the bigram upgrade of the q124 LM quality filter. All
+value-checked; the scale notes are in each docstring — the common theme
+is that every window here runs over an ENTITY-sized aggregate (users,
+vocabulary, part pairs), never the raw fact stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
+from flight_delays_progetto_big_data_2024_spark.plans.llm_plans import _TOKS_SQL
+from flight_delays_progetto_big_data_2024_spark.plans.registry import register
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+
+@register(
+    "q140_bigram_surprisal",
+    sql=f"""
+    WITH pairs AS (
+        SELECT doc_id, source,
+               unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents)
+        WHERE len(t) >= 2
+    ),
+    dbc AS (
+        SELECT doc_id, any_value(source) AS source, w1, w2,
+               count(*) AS c_db
+        FROM pairs GROUP BY doc_id, w1, w2
+    ),
+    bgc AS (SELECT w1, w2, sum(c_db) AS c_bg FROM dbc GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM bgc GROUP BY w1),
+    doc_s AS (
+        SELECT d.doc_id, any_value(d.source) AS source,
+               round(sum(d.c_db * -ln(b.c_bg / c.c_ctx)) / sum(d.c_db), 6)
+                   AS surprisal
+        FROM dbc d
+        JOIN bgc b ON b.w1 = d.w1 AND b.w2 = d.w2
+        JOIN ctx c ON c.w1 = d.w1
+        GROUP BY d.doc_id
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(surprisal), 6) AS avg_surprisal,
+           round(max(surprisal), 6) AS max_surprisal
+    FROM doc_s GROUP BY source ORDER BY source
+    """,
+)
+def q140_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained BIGRAM-LM quality score (the model upgrade of q124's
+    unigram filter): per-document mean -ln p(w_i | w_{i-1}) under the
+    corpus's own bigram counts (unsmoothed — the LM scores the corpus it
+    was counted from, so no zero events exist). Low = formulaic/
+    boilerplate text, high = incoherent token soup; the curation gate
+    uses both tails.
+
+    Plan shape: the token stream collapses to (doc, bigram) counts in
+    one pass (bigrams built as struct pairs — no string concat in the
+    hot path); the bigram model and its context marginals are rollups of
+    THAT count table; scoring joins run on count relations that are
+    Zipf-bounded far below the corpus size. At 100 TB the bigram table
+    still dwarfs the unigram one — bucket it by w1 so the model rollup
+    and the scoring join co-locate."""
+    docs = Catalog(spark, sf_dir).documents
+    toked = docs.select("doc_id", "source", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    dbc = (
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.any_value("source").alias("source"), F.count(F.lit(1)).alias("c_db"))
+        .persist()
+    )
+    bgc = dbc.groupBy("w1", "w2").agg(F.sum("c_db").alias("c_bg"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    doc_s = (
+        dbc.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.round(
+                F.sum(F.col("c_db") * -F.log(F.col("c_bg") / F.col("c_ctx")))
+                / F.sum("c_db"),
+                6,
+            ).alias("surprisal"),
+        )
+    )
+    return (
+        doc_s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+            F.round(F.max("surprisal"), 6).alias("max_surprisal"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q142_copurchase_pairs",
+    sql="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ),
+    top AS (
+        SELECT * FROM pairs
+        ORDER BY support DESC, part_a, part_b LIMIT 25
+    )
+    SELECT pa.p_name AS name_a, pb.p_name AS name_b, t.support
+    FROM top t
+    JOIN part pa ON pa.p_partkey = t.part_a
+    JOIN part pb ON pb.p_partkey = t.part_b
+    ORDER BY t.support DESC, name_a, name_b
+    """,
+)
+def q142_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase affinity: the 25 part pairs most often
+    bought in the same order. The pair join is a SELF-join keyed on the
+    order — its cost is Σ(items-per-order choose 2), bounded by the
+    per-basket width (≤7 in TPC-H), never |lineitem|² — and the (order,
+    part) distinct collapses multi-line duplicates map-side first. Part
+    names decorate only the 25 survivors via broadcast."""
+    cat = Catalog(spark, sf_dir)
+    op = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    top = pairs.orderBy(F.desc("support"), "part_a", "part_b").limit(25)
+    names = cat.part.select("p_partkey", "p_name")
+    return (
+        top.join(
+            F.broadcast(names.select(F.col("p_partkey").alias("part_a"),
+                                     F.col("p_name").alias("name_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(names.select(F.col("p_partkey").alias("part_b"),
+                                     F.col("p_name").alias("name_b"))),
+            "part_b",
+        )
+        .select("name_a", "name_b", "support")
+        .orderBy(F.desc("support"), "name_a", "name_b")
+    )
+
+
+@register(
+    "q143_rfm_segments",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id, max(ts) AS last_ts,
+               count(*) AS freq,
+               round(sum(value), 6) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT user_id, freq, monetary,
+               ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+               ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+        FROM per_user
+    )
+    SELECT (r * 100 + f * 10 + m) AS segment,
+           count(*) AS n_users,
+           round(avg(freq), 4) AS avg_freq,
+           round(avg(monetary), 4) AS avg_monetary
+    FROM tiled GROUP BY segment ORDER BY segment
+    """,
+)
+def q143_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation: rank each
+    user into ntile(4) on all three axes, code the segment as RFM
+    digits, and profile each segment. The ntiles sort the USER aggregate
+    (cardinality = users, not events) with user_id tie-breaks so both
+    engines tile identically; monetary is rounded before ranking so the
+    sort key is reproducible across engines. At extreme user counts
+    swap ntile for approx-quantile cutpoint joins — same output
+    contract, no global sort."""
+    cat = Catalog(spark, sf_dir)
+    per_user = cat.events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    tiled = per_user.select(
+        "freq",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.desc("last_ts"), F.asc("user_id"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m"),
+    )
+    return (
+        tiled.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("freq"), 4).alias("avg_freq"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q144_approx_percentile_bounds",
+    sql="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 6) AS p50_exact,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q144_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification harness for the sketch-based percentile path: at
+    fact scale the engine swaps exact ``F.percentile`` for
+    ``percentile_approx`` (Greenwald-Khanna, mergeable, one pass), whose
+    contract is a RANK error ≤ n/accuracy. This query computes BOTH per
+    event type and emits the bound check as booleans the oracle pins to
+    TRUE — the same certify-don't-copy pattern as q33's recall check: if
+    a Spark upgrade or accuracy change ever pushes the sketch estimate
+    outside the exact [p-ε, p+ε] quantile window (ε = 1/accuracy = 1e-4
+    of rank), the driver's value hash flips and flags it.
+
+    (The approx VALUES themselves are deliberately not output: they are
+    sketch-implementation-specific — the portable artifact is the
+    guarantee, not the estimate. The check is on RANKS: the estimate is
+    an actual element of the multiset, so its min/max rank window must
+    intersect [(p-ε)·n, (p+ε)·n + 1] — comparing against interpolated
+    VALUE quantiles would false-alarm whenever ε·n < 1 element.)"""
+    cat = Catalog(spark, sf_dir)
+    eps = 1e-4  # rank tolerance = 1/accuracy
+    appx = cat.events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("__a50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("__a95"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    joined = cat.events.select("event_type", "value").join(
+        F.broadcast(appx), "event_type"
+    )
+    ranked = joined.groupBy("event_type").agg(
+        F.any_value("p50_exact").alias("p50_exact"),
+        F.any_value("__n").alias("n"),
+        F.sum((F.col("value") <= F.col("__a50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("__a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("__a95")).cast("long")).alias("le95"),
+        F.sum((F.col("value") < F.col("__a95")).cast("long")).alias("lt95"),
+    )
+
+    def within(le, lt, p):
+        return (F.col(le) >= (p - eps) * F.col("n")) & (
+            F.col(lt) < (p + eps) * F.col("n") + 1
+        )
+
+    return ranked.select(
+        "event_type",
+        "p50_exact",
+        within("le50", "lt50", 0.5).alias("p50_within_bound"),
+        within("le95", "lt95", 0.95).alias("p95_within_bound"),
+    ).orderBy("event_type")

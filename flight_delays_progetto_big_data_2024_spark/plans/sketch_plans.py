@@ -1,0 +1,295 @@
+"""Sketching, corpus-growth, and incremental-ingest queries.
+
+Counting sketches (count-min here, Misra-Gries in ranking.py, HLL in
+q29) and cross-batch dedup are what keep a 100 TB corpus pipeline
+incremental: nightly batches must be summarized and joined against
+standing state without re-scanning history. The count-min sketch below
+is built with an engine-portable md5 hash family so DuckDB can replay
+the ENTIRE sketch cell-for-cell — the estimates themselves are
+value-checked, not just the pipeline shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.functions.text import tokens
+from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+    jaccard_pairs_cross,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+    pca_variance_profile,
+)
+from flight_delays_progetto_big_data_2024_spark.plans.llm_plans import (
+    _SHINGLES_SQL,
+    _TOKS_SQL,
+)
+from flight_delays_progetto_big_data_2024_spark.plans.registry import register
+from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+#: count-min geometry: small enough that the sketch relation (d·w rows)
+#: broadcasts anywhere, large enough that sf-scale estimates are tight.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@register(
+    "q133_vocab_novelty_curve",
+    sql=f"""
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    toks AS (
+        SELECT CAST(floor(doc_id * 8 / (mx + 1)) AS BIGINT) AS batch,
+               unnest(list_distinct({_TOKS_SQL})) AS term
+        FROM documents, m
+    ),
+    firsts AS (SELECT term, min(batch) AS first_batch FROM toks GROUP BY term),
+    per_batch AS (
+        SELECT batch, count(DISTINCT term) AS distinct_terms
+        FROM toks GROUP BY batch
+    ),
+    news AS (
+        SELECT first_batch AS batch, count(*) AS new_terms
+        FROM firsts GROUP BY first_batch
+    )
+    SELECT b.batch, b.distinct_terms,
+           coalesce(n.new_terms, 0) AS new_terms,
+           (sum(coalesce(n.new_terms, 0)) OVER (ORDER BY b.batch
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_vocab,
+           round(coalesce(n.new_terms, 0)::DOUBLE / b.distinct_terms, 6)
+               AS novelty
+    FROM per_batch b LEFT JOIN news n ON n.batch = b.batch
+    ORDER BY b.batch
+    """,
+)
+def q133_vocab_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve over 8 equal ingestion batches (doc_id
+    order): per batch, distinct terms seen, terms seen for the FIRST
+    time anywhere, cumulative vocabulary, and the novelty ratio — the
+    corpus-growth diagnostic that says when additional crawl stops
+    buying new language. First-seen attribution is a min-aggregate per
+    term (one shuffle keyed by term); the running vocabulary total is a
+    window over the 8-row batch aggregate, never the term table."""
+    cat = Catalog(spark, sf_dir)
+    mx = cat.documents.agg(F.max("doc_id").alias("mx"))
+    toks = (
+        cat.documents.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("doc_id") * 8 / (F.col("mx") + 1)).alias("batch"),
+            F.explode(F.array_distinct(tokens("text"))).alias("term"),
+        )
+    )
+    firsts = toks.groupBy("term").agg(F.min("batch").alias("batch"))
+    news = firsts.groupBy("batch").agg(F.count(F.lit(1)).alias("new_terms"))
+    per_batch = toks.groupBy("batch").agg(
+        F.count_distinct("term").alias("distinct_terms")
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.join(news, "batch", "left")
+        .withColumn("new_terms", F.coalesce("new_terms", F.lit(0)))
+        .select(
+            "batch",
+            "distinct_terms",
+            "new_terms",
+            F.sum("new_terms").over(w).alias("cum_vocab"),
+            F.round(F.col("new_terms") / F.col("distinct_terms"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("batch")
+    )
+
+
+def _cms_bucket_spark(term_expr: str, d: int) -> str:
+    """Engine-portable count-min bucket (Spark SQL form): row ``d`` of
+    the hash family is md5 over the depth-salted term, top 60 bits,
+    mod width — see dedup.PORTABLE_TOKEN_HASH_SQL for the convention."""
+    return (
+        f"pmod(cast(conv(substr(md5(concat({term_expr}, '#{d}')), 1, 15),"
+        f" 16, 10) as bigint), {_CMS_WIDTH})"
+    )
+
+
+def _cms_bucket_duck(term_expr: str, d: int) -> str:
+    return (
+        f"(('0x' || substr(md5({term_expr} || '#{d}'), 1, 15))::BIGINT"
+        f" % {_CMS_WIDTH})"
+    )
+
+
+@register(
+    "q134_cms_term_frequency",
+    sql=f"""
+    WITH exact AS (
+        SELECT term, count(*) AS exact_count
+        FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+        GROUP BY term
+    ),
+    cells AS (
+        SELECT d, b, sum(exact_count)::BIGINT AS cell
+        FROM exact, (
+            VALUES {", ".join(f"({d})" for d in range(_CMS_DEPTH))}
+        ) AS depths(d),
+        LATERAL (SELECT CASE d
+            {" ".join(f"WHEN {d} THEN {_cms_bucket_duck('term', d)}" for d in range(_CMS_DEPTH))}
+        END AS b)
+        GROUP BY d, b
+    ),
+    top AS (
+        SELECT term, exact_count FROM exact
+        ORDER BY exact_count DESC, term LIMIT 20
+    )
+    SELECT t.term, t.exact_count,
+           min(c.cell)::BIGINT AS cms_estimate,
+           (min(c.cell) - t.exact_count)::BIGINT AS overestimate
+    FROM top t, (
+        VALUES {", ".join(f"({d})" for d in range(_CMS_DEPTH))}
+    ) AS depths(d)
+    JOIN cells c ON c.d = depths.d
+       AND c.b = (CASE depths.d
+            {" ".join(f"WHEN {d} THEN {_cms_bucket_duck('t.term', d)}" for d in range(_CMS_DEPTH))}
+        END)
+    GROUP BY t.term, t.exact_count
+    ORDER BY t.exact_count DESC, t.term
+    """,
+)
+def q134_cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus term stream (depth 4 × width
+    1024, engine-portable md5 hash family) with its point estimates for
+    the 20 most frequent terms checked against exact counts — the
+    one-sided-error guarantee (estimate ≥ truth) made visible as an
+    ``overestimate`` column the oracle verifies cell-for-cell.
+
+    Scale shape: the sketch is built from the PRE-AGGREGATED (term,
+    count) relation, not the raw token stream — map-side combine does
+    the heavy lifting and the sketch update shuffle is vocabulary-sized,
+    not corpus-sized. The finished sketch is d·w = 4096 rows: it
+    broadcasts to any later estimator join, and sketches of daily
+    batches merge by cell-wise sum (the CMS linearity property)."""
+    cat = Catalog(spark, sf_dir)
+    exact = (
+        cat.documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .persist()
+    )
+    # sketch cells: one row per (depth, bucket) with the summed counts
+    cell_structs = ", ".join(
+        f"struct({d} AS d, {_cms_bucket_spark('term', d)} AS b)"
+        for d in range(_CMS_DEPTH)
+    )
+    cells = (
+        exact.selectExpr("exact_count", f"explode(array({cell_structs})) AS c")
+        .groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+        .agg(F.sum("exact_count").alias("cell"))
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(20)
+    probes = top.selectExpr(
+        "term", "exact_count", f"explode(array({cell_structs})) AS c"
+    ).select("term", "exact_count", F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+    return (
+        probes.join(cells, ["d", "b"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .withColumn("overestimate", F.col("cms_estimate") - F.col("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+    )
+
+
+@register("q137_embedding_pca_variance")  # rows-only: no SQL eigensolver
+def q137_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA variance profile of the embedding corpus
+    (operators.similarity.pca_variance_profile): distributed mean+Gram
+    pass, driver-side d×d eigensolve — MLlib's RowMatrix split. No SQL
+    oracle can run an eigendecomposition, so the driver records a
+    rows-only check; value correctness is pinned against numpy full-data
+    PCA in tests/test_ordered.py."""
+    cat = Catalog(spark, sf_dir)
+    return pca_variance_profile(cat.embeddings, "embedding", k=8)
+
+
+@register(
+    "q139_incremental_ingest_dedup",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inc AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    corp AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+    p AS (
+        SELECT i.doc_id AS id_incoming, c.doc_id AS id_corpus,
+               round(len(list_intersect(i.s, c.s))::DOUBLE
+                     / (len(i.s) + len(c.s) - len(list_intersect(i.s, c.s))),
+                     6) AS jaccard
+        FROM inc i JOIN corp c ON true
+    )
+    SELECT id_incoming, id_corpus, jaccard FROM p WHERE jaccard >= 0.5
+    ORDER BY id_incoming, id_corpus
+    """,
+)
+def q139_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (doc_id % 5 = 0)
+    checked for near-duplicates against the standing corpus (the rest)
+    via the CROSS-relation inverted-index Jaccard join
+    (operators.dedup.jaccard_pairs_cross) — exact J ≥ 0.5, no
+    crossJoin anywhere in the Spark plan (the oracle brute-forces the
+    cross product, which is the point of the comparison)."""
+    cat = Catalog(spark, sf_dir)
+    incoming = cat.documents.filter(F.col("doc_id") % 5 == 0)
+    corpus = cat.documents.filter(F.col("doc_id") % 5 != 0)
+    return (
+        jaccard_pairs_cross(incoming, corpus, "doc_id", "text", k=3, threshold=0.5)
+        .withColumnRenamed("id_left", "id_incoming")
+        .withColumnRenamed("id_right", "id_corpus")
+        .orderBy("id_incoming", "id_corpus")
+    )
+
+
+from flight_delays_progetto_big_data_2024_spark.sources.maintenance import (  # noqa: E402
+    zorder_sql,
+)
+
+_Z_SQL = zorder_sql(["l_partkey", "l_suppkey"], bits=10)
+
+
+@register(
+    "q135_zorder_curve_buckets",
+    sql=f"""
+    SELECT ({_Z_SQL} >> 14) AS z_bucket,
+           count(*) AS n_rows,
+           min({_Z_SQL})::BIGINT AS z_min,
+           max({_Z_SQL})::BIGINT AS z_max,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY z_bucket ORDER BY z_bucket
+    """,
+)
+def q135_zorder_curve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve clustering profile of lineitem on
+    (l_partkey, l_suppkey): rows bucketed by the top 6 bits of the
+    interleaved key, with the distinct part/supplier spread per bucket
+    showing each curve bucket covers a HYPERCUBE of the 2-D key space —
+    the property that makes ``sources.maintenance.write_zorder`` layouts
+    prune on either filter column. The key expression is one generated
+    SQL string (`zorder_sql`) evaluated bit-for-bit by both engines;
+    it's pure projection — the only shuffle is the final 64-group
+    aggregate."""
+    cat = Catalog(spark, sf_dir)
+    z = F.expr(_Z_SQL)
+    return (
+        cat.lineitem.select(
+            F.expr(f"({_Z_SQL} >> 14)").alias("z_bucket"),  # top 6 of 20 bits
+            z.alias("__z"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__z").alias("z_min"),
+            F.max("__z").alias("z_max"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -22,6 +22,7 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def _tree_bytes(path: str, suffix: str = ".parquet") -> int:
@@ -70,3 +71,82 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def zorder_sql(cols, bits: int = 16) -> str:
+    """Engine-portable SQL for an interleaved-bit (Morton / Z-order)
+    clustering key over integer columns: bit ``i`` of column ``j`` lands
+    at output bit ``i*n + j``. The SAME generated string parses in Spark
+    SQL and DuckDB (both support ``&``, ``|``, ``<<``, ``>>`` on
+    BIGINT), which is how the q135 oracle replays the key bit-for-bit.
+
+    Columns are masked to ``bits`` low bits first; pre-scale values into
+    that range (rank/bucket them) before clustering on the key.
+    """
+    n = len(cols)
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(
+                f"((((CAST({c} AS BIGINT) & {mask}) >> {i}) & 1) << {i * n + j})"
+            )
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_key(cols, bits: int = 16):
+    """:func:`zorder_sql` as a Spark Column."""
+    return F.expr(zorder_sql(cols, bits))
+
+
+def write_zorder(
+    df,
+    path: str,
+    cols,
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Rewrite a table clustered on the Z-order curve of ``cols`` — the
+    OPTIMIZE ZORDER analog. Range-partition on the interleaved key
+    (``num_files`` output files), sort within partitions, drop the key,
+    write. Every output file then covers a small HYPERCUBE of the key
+    space instead of a thin full-width slab, so parquet row-group
+    min/max stats prune scans filtered on ANY prefix-free combination of
+    the clustered columns — the property a single-column sort cannot
+    give (it prunes only its leading column). Layout-only: the rows and
+    schema are untouched (tests assert content equality + per-dimension
+    prune bounds).
+
+    ``num_files`` must be a power of two: files align to CURVE OCTANTS
+    (the top log2(num_files) bits of the key) rather than sampled range
+    bounds — deterministic layout, and each file's bounding box is an
+    exact aligned hypercube. Uniformity across octants is the caller's
+    job (rank/bucket heavily-skewed columns into the ``bits`` range
+    first), same as any Z-order implementation."""
+    shift_files = num_files.bit_length() - 1
+    if 1 << shift_files != num_files:
+        raise ValueError(f"num_files must be a power of two, got {num_files}")
+    shift = len(list(cols)) * bits - shift_files
+    keyed = df.withColumn("__z", zorder_key(cols, bits)).withColumn(
+        "__zoct", F.expr(f"__z >> {shift}")
+    )
+    # octant -> file is an IDENTITY partitioner, not a sampled range
+    # exchange: RangePartitioner draws per-RDD-seeded samples, so with
+    # as many partitions as octants it may merge one pair and split
+    # another — nondeterministic layout. The RDD hop serializes rows
+    # through Python once; for a layout REWRITE job (already IO-bound,
+    # run out-of-band like any OPTIMIZE) that cost is acceptable and
+    # buys exact, reproducible file bounds.
+    spark = df.sparkSession
+    parted = (
+        keyed.rdd.map(lambda r: (r["__zoct"], r))
+        .partitionBy(num_files, lambda k: int(k))
+        .values()
+    )
+    (
+        spark.createDataFrame(parted, keyed.schema)
+        .sortWithinPartitions("__z")
+        .drop("__z", "__zoct")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

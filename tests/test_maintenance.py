@@ -64,3 +64,44 @@ def test_compact_splits_when_over_target(spark, sf_dir, tmp_path):
     files = _parquet_files(path)
     assert n_out >= 1 and len(files) == n_out
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_write_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.sources.maintenance import (
+        write_zorder,
+    )
+
+    # synthetic uniform 2-D keys in [0, 1024)²; scattered row order
+    rows = [Row(i=i, x=(i * 37) % 1024, y=(i * 911) % 1024) for i in range(8192)]
+    df = spark.createDataFrame(rows)
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zorder(df, zpath, ["x", "y"], bits=10, num_files=8)
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def files_hit(path, col, lo, hi):
+        """How many files a min/max-pruned scan for col ∈ [lo, hi) must read."""
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()
+        )
+        assert len(per_file) == 8
+        return sum(1 for r in per_file if r.mx >= lo and r.mn < hi)
+
+    # content preserved (layout-only rewrite)
+    assert spark.read.parquet(zpath).agg(F.sum("i")).first()[0] == sum(
+        r.i for r in rows
+    )
+    # single-column layout: an x-slice prunes well but a y-slice reads
+    # EVERY file; the octant-aligned z-order layout is deterministic:
+    # 8 files split y into quartiles (bits 9,8) and x into halves (bit
+    # 9), so a y-slice inside one quartile reads exactly its 2 files
+    # and an x-slice inside one half reads exactly its 4
+    assert files_hit(lpath, "y", 448, 512) == 8
+    assert files_hit(zpath, "y", 448, 512) == 2
+    assert files_hit(zpath, "x", 448, 512) == 4

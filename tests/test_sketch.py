@@ -1,0 +1,69 @@
+"""Unit tests for the sketch / corpus-growth / incremental-dedup batch:
+PCA against numpy ground truth, cross-relation Jaccard against planted
+near-dups, count-min estimates against the one-sided-error guarantee."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+    jaccard_pairs_cross,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+    pca_variance_profile,
+)
+from flight_delays_progetto_big_data_2024_spark.plans import registry
+
+from tests.conftest import SF_DIR as SF
+
+
+def test_pca_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    # anisotropic data: variance concentrated along a few directions so
+    # the spectrum is distinguishable
+    base = rng.randn(300, 6) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    df = spark.createDataFrame(
+        [Row(embedding=[float(x) for x in row]) for row in base]
+    )
+    got = pca_variance_profile(df, "embedding", k=4).orderBy("component").collect()
+    cov = np.cov(base, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    ratios = evals / evals.sum()
+    for r in got:
+        assert r.eigenvalue == pytest.approx(evals[r.component], rel=1e-6)
+        assert r.variance_ratio == pytest.approx(ratios[r.component], abs=1e-5)
+    # ratios are monotone for this spectrum and cum_ratio is their cumsum
+    assert got[-1].cum_ratio == pytest.approx(ratios[:4].sum(), abs=1e-5)
+
+
+def test_jaccard_pairs_cross_planted(spark):
+    left = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely different content about spark plans"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            # near-copy of left doc 1 (one word changed at the end)
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=11, text="unrelated text with no overlap whatsoever here"),
+        ]
+    )
+    out = jaccard_pairs_cross(left, right, k=3, threshold=0.3).collect()
+    pairs = {(r.id_left, r.id_right) for r in out}
+    assert pairs == {(1, 10)}
+    [row] = out
+    # 7 distinct 3-gram shingles per side; only the one containing the
+    # changed final word differs → 6 shared / 8 union = 0.75
+    assert row.jaccard == pytest.approx(0.75, abs=1e-6)
+
+
+def test_cms_estimates_are_one_sided(spark):
+    out = registry.QUERIES["q134_cms_term_frequency"](spark, SF).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+        assert r.overestimate >= 0

@@ -7,6 +7,7 @@ import os
 import time
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from flight_delays_progetto_big_data_2024_spark.operators.similarity import ivf_topk
@@ -332,3 +333,64 @@ def test_merge_upsert_semantics(spark):
     )
     got = {r["id"]: r["val"] for r in merge_upsert(target, changes, "id").collect()}
     assert got == {1: "a", 2: "B", 9: "z"}
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    import glob
+    import shutil
+
+    # the TWS python driver worker speaks protobuf to the JVM; without
+    # the google.protobuf package the query fails at plan time — skip in
+    # containers that lack it (the operator itself is environment-gated
+    # the same way multimodal codecs are)
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    src = str(tmp_path / "tws-in")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def drop(name, rows, mtime):
+        staging = str(tmp_path / f"tws-staging-{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = f"{src}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    drop("b1", [(1, _ts(10, 0), 1, 1.5), (2, _ts(10, 5), 1, 2.0),
+                (3, _ts(10, 0), 2, 7.0)], time.time() - 30)
+    drop("b2", [(4, _ts(11, 0), 1, 4.0)], time.time() - 20)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    collected = []
+    query = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws-ckpt"))
+        # TWS requires the RocksDB state store
+        .option(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "stream did not finish in 120s"
+
+    rows = {(r.user_id, r.batches): (r.n, r.total) for r in collected}
+    # batch1: both keys get their first running row
+    assert rows[(1, 1)] == (2, 3.5)
+    assert rows[(2, 1)] == (1, 7.0)
+    # batch2 touches only user 1: state carried across the micro-batch
+    assert rows[(1, 2)] == (3, 7.5)
+    # update mode: untouched user 2 is NOT re-emitted in batch 2
+    assert (2, 2) not in rows
