@@ -192,6 +192,17 @@ def jaccard_pairs_prefix(
     two extra bounded shuffles (document-frequency table + per-doc
     rank); at 100 TB this is the difference between a runnable exact
     similarity join and an un-runnable one.
+
+    Degenerate regime (measured on the synthetic sf0.1 corpus): when
+    the DISTINCT-shingle vocabulary is tiny relative to postings (2k
+    hashes for 1M postings — a 100-word generator vocabulary), even the
+    rarest-quartile prefixes have df in the hundreds and the positional
+    filter leaves ~500k candidates for 256 true pairs; wall time then
+    spreads evenly across shingle/rank/join/verify (~12s) rather than
+    concentrating anywhere. Real text is the GOOD case (char-5
+    vocabularies in the billions, df-skewed); for genuinely tiny-vocab
+    corpora prefer token-level jaccard_pairs, whose inverted index the
+    small vocabulary hurts less.
     """
     from pyspark.sql.window import Window
 
