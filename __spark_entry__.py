@@ -142,6 +142,10 @@ VERIFY_NEXT: list[str] = [
     "q142_copurchase_pairs",  # new in r2 (market-basket affinity)
     "q143_rfm_segments",  # new in r2 (RFM quartile segmentation)
     "q144_approx_percentile_bounds",  # new in r2 (GK rank-bound certificate)
+    "q145_sliding_weekly_actives",  # new in r2 (scaffolded sliding distinct)
+    "q146_quantile_normalization",  # new in r2 (cross-source harmonization)
+    "q147_bloom_decontamination",  # new in r2 (portable Bloom pre-filter)
+    "q148_linear_counting_distinct",  # new in r2 (portable distinct sketch)
 ]
 
 

@@ -293,3 +293,131 @@ def q144_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame
         within("le50", "lt50", 0.5).alias("p50_within_bound"),
         within("le95", "lt95", 0.95).alias("p95_within_bound"),
     ).orderBy("event_type")
+
+
+@register(
+    "q145_sliding_weekly_actives",
+    sql="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT strftime(r.d, '%Y-%m-%d') AS day,
+           count(DISTINCT a.user_id) AS wau
+    FROM days r
+    JOIN daily a ON a.d BETWEEN r.d - INTERVAL 6 DAY AND r.d
+    GROUP BY r.d ORDER BY day
+    """,
+)
+def q145_sliding_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. DISTINCT cannot
+    ride a window frame, and the naive fix (self-join on raw events)
+    explodes; the scale-right decomposition collapses events to the
+    DAU-sized (day, user) relation FIRST, then fans each row out to the
+    ≤7 report days it supports via a broadcast offset scaffold — shuffle
+    bounded by 7 × DAU regardless of event volume. (The oracle's
+    interval self-join is the same math on DuckDB's scale.) For month+
+    windows where even 30× DAU hurts, switch the fan-out to per-day HLL
+    sketches merged across the window — same shape, bounded error."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    )
+    days = daily.select("d").distinct()
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("off"))
+    expanded = daily.crossJoin(F.broadcast(offsets)).select(
+        F.date_add("d", F.col("off")).alias("rd"), "user_id"
+    )
+    return (
+        expanded.join(days.select(F.col("d").alias("rd")), "rd")
+        .groupBy("rd")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.date_format("rd", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+@register(
+    "q146_quantile_normalization",
+    sql="""
+    WITH cuts AS (
+        SELECT unnest(range(0, 101)) AS g,
+               round(unnest(qs), 6) AS cut
+        FROM (SELECT quantile_cont(value, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS qs FROM events)
+    ),
+    r AS (
+        SELECT event_type, value,
+               (rank() OVER (PARTITION BY event_type ORDER BY value) - 1)
+                   AS rk,
+               (count(*) OVER (PARTITION BY event_type) - 1) AS nm1
+        FROM events
+    ),
+    i AS (
+        SELECT event_type,
+               CAST(floor(CASE WHEN nm1 = 0 THEN 0.0
+                               ELSE rk * 100.0 / nm1 END) AS BIGINT) AS g0,
+               (CASE WHEN nm1 = 0 THEN 0.0 ELSE rk * 100.0 / nm1 END)
+                   - floor(CASE WHEN nm1 = 0 THEN 0.0
+                                ELSE rk * 100.0 / nm1 END) AS frac
+        FROM r
+    )
+    SELECT event_type,
+           round(avg(c0.cut + frac * (c1.cut - c0.cut)), 6) AS avg_norm,
+           round(min(c0.cut + frac * (c1.cut - c0.cut)), 6) AS min_norm,
+           round(max(c0.cut + frac * (c1.cut - c0.cut)), 6) AS max_norm
+    FROM i
+    JOIN cuts c0 ON c0.g = i.g0
+    JOIN cuts c1 ON c1.g = least(i.g0 + 1, 100)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q146_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups — map every event type's
+    value distribution onto the GLOBAL distribution (rank within type →
+    interpolated global quantile), the harmonization step that makes
+    quality scores comparable across corpus sources with different
+    scoring scales. Scale shape: the global distribution is compressed
+    to a 101-row cutpoint table (one percentile aggregate, broadcast);
+    per-row work is a rank window WITHIN each group plus two broadcast
+    lookups — no global sort of the fact table. Determinism across
+    engines: interpolation positions derive from INTEGER ranks (same
+    doubles from the same integer division on both sides), and
+    cutpoints round at 1e-6 before interpolating."""
+    cat = Catalog(spark, sf_dir)
+    fracs = [g / 100.0 for g in range(101)]
+    cuts = (
+        cat.events.agg(
+            F.percentile("value", F.array([F.lit(x) for x in fracs])).alias("cs")
+        )
+        .select(F.posexplode("cs").alias("g", "cut"))
+        .select("g", F.round("cut", 6).alias("cut"))
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = cat.events.select(
+        "event_type",
+        (F.rank().over(w) - 1).alias("rk"),
+        (F.count(F.lit(1)).over(wn) - 1).alias("nm1"),
+    )
+    pos = F.when(F.col("nm1") == 0, F.lit(0.0)).otherwise(
+        F.col("rk") * 100.0 / F.col("nm1")
+    )
+    i = r.select(
+        "event_type",
+        F.floor(pos).cast("long").alias("g0"),
+        (pos - F.floor(pos)).alias("frac"),
+    )
+    c0 = cuts.select(F.col("g").alias("g0"), F.col("cut").alias("cut0"))
+    c1 = cuts.select(F.col("g").alias("g1"), F.col("cut").alias("cut1"))
+    norm = F.col("cut0") + F.col("frac") * (F.col("cut1") - F.col("cut0"))
+    return (
+        i.join(F.broadcast(c0), "g0")
+        .join(F.broadcast(c1), F.least(F.col("g0") + 1, F.lit(100)) == F.col("g1"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(norm), 6).alias("avg_norm"),
+            F.round(F.min(norm), 6).alias("min_norm"),
+            F.round(F.max(norm), 6).alias("max_norm"),
+        )
+        .orderBy("event_type")
+    )

@@ -293,3 +293,236 @@ def q135_zorder_curve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+_BLOOM_M = 1 << 15  # bits
+_BLOOM_K = 3
+
+
+def _bloom_pos_spark(expr: str, j: int) -> str:
+    return (
+        f"pmod(cast(conv(substr(md5(concat({expr}, '!{j}')), 1, 15),"
+        f" 16, 10) as bigint), {_BLOOM_M})"
+    )
+
+
+def _bloom_pos_duck(expr: str, j: int) -> str:
+    return (
+        f"(('0x' || substr(md5({expr} || '!{j}'), 1, 15))::BIGINT % {_BLOOM_M})"
+    )
+
+
+def _bloom_duck_sql() -> str:
+    """DuckDB replay of the full Bloom pipeline (build + probe + exact
+    membership comparison) — generated beside the Spark plan so both
+    engines hash, fold, and probe the identical 32768-bit filter."""
+    probes_b = ", ".join(
+        f"{_bloom_pos_duck('s', j)} AS p{j}" for j in range(_BLOOM_K)
+    )
+    member = " AND ".join(
+        f"((w{j}.word >> (p.p{j} % 63)) & 1) = 1" for j in range(_BLOOM_K)
+    )
+    joins = " ".join(
+        f"JOIN bitmap w{j} ON w{j}.wi = p.p{j} // 63" for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    bench_grams AS (
+        SELECT DISTINCT unnest(s) AS s FROM sh WHERE doc_id % 20 = 0
+    ),
+    positions AS (
+        SELECT {probes_b} FROM bench_grams
+    ),
+    allpos AS (
+        {" UNION ALL ".join(f"SELECT p{j} AS pos FROM positions" for j in range(_BLOOM_K))}
+    ),
+    bitmap AS (
+        SELECT pos // 63 AS wi, bit_or(1::BIGINT << (pos % 63)) AS word
+        FROM allpos GROUP BY wi
+    ),
+    corpus AS (
+        SELECT doc_id, unnest(s) AS s FROM sh WHERE doc_id % 20 <> 0
+    ),
+    p AS (
+        SELECT doc_id, s, {probes_b} FROM corpus
+    ),
+    probed AS (
+        SELECT p.doc_id, p.s,
+               ({member}) AS bloom_member,
+               p.s IN (SELECT s FROM bench_grams) AS exact_member
+        FROM p {joins}
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS n_bloom,
+               sum(CASE WHEN exact_member THEN 1 ELSE 0 END) AS n_exact
+        FROM probed GROUP BY doc_id
+    ),
+    docs AS (
+        SELECT d.source, pd.n_grams, pd.n_bloom, pd.n_exact
+        FROM per_doc pd JOIN documents d ON d.doc_id = pd.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_bloom * 2 >= n_grams THEN 1 ELSE 0 END)::BIGINT
+               AS n_candidates,
+           sum(CASE WHEN n_exact * 2 >= n_grams THEN 1 ELSE 0 END)::BIGINT
+               AS n_contaminated,
+           sum(CASE WHEN n_bloom * 2 >= n_grams
+                     AND n_exact * 2 < n_grams THEN 1 ELSE 0 END)::BIGINT
+               AS n_false_positive
+    FROM docs GROUP BY source ORDER BY source
+    """
+
+
+@register("q147_bloom_decontamination", sql=_bloom_duck_sql())
+def q147_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination PRE-filter: fold the benchmark set's
+    distinct word-3-grams into a 32768-bit Bloom filter (k=3, portable
+    md5 hash family, stored as 63-bit bit_or-folded words (bit 63 avoided: DuckDB's signed shift traps on it) — broadcastable
+    at any corpus size), probe every corpus gram against it, and flag
+    docs whose bloom-member gram fraction reaches 1/2 as candidates for
+    the EXACT pairwise check (q56). The report compares candidates
+    against exact union-membership per source, surfacing the one-sided
+    false-positive count — a mismatch can only ever ADD candidates
+    (Bloom has no false negatives), which the oracle verifies
+    bit-for-bit.
+
+    At 100 TB this ordering is what makes decontamination affordable:
+    the filter build touches only the (small) benchmark side, the probe
+    is a broadcast join against 4 KB of bitmap, and the expensive
+    inverted-index containment join runs only over bloom survivors."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        _shingle_docs,
+    )
+
+    sh = _shingle_docs(docs, "doc_id", "text", 3).persist()
+    bench_grams = (
+        sh.filter(F.col("id") % 20 == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .persist()
+    )
+    pos_exprs = [_bloom_pos_spark("s", j) for j in range(_BLOOM_K)]
+    allpos = bench_grams.selectExpr(
+        f"explode(array({', '.join(pos_exprs)})) AS pos"
+    )
+    bitmap = (
+        allpos.selectExpr("CAST(pos DIV 63 AS BIGINT) AS wi",
+                          "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)) AS b")
+        .groupBy("wi")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    corpus = sh.filter(F.col("id") % 20 != 0).select(
+        F.col("id").alias("doc_id"), F.explode("shingles").alias("s")
+    )
+    probes = corpus.selectExpr(
+        "doc_id", "s", *[f"{e} AS p{j}" for j, e in enumerate(pos_exprs)]
+    )
+    for j in range(_BLOOM_K):
+        wj = bitmap.select(
+            F.col("wi").alias(f"wi{j}"), F.col("word").alias(f"word{j}")
+        )
+        probes = probes.join(
+            F.broadcast(wj), F.expr(f"CAST(p{j} DIV 63 AS BIGINT) = wi{j}")
+        )
+    member = F.expr(
+        " AND ".join(
+            f"((word{j} >> CAST(p{j} % 63 AS INT)) & 1) = 1"
+            for j in range(_BLOOM_K)
+        )
+    )
+    exact = probes.join(
+        bench_grams.select(F.col("s"), F.lit(True).alias("__in_bench")),
+        "s",
+        "left",
+    )
+    per_doc = (
+        exact.withColumn("bloom_member", member)
+        .withColumn("exact_member", F.coalesce("__in_bench", F.lit(False)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_member").cast("long")).alias("n_bloom"),
+            F.sum(F.col("exact_member").cast("long")).alias("n_exact"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("n_bloom") * 2 >= F.col("n_grams")).cast("long")
+            ).alias("n_candidates"),
+            F.sum(
+                (F.col("n_exact") * 2 >= F.col("n_grams")).cast("long")
+            ).alias("n_contaminated"),
+            F.sum(
+                (
+                    (F.col("n_bloom") * 2 >= F.col("n_grams"))
+                    & (F.col("n_exact") * 2 < F.col("n_grams"))
+                ).cast("long")
+            ).alias("n_false_positive"),
+        )
+        .orderBy("source")
+    )
+
+
+_LC_M = 4096  # linear-counting bitmap bits
+
+
+@register(
+    "q148_linear_counting_distinct",
+    sql=f"""
+    WITH pos AS (
+        SELECT DISTINCT
+               (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                % {_LC_M}) AS p
+        FROM events
+    ),
+    v AS (SELECT {_LC_M} - count(*) AS empty_bits FROM pos),
+    e AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT e.exact_distinct,
+           v.empty_bits::BIGINT AS empty_bits,
+           CAST(round(-{_LC_M} * ln(v.empty_bits::DOUBLE / {_LC_M}), 0)
+                AS BIGINT) AS lc_estimate
+    FROM e, v
+    """,
+)
+def q148_linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimate with a PORTABLE md5 bitmap —
+    the value-checkable sibling of q29's approx_count_distinct (HLL++
+    registers are engine-internal, so q29 is rows-only; THIS estimator's
+    whole state is a 4096-bit occupancy set both engines derive
+    identically, so the estimate itself is hash-verified). Estimator:
+    hash each key into m buckets, count empty buckets V, n̂ = -m·ln(V/m).
+    Scale shape: the distinct-position set is the only shuffle (≤ m
+    rows after map-side distinct); merging daily bitmaps is a set
+    union — same linearity story as the count-min sketch. Use it when
+    the ballpark cardinality is ≤ a few × m; beyond that switch to HLL
+    (q29) and accept rows-only verification."""
+    cat = Catalog(spark, sf_dir)
+    pos = (
+        cat.events.selectExpr(
+            f"pmod(cast(conv(substr(md5(cast(user_id AS STRING)), 1, 15),"
+            f" 16, 10) as bigint), {_LC_M}) AS p"
+        )
+        .distinct()
+    )
+    empty = pos.agg((F.lit(_LC_M) - F.count(F.lit(1))).alias("empty_bits"))
+    exact = cat.events.agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return exact.crossJoin(F.broadcast(empty)).select(
+        "exact_distinct",
+        F.col("empty_bits").cast("long").alias("empty_bits"),
+        F.round(
+            -_LC_M * F.log(F.col("empty_bits").cast("double") / _LC_M), 0
+        )
+        .cast("long")
+        .alias("lc_estimate"),
+    )

@@ -72,3 +72,20 @@ def stream_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against
+    a BATCH dimension table. Stateless — no watermark, no state store;
+    Spark re-plans the static side per micro-batch, so a dimension
+    backed by a table/path picks up slowly-changing updates between
+    batches for free. The static side is explicitly broadcast: at 100 TB
+    of stream the dimension join must never shuffle the stream."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, how)

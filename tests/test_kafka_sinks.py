@@ -1,5 +1,6 @@
 """Kafka-shaped source plumbing and exactly-once foreachBatch sinks."""
 
+import os
 import shutil
 
 import pytest
@@ -251,3 +252,51 @@ def test_streaming_cdc_merge_upsert_snapshot(spark, sf_dir, tmp_path):
         else:
             want[d] = "v2" if d % 5 == 0 else "v1"
     assert got == want
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    import glob
+    import shutil
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "enrich-in")
+    os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    staging = str(tmp_path / "enrich-staging")
+    events.coalesce(1).write.parquet(staging)
+    (part,) = glob.glob(f"{staging}/part-*.parquet")
+    shutil.copy(part, f"{src}/b1.parquet")
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.1)],
+        "event_type string, weight double",
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+    )
+    collected = []
+    q = (
+        stream_static_enrich(stream, dim, "event_type")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    batch = stream_static_enrich(events, dim, "event_type").collect()
+
+    def key(rows):
+        return sorted(
+            (r.event_id, r.event_type, r.weight) for r in rows
+        )
+
+    assert key(collected) == key(batch)
+    # left join: unmapped types survive with null weight
+    assert any(r.weight is None for r in batch) or all(
+        r.event_type in {"click", "purchase", "view"} for r in batch
+    )
