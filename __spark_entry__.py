@@ -146,6 +146,9 @@ VERIFY_NEXT: list[str] = [
     "q146_quantile_normalization",  # new in r2 (cross-source harmonization)
     "q147_bloom_decontamination",  # new in r2 (portable Bloom pre-filter)
     "q148_linear_counting_distinct",  # new in r2 (portable distinct sketch)
+    "q149_nation_cheapest_routes",  # new in r2 (weighted Bellman-Ford)
+    "q150_funnel_chain_attribution",  # new in r2 (chained as-of patterns)
+    "q151_session_path_trigrams",  # new in r2 (session sequence mining)
 ]
 
 

@@ -302,3 +302,55 @@ def shortest_hops(
         prev_frontier.unpersist()
     e.unpersist()
     return dist
+
+
+def cheapest_paths(
+    edges: DataFrame,
+    source: DataFrame,
+    weight_col: str = "w",
+    max_legs: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source CHEAPEST paths (Bellman-Ford, ``max_legs``
+    relaxation rounds): minimum total edge weight from ``source`` (a
+    1-row DataFrame with an ``id`` column — a plan, never a collected
+    scalar) to every vertex reachable in ≤ ``max_legs`` edges.
+
+    Each round relaxes the full tentative-distance table against the
+    edge list (one keyed join + one min-aggregate — two shuffles per
+    round, the textbook distributed Bellman-Ford), then localCheckpoints
+    so lineage stays O(1) per round. Early exit when a round improves
+    nothing. INTEGER weights keep min-plus sums exact, so the result is
+    engine-portable bit-for-bit (doubles would make path-sum ties
+    association-order dependent)."""
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight_col).alias("__w"),
+    ).persist()
+    dist = source.select(
+        F.col("id"), F.lit(0).cast("long").alias("cost")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_legs):
+        relaxed = (
+            dist.join(e, dist["id"] == e["__s"])
+            .select(F.col("__d").alias("id"), (F.col("cost") + F.col("__w")).alias("cost"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        # converged? (control-plane scalar on the vertex-sized table)
+        improved = (
+            new_dist.join(dist.withColumnRenamed("cost", "old"), "id", "left")
+            .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
+            .isEmpty()
+        )
+        dist = new_dist
+        if improved:
+            break
+    e.unpersist()
+    return dist

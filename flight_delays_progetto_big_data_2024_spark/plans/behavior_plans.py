@@ -421,3 +421,187 @@ def q146_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q150_funnel_chain_attribution",
+    sql="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    pc AS (
+        SELECT p.user_id, p.ts AS pts, c.ts AS cts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    -- clickless purchases must NOT reach the second as-of: a NULL left
+    -- key under DuckDB ASOF matches arbitrarily instead of not at all
+    pcv AS (
+        SELECT pc.user_id, pc.pts, v.ts AS vts
+        FROM (SELECT * FROM pc WHERE cts IS NOT NULL) pc ASOF LEFT JOIN v
+          ON pc.user_id = v.user_id AND pc.cts >= v.ts
+    ),
+    chains AS (
+        SELECT strftime(pts, '%Y-%m-%d') AS day,
+               sum(CASE WHEN vts IS NOT NULL
+                         AND pts - vts <= INTERVAL 24 HOUR THEN 1 ELSE 0
+                   END)::BIGINT AS n_full_chains
+        FROM pcv GROUP BY day
+    ),
+    daily AS (
+        SELECT strftime(pts, '%Y-%m-%d') AS day, count(*) AS n_purchases
+        FROM pc GROUP BY day
+    )
+    SELECT d.day, d.n_purchases,
+           coalesce(c2.n_full_chains, 0)::BIGINT AS n_full_chains,
+           round(coalesce(c2.n_full_chains, 0)::DOUBLE / d.n_purchases, 4)
+               AS chain_rate
+    FROM daily d LEFT JOIN chains c2 ON c2.day = d.day
+    ORDER BY d.day
+    """,
+)
+def q150_funnel_chain_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel pattern detection (the MATCH_RECOGNIZE analog
+    Spark lacks natively): view → click → purchase chains where the
+    whole chain closes within 24 hours, found by CHAINING two backward
+    as-of joins (purchase picks its latest preceding click per user,
+    that click picks its latest preceding view) — each as-of is one
+    keyed union + window (operators.temporal.asof_join), so pattern
+    matching over 100 TB of events costs two user-keyed shuffles, not an
+    event self-join. The chain carries only timestamps, so tied-instant
+    right rows (unspecified order under DuckDB ASOF) cannot diverge the
+    output."""
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        asof_join,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    pc = asof_join(p, c, ["user_id"], ts_col="ts", right_cols=[], suffix="_c").persist()
+    # second hop from the CLICK's timestamp — clickless purchases are
+    # held out (they can't head a chain, and a null as-of key is
+    # undefined under DuckDB ASOF)
+    pc2 = pc.filter(F.col("ts_c").isNotNull()).select(
+        "user_id", F.col("ts").alias("pts"), F.col("ts_c").alias("ts")
+    )
+    pcv = asof_join(pc2, v, ["user_id"], ts_col="ts", right_cols=[], suffix="_v")
+    chain = F.col("ts_v").isNotNull() & (
+        F.col("pts").cast("timestamp").cast("double")
+        - F.col("ts_v").cast("timestamp").cast("double")
+        <= 86400.0
+    )
+    chains = pcv.groupBy(
+        F.date_format("pts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(chain.cast("long")).alias("n_full_chains"))
+    daily = pc.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    return (
+        daily.join(chains, "day", "left")
+        .select(
+            "day",
+            "n_purchases",
+            F.coalesce("n_full_chains", F.lit(0)).alias("n_full_chains"),
+            F.round(
+                F.coalesce("n_full_chains", F.lit(0)) / F.col("n_purchases"), 4
+            ).alias("chain_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q151_session_path_trigrams",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT list(event_type ORDER BY ts, event_id) AS path
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    tri AS (
+        SELECT unnest(list_transform(range(1, len(path) - 1),
+                      i -> path[i] || '>' || path[i+1] || '>' || path[i+2]))
+                   AS trigram
+        FROM paths WHERE len(path) >= 3
+    )
+    SELECT trigram, count(*) AS n
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 15
+    """,
+)
+def q151_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the 15 most common 3-step event-type
+    paths WITHIN a session (2h-gap sessions as q41/q130). The per-session
+    path materializes as one sorted collect per session — bounded by
+    session length, shuffled once on (user, session) — and trigram
+    expansion is a pure array transform (no self-joins over events).
+    The (ts, event_id) total order makes path construction
+    deterministic in both engines."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = cat.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.lag("ts").over(w).cast("timestamp").cast("double")
+                > 7200.0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn("session_id", F.sum("new_session").over(wall))
+    paths = (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ).alias("path")
+        )
+        .filter(F.size("path") >= 3)
+    )
+    tri = paths.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("path") - 2),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at("path", i),
+                    F.element_at("path", i + 1),
+                    F.element_at("path", i + 2),
+                ),
+            )
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(15)
+    )

@@ -298,3 +298,54 @@ def q105_weighted_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("pagerank"), "nation")
     )
+
+
+@register(
+    "q149_nation_cheapest_routes",
+    sql=f"""
+    WITH RECURSIVE wedges AS (
+        SELECT supp_nation AS src, cust_nation AS dst, count(*) AS w
+        FROM ({_NATION_PAIR_SQL}) GROUP BY src, dst
+    ),
+    s0 AS (SELECT min(src) AS sid FROM wedges),
+    walk(id, cost, legs) AS (
+        SELECT sid, 0::BIGINT, 0 FROM s0
+        UNION
+        SELECT e.dst, w.cost + e.w, w.legs + 1
+        FROM walk w JOIN wedges e ON e.src = w.id
+        WHERE w.legs < 4
+    )
+    SELECT id AS nation, min(cost)::BIGINT AS min_cost
+    FROM walk GROUP BY id ORDER BY min_cost, nation
+    """,
+)
+def q149_nation_cheapest_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest paths over the nation trade graph
+    (edge weight = shipment count, source = lexically first nation kept
+    in-plan): Bellman-Ford with 4 relaxation rounds
+    (graph.algorithms.cheapest_paths — two keyed shuffles per round,
+    lineage checkpointed). The oracle enumerates every ≤4-leg walk in a
+    recursive CTE and takes the min — tractable only at oracle scale,
+    which is the point of having the relaxation loop. Integer weights
+    make the min-plus algebra exact on both engines."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        cheapest_paths,
+    )
+    from flight_delays_progetto_big_data_2024_spark.plans.analog import (
+        _nation_pair_lineitems,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    wedges = (
+        _nation_pair_lineitems(cat)
+        .groupBy(
+            F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    source = wedges.agg(F.min("src").alias("id"))
+    return (
+        cheapest_paths(wedges, source, weight_col="w", max_legs=4)
+        .select(F.col("id").alias("nation"), F.col("cost").alias("min_cost"))
+        .orderBy("min_cost", "nation")
+    )

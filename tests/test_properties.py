@@ -303,3 +303,68 @@ def test_merge_upsert_matches_dict_reference(spark, target, changes):
         else:
             ref[i] = v
     assert got == ref
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_bucketed_running_sum_matches_cumsum_reference(spark, rows):
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        bucketed_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(b, s, float(v)) for b, s, v in rows], "bucket int, seq int, v double"
+    )
+    got = {
+        (r.bucket, r.seq): r.rs
+        for r in bucketed_running_sum(df, ["seq"], "v", "bucket", "rs").collect()
+    }
+    run = 0.0
+    for b, s, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        run += float(v)
+        assert got[(b, s)] == run  # integer-valued doubles: exact
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30), st.integers(1, 9)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_weighted_median_matches_reference(spark, rows):
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), float(w)) for g, v, w in rows], "g int, v double, w double"
+    )
+    got = {
+        r.g: r.weighted_median
+        for r in weighted_median(df, "v", "w", ["g"]).collect()
+    }
+    import collections
+
+    per_group = collections.defaultdict(lambda: collections.defaultdict(float))
+    for g, v, w in rows:
+        per_group[g][float(v)] += w
+    for g, dist in per_group.items():
+        total = sum(dist.values())
+        cum = 0.0
+        expect = None
+        for v in sorted(dist):
+            cum += dist[v]
+            if cum * 2 >= total:
+                expect = v
+                break
+        assert got[g] == expect
