@@ -154,3 +154,33 @@ def test_group_split_is_pure_projection(spark):
     exactly one exchange (the groupBy) on top of the scan."""
     plan = _plan(registry.QUERIES["q122_group_holdout_split"](spark, SF))
     assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+
+
+def test_copurchase_pair_join_not_cartesian(spark):
+    plan = _plan(registry.QUERIES["q142_copurchase_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # name decorate is hash/broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wau_scaffold_is_broadcast(spark):
+    # the 7-row offset scaffold must fan out via broadcast, never shuffle
+    # the DAU relation for it
+    plan = _plan(registry.QUERIES["q145_sliding_weekly_actives"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_bitmap(spark):
+    # every per-depth bitmap word join must be a broadcast — the probe
+    # side (corpus grams) never shuffles toward the 512-row filter
+    plan = _plan(registry.QUERIES["q147_bloom_decontamination"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalization_cutpoints_broadcast(spark):
+    plan = _plan(registry.QUERIES["q146_quantile_normalization"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the only windows are per-event-type rank/count — partitioned
+    assert "CartesianProduct" not in plan
