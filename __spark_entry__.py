@@ -149,6 +149,9 @@ VERIFY_NEXT: list[str] = [
     "q149_nation_cheapest_routes",  # new in r2 (weighted Bellman-Ford)
     "q150_funnel_chain_attribution",  # new in r2 (chained as-of patterns)
     "q151_session_path_trigrams",  # new in r2 (session sequence mining)
+    "q152_pq_codebook_quality",  # new in r2 (PQ training, value-checked)
+    "q153_pq_adc_search",  # new in r2 (ADC approximate search)
+    "q154_cohort_retention_matrix",  # new in r2 (weekly cohort triangle)
 ]
 
 

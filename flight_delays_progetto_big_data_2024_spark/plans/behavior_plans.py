@@ -605,3 +605,72 @@ def q151_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(15)
     )
+
+
+@register(
+    "q154_cohort_retention_matrix",
+    sql="""
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id, date_diff('day', DATE '2024-01-01', d0) // 7 AS cohort
+        FROM first_seen
+    ),
+    active AS (
+        SELECT DISTINCT e.user_id,
+               date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
+                   AS wk
+        FROM events e
+    ),
+    sizes AS (SELECT cohort, count(*) AS n_users FROM cohorts GROUP BY cohort),
+    cells AS (
+        SELECT c.cohort, a.wk - c.cohort AS week_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM cohorts c JOIN active a ON a.user_id = c.user_id
+        GROUP BY c.cohort, week_offset
+    )
+    SELECT c.cohort, c.week_offset, c.n_active,
+           round(c.n_active::DOUBLE / s.n_users, 4) AS retention
+    FROM cells c JOIN sizes s ON s.cohort = c.cohort
+    ORDER BY c.cohort, c.week_offset
+    """,
+)
+def q154_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-seen week,
+    each cohort tracked across week offsets as the share still active —
+    the standard growth-analytics triangle. Every relation after the
+    first aggregate is USER-sized (first-seen, cohort label, distinct
+    user-week), so the matrix costs two user-keyed shuffles regardless
+    of event volume; the cohort-size decorate joins the ≤5-row size
+    table."""
+    cat = Catalog(spark, sf_dir)
+    week = lambda c: F.floor(
+        F.datediff(F.to_date(c), F.lit("2024-01-01").cast("date")) / 7
+    )
+    first_seen = cat.events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    cohorts = first_seen.select(
+        "user_id",
+        F.floor(
+            F.datediff("d0", F.lit("2024-01-01").cast("date")) / 7
+        ).alias("cohort"),
+    )
+    active = cat.events.select("user_id", week("ts").alias("wk")).distinct()
+    sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    cells = (
+        cohorts.join(active, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_users"), 4).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )

@@ -526,3 +526,168 @@ def q148_linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("lc_estimate"),
     )
+
+
+@register(
+    "q152_pq_codebook_quality",
+    sql="""
+    WITH e AS (
+        SELECT vec_id,
+               (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, sub, pos, val AS cval FROM e WHERE vec_id < 8),
+    a1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY round(d2, 6), cid
+                   ) AS rn
+            FROM (
+                SELECT e.vec_id, e.sub, c.cid, sum((e.val - c.cval) ^ 2) AS d2
+                FROM e JOIN c0 c ON c.sub = e.sub AND c.pos = e.pos
+                GROUP BY e.vec_id, e.sub, c.cid
+            )
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a1.sub, a1.cid, e.pos, avg(e.val) AS cval
+        FROM e JOIN a1 ON a1.vec_id = e.vec_id AND a1.sub = e.sub
+        GROUP BY a1.sub, a1.cid, e.pos
+    ),
+    a2 AS (
+        SELECT vec_id, sub, cid, d2 FROM (
+            SELECT vec_id, sub, cid, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY round(d2, 6), cid
+                   ) AS rn
+            FROM (
+                SELECT e.vec_id, e.sub, c.cid, sum((e.val - c.cval) ^ 2) AS d2
+                FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+                GROUP BY e.vec_id, e.sub, c.cid
+            )
+        ) WHERE rn = 1
+    )
+    SELECT sub, cid AS code,
+           count(*) AS n_vectors,
+           round(avg(d2), 4) AS avg_err,
+           round(max(d2), 4) AS max_err
+    FROM a2 GROUP BY sub, code ORDER BY sub, code
+    """,
+)
+def q152_pq_codebook_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook quality: PQ-encode the embedding
+    corpus (4 subspaces × 16 dims, 8-code codebooks, 2 deterministic
+    Lloyd iterations — operators.similarity.pq_encode) and report each
+    code's population and reconstruction error. The oracle replays ALL
+    four subspace k-means in one SQL by adding the subspace as a
+    grouping key to the q80 unrolled-Lloyd pattern — codes, counts, and
+    errors are value-checked, making this one of the very few PQ
+    implementations whose training is verified against an independent
+    engine rather than eyeballed."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    codes = pq_encode(cat.embeddings, m=4, sub_dim=16, k=8, iterations=2)
+    return (
+        codes.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist2"), 4).alias("avg_err"),
+            F.round(F.max("dist2"), 4).alias("max_err"),
+        )
+        .orderBy("sub", "code")
+    )
+
+
+@register(
+    "q153_pq_adc_search",
+    sql="""
+    WITH e AS (
+        SELECT vec_id,
+               (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, sub, pos, val AS cval FROM e WHERE vec_id < 8),
+    a1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY round(d2, 6), cid
+                   ) AS rn
+            FROM (
+                SELECT e.vec_id, e.sub, c.cid, sum((e.val - c.cval) ^ 2) AS d2
+                FROM e JOIN c0 c ON c.sub = e.sub AND c.pos = e.pos
+                GROUP BY e.vec_id, e.sub, c.cid
+            )
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a1.sub, a1.cid, e.pos, avg(e.val) AS cval
+        FROM e JOIN a1 ON a1.vec_id = e.vec_id AND a1.sub = e.sub
+        GROUP BY a1.sub, a1.cid, e.pos
+    ),
+    a2 AS (
+        SELECT vec_id, sub, cid, d2 FROM (
+            SELECT vec_id, sub, cid, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY round(d2, 6), cid
+                   ) AS rn
+            FROM (
+                SELECT e.vec_id, e.sub, c.cid, sum((e.val - c.cval) ^ 2) AS d2
+                FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+                GROUP BY e.vec_id, e.sub, c.cid
+            )
+        ) WHERE rn = 1
+    )
+    ,cb AS (
+        SELECT a2.sub, a2.cid AS code, e.pos, avg(e.val) AS cval
+        FROM e JOIN a2 ON a2.vec_id = e.vec_id AND a2.sub = e.sub
+        GROUP BY a2.sub, a2.cid, e.pos
+    ),
+    q AS (SELECT vec_id AS qid, pos, val AS qval FROM e WHERE vec_id < 5),
+    qt AS (
+        SELECT q.qid, cb.sub, cb.code, sum((q.qval - cb.cval) ^ 2) AS qd2
+        FROM q JOIN cb ON cb.pos = q.pos
+        GROUP BY q.qid, cb.sub, cb.code
+    ),
+    adc AS (
+        SELECT qt.qid, a2.vec_id, sum(qt.qd2) AS adc
+        FROM a2 JOIN qt ON qt.sub = a2.sub AND qt.code = a2.cid
+        WHERE qt.qid <> a2.vec_id
+        GROUP BY qt.qid, a2.vec_id
+    ),
+    ranked AS (
+        SELECT qid, vec_id, adc,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY round(adc, 6), vec_id
+               ) AS rank
+        FROM adc
+    )
+    SELECT qid, rank, vec_id, round(adc, 4) AS adc_dist2
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+    """,
+)
+def q153_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC approximate nearest-neighbor search over the q152 PQ codes
+    (operators.similarity.pq_adc_topk): 5 query vectors, top-3 by
+    asymmetric distance — m lookup-table reads per candidate instead of
+    a 64-dim float distance, which is why PQ search reads ~1% of the
+    bytes brute force does. The oracle replays codebook, lookup tables,
+    and the final ranking, so even the APPROXIMATE search results are
+    value-checked end to end."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    queries = cat.embeddings.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(
+        cat.embeddings, queries, m=4, sub_dim=16, k=8, iterations=2, top=3
+    ).orderBy("qid", "rank")

@@ -184,3 +184,20 @@ def test_quantile_normalization_cutpoints_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     # the only windows are per-event-type rank/count — partitioned
     assert "CartesianProduct" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    # the engine's join-strategy surface: hints must reach the physical
+    # plan (shuffle_hash avoids SMJ sort; merge forces it) — the knobs a
+    # 100 TB deployment turns when AQE's choice is wrong for a skewed or
+    # sort-expensive key
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    sh = _plan(
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    )
+    assert "ShuffledHashJoin" in sh
+    mg = _plan(
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    )
+    assert "SortMergeJoin" in mg

@@ -67,3 +67,20 @@ def test_cms_estimates_are_one_sided(spark):
         assert r.cms_estimate >= r.exact_count
         assert r.overestimate == r.cms_estimate - r.exact_count
         assert r.overestimate >= 0
+
+
+def test_pq_encode_shape_and_bounds(spark, sf_dir):
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    codes = pq_encode(emb, m=4, sub_dim=16, k=8, iterations=2).collect()
+    assert len(codes) == 4 * n  # one code per (vector, subspace)
+    assert all(0 <= r.code < 8 for r in codes)
+    assert all(r.dist2 >= 0.0 for r in codes)
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r.vec_id, set()).add(r.sub)
+    assert all(subs == {0, 1, 2, 3} for subs in per_vec.values())
