@@ -84,3 +84,15 @@ def test_pq_encode_shape_and_bounds(spark, sf_dir):
     for r in codes:
         per_vec.setdefault(r.vec_id, set()).add(r.sub)
     assert all(subs == {0, 1, 2, 3} for subs in per_vec.values())
+
+
+def test_bloom_filter_has_no_false_negatives(spark, sf_dir):
+    # one-sided error is the Bloom contract: every gram truly in the
+    # benchmark set MUST pass the filter (n_contaminated <= n_candidates
+    # per source, and no source can have contaminated docs the bloom
+    # pass missed)
+    out = registry.QUERIES["q147_bloom_decontamination"](spark, sf_dir).collect()
+    assert out, "no sources"
+    for r in out:
+        assert r.n_candidates >= r.n_contaminated
+        assert r.n_false_positive == r.n_candidates - r.n_contaminated
