@@ -152,6 +152,8 @@ VERIFY_NEXT: list[str] = [
     "q152_pq_codebook_quality",  # new in r2 (PQ training, value-checked)
     "q153_pq_adc_search",  # new in r2 (ADC approximate search)
     "q154_cohort_retention_matrix",  # new in r2 (weekly cohort triangle)
+    "q155_graph_health_metrics",  # new in r2 (reciprocity/assortativity)
+    "q156_exact_substring_containment",  # new in r2 (exact sub-doc dedup)
 ]
 
 

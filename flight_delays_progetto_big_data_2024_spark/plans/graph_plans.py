@@ -349,3 +349,101 @@ def q149_nation_cheapest_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("nation"), F.col("cost").alias("min_cost"))
         .orderBy("min_cost", "nation")
     )
+
+
+@register(
+    "q155_graph_health_metrics",
+    sql=f"""
+    WITH w AS (
+        SELECT supp_nation AS src, cust_nation AS dst, count(*) AS c
+        FROM ({_NATION_PAIR_SQL}) GROUP BY src, dst
+    ),
+    m AS (SELECT avg(c) AS mc FROM w),
+    edges AS (SELECT src, dst FROM w, m WHERE c > mc * 1.2),
+    recip AS (
+        SELECT count(*) AS n_edges,
+               sum(CASE WHEN EXISTS (
+                   SELECT 1 FROM edges r
+                   WHERE r.src = e.dst AND r.dst = e.src
+               ) THEN 1 ELSE 0 END) AS n_reciprocal
+        FROM edges e
+    ),
+    deg AS (
+        SELECT id, count(*) AS d FROM (
+            SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+        ) GROUP BY id
+    ),
+    pairs AS (
+        SELECT ds.d AS d_src, dd.d AS d_dst
+        FROM edges e
+        JOIN deg ds ON ds.id = e.src
+        JOIN deg dd ON dd.id = e.dst
+    )
+    SELECT r.n_edges,
+           r.n_reciprocal::BIGINT AS n_reciprocal,
+           round(r.n_reciprocal::DOUBLE / r.n_edges, 6) AS reciprocity,
+           round((SELECT corr(d_src, d_dst) FROM pairs), 6) AS assortativity
+    FROM recip r
+    """,
+)
+def q155_graph_health_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-health diagnostics for the ABOVE-AVERAGE-volume trade
+    graph (the complete all-pairs graph is degenerate for these
+    metrics — reciprocity 1, zero degree variance; thresholding at
+    1.2x the mean edge volume keeps ~1/3 of edges at every SF): edge
+    reciprocity (fraction of directed edges whose reverse also exists —
+    a self-join on the swapped key, NOT an EXISTS per row at scale) and
+    degree assortativity (Pearson correlation of total degrees across
+    edge endpoints — two broadcast degree decorates + one corr
+    aggregate). Both are single-pass over the edge list; the oracle
+    states the quadratic EXISTS form DuckDB can afford."""
+    from flight_delays_progetto_big_data_2024_spark.plans.analog import (
+        _nation_pair_lineitems,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    w = _nation_pair_lineitems(cat).groupBy(
+        F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mc = w.agg(F.avg("c").alias("mc"))
+    edges = (
+        w.crossJoin(F.broadcast(mc))
+        .filter(F.col("c") > F.col("mc") * 1.2)
+        .select("src", "dst")
+        .persist()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("__r")
+    )
+    recip = (
+        edges.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.when(F.col("__r").isNotNull(), 1).otherwise(0)).alias(
+                "n_reciprocal"
+            ),
+        )
+    )
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    pairs = (
+        edges.join(
+            F.broadcast(deg.select(F.col("id").alias("src"), F.col("d").alias("d_src"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst"))),
+            "dst",
+        )
+    )
+    assort = pairs.agg(F.round(F.corr("d_src", "d_dst"), 6).alias("assortativity"))
+    return recip.crossJoin(F.broadcast(assort)).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(F.col("n_reciprocal") / F.col("n_edges"), 6).alias("reciprocity"),
+        "assortativity",
+    )

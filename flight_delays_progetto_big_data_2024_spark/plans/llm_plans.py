@@ -2858,3 +2858,62 @@ def q128_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q156_exact_substring_containment",
+    sql=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS nm FROM documents)
+    SELECT a.doc_id AS id_contained, b.doc_id AS id_container
+    FROM n a JOIN n b
+      ON a.doc_id <> b.doc_id AND position(a.nm IN b.nm) > 0
+    ORDER BY id_contained, id_container
+    """,
+)
+def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT whole-document substring containment (doc A's normalized
+    text appears verbatim inside doc B) — the strictest dedup rule, the
+    one "remove exact sub-documents" pass pipelines run before fuzzy
+    dedup. Candidates come from the winnowing fingerprint index (any
+    doc fully contained in another shares ≥80% of its fingerprints —
+    interior windows select identical minima, only ~2(w-1) boundary
+    windows can diverge — so the q85-style prefilter keeps every true
+    pair); survivors are verified with a real substring test on the
+    normalized text, joined only for the candidate pairs. The oracle
+    brute-forces position() over the cross join — affordable at oracle
+    scale only, which is the point of the index."""
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        normalize_text,
+    )
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    fp = winnowing_fingerprints(cat.documents).persist()
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")), "doc_b")
+        .filter(F.col("shared") / F.least("n_a", "n_b") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    nm = cat.documents.select("doc_id", normalize_text("text").alias("nm"))
+    na = nm.select(F.col("doc_id").alias("doc_a"), F.col("nm").alias("nm_a"))
+    nb = nm.select(F.col("doc_id").alias("doc_b"), F.col("nm").alias("nm_b"))
+    verified = pairs.join(na, "doc_a").join(nb, "doc_b")
+    fwd = verified.filter(F.instr("nm_b", F.col("nm_a")) > 0).select(
+        F.col("doc_a").alias("id_contained"), F.col("doc_b").alias("id_container")
+    )
+    rev = verified.filter(F.instr("nm_a", F.col("nm_b")) > 0).select(
+        F.col("doc_b").alias("id_contained"), F.col("doc_a").alias("id_container")
+    )
+    return fwd.unionByName(rev).distinct().orderBy("id_contained", "id_container")
