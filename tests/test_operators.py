@@ -491,3 +491,46 @@ def test_python_datasource_deterministic_partitioned(spark):
         .first()
     )
     assert s3[0] != s1[0]
+
+
+def test_operators_tolerate_empty_and_tiny_inputs(spark):
+    """Degenerate-input hardening: the composite operators must return
+    empty/sane results on empty or tiny relations, not throw — at 100 TB
+    an empty partition, an empty ingest batch, or a filter that matches
+    nothing is an everyday event, and a pipeline stage that crashes on
+    it takes the whole DAG down."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        jaccard_pairs, jaccard_pairs_cross, minhash_lsh_candidates,
+    )
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        bucketed_running_sum, max_concurrency, weighted_median,
+    )
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    one_doc = spark.createDataFrame([(1, "only one document here")],
+                                    "doc_id long, text string")
+    assert jaccard_pairs(empty_docs).count() == 0
+    assert jaccard_pairs(one_doc).count() == 0  # no self-pairs
+    assert minhash_lsh_candidates(one_doc).count() == 0
+    assert jaccard_pairs_cross(one_doc, empty_docs).count() == 0
+    assert jaccard_pairs_cross(empty_docs, one_doc).count() == 0
+
+    empty_rows = spark.createDataFrame([], "bucket int, seq int, v double")
+    assert bucketed_running_sum(empty_rows, ["seq"], "v", "bucket").count() == 0
+    empty_iv = spark.createDataFrame([], "start_ts timestamp, end_ts timestamp")
+    assert max_concurrency(empty_iv).count() == 0
+    empty_wm = spark.createDataFrame([], "g int, v double, w double")
+    assert weighted_median(empty_wm, "v", "w", ["g"]).count() == 0
+
+    # fewer vectors than k: every vector seeds its own cluster
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_lloyd(tiny, k=8, iterations=2).collect()
+    assert {r.vec_id for r in out} == {0, 1}
+    assert all(r.dist2 == 0.0 for r in out)
