@@ -154,6 +154,7 @@ VERIFY_NEXT: list[str] = [
     "q154_cohort_retention_matrix",  # new in r2 (weekly cohort triangle)
     "q155_graph_health_metrics",  # new in r2 (reciprocity/assortativity)
     "q156_exact_substring_containment",  # new in r2 (exact sub-doc dedup)
+    "q157_event_markov_steady_state",  # new in r2 (aggregate-loop power iter)
 ]
 
 

@@ -674,3 +674,84 @@ def q154_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
+
+
+def _markov_oracle_sql(iters: int = 8) -> str:
+    """Unrolled power-iteration oracle: v0 uniform over event types,
+    v_{k+1}(j) = Σ_i v_k(i)·P(i,j), P row-normalized transition counts
+    rounded at 1e-6 BEFORE iterating (locks both engines to identical
+    inputs, so 8 chained matrix-vector products stay bit-comparable)."""
+    parts = [
+        """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type AS src, event_type AS dst, count(*) AS c
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY src, dst
+    ),
+    p AS (
+        SELECT src, dst,
+               round(c / sum(c) OVER (PARTITION BY src), 6) AS prob
+        FROM counts
+    ),
+    types AS (SELECT DISTINCT event_type AS id FROM events),
+    n AS (SELECT count(*) AS k FROM types),
+    v0 AS (SELECT id, 1.0 / (SELECT k FROM n) AS v FROM types)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    v{i} AS (
+        SELECT p.dst AS id, sum(v{i-1}.v * p.prob) AS v
+        FROM v{i-1} JOIN p ON p.src = v{i-1}.id GROUP BY p.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS event_type, round(v, 6) AS steady_state
+    FROM v{iters} ORDER BY event_type"""
+    )
+    return "".join(parts)
+
+
+@register("q157_event_markov_steady_state", sql=_markov_oracle_sql())
+def q157_event_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state distribution of the event-type Markov chain (which
+    state users spend their behavioral time in): build the q92-style
+    row-normalized transition matrix, then POWER-ITERATE π·P eight times
+    from uniform. The iteration runs over the AGGREGATE (|types|² rows)
+    — unlike PageRank's vertex-relation loop, each step here is a join
+    between two tiny relations, so the whole chain analysis costs one
+    event-table shuffle (the lag window) plus pocket-change. Transition
+    probabilities round at 1e-6 pre-iteration so both engines iterate
+    identical matrices (the oracle unrolls all eight steps)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cat.events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wrow = Window.partitionBy("src")
+    p = counts.select(
+        "src", "dst", F.round(F.col("c") / F.sum("c").over(wrow), 6).alias("prob")
+    ).persist()
+    types = cat.events.select(F.col("event_type").alias("id")).distinct()
+    k = types.agg(F.count(F.lit(1)).alias("k"))  # scalar stays in-plan
+    v = types.crossJoin(F.broadcast(k)).select(
+        "id", (F.lit(1.0) / F.col("k")).alias("v")
+    )
+    for _ in range(8):
+        v = (
+            v.join(p, v["id"] == p["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("v") * F.col("prob")).alias("v"))
+        )
+    return v.select(
+        F.col("id").alias("event_type"), F.round("v", 6).alias("steady_state")
+    ).orderBy("event_type")
