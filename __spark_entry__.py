@@ -155,6 +155,8 @@ VERIFY_NEXT: list[str] = [
     "q155_graph_health_metrics",  # new in r2 (reciprocity/assortativity)
     "q156_exact_substring_containment",  # new in r2 (exact sub-doc dedup)
     "q157_event_markov_steady_state",  # new in r2 (aggregate-loop power iter)
+    "q158_term_drift_between_halves",  # new in r2 (corpus drift canary)
+    "q159_full_curation_pipeline",  # new in r2 (end-to-end composition)
 ]
 
 

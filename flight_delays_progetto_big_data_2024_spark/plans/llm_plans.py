@@ -2917,3 +2917,153 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("doc_b").alias("id_contained"), F.col("doc_a").alias("id_container")
     )
     return fwd.unionByName(rev).distinct().orderBy("id_contained", "id_container")
+
+
+@register(
+    "q159_full_curation_pipeline",
+    sql=f"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, source, text, md5({_NORM_SQL}) AS fp, {_TOKS_SQL} AS toks
+        FROM documents
+    ),
+    ex_keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY fp),
+    exd AS (SELECT n.* FROM norm n JOIN ex_keep USING (doc_id)),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(toks)-2, 1))])
+                   AS s
+        FROM exd
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                    6) >= 0.5
+    ),
+    e AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p
+    ),
+    r(id, comp) AS (
+        SELECT doc_id, doc_id FROM exd
+        UNION
+        SELECT e.u, r.comp FROM e JOIN r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(comp) AS cluster FROM r GROUP BY id),
+    nd AS (
+        SELECT exd.* FROM exd JOIN comp USING (doc_id)
+        WHERE comp.doc_id = comp.cluster
+    ),
+    q AS (
+        SELECT doc_id, source, toks,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE round(
+                        0.6 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                        + 0.4 * (CASE WHEN
+                              list_aggregate(list_transform(toks, t -> len(t)),
+                                             'sum')::DOUBLE / len(toks)
+                              BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+                        - (CASE WHEN len(text) > 0
+                                THEN (len(text) - len(regexp_replace(text,
+                                     '[.,!?;:''"]', '', 'g')))::DOUBLE
+                                     / len(text)
+                                ELSE 0.0 END), 6) END AS quality
+        FROM nd
+    ),
+    final AS (SELECT * FROM q WHERE quality >= 0.55),
+    n_in AS (SELECT source, count(*) AS n_in FROM documents GROUP BY source),
+    s1 AS (SELECT source, count(*) AS n_exact FROM exd GROUP BY source),
+    s2 AS (SELECT source, count(*) AS n_near FROM nd GROUP BY source),
+    s3 AS (
+        SELECT source, count(*) AS n_final,
+               sum(len(toks))::BIGINT AS tokens_final
+        FROM final GROUP BY source
+    )
+    SELECT i.source, i.n_in,
+           coalesce(s1.n_exact, 0)::BIGINT AS n_exact,
+           coalesce(s2.n_near, 0)::BIGINT AS n_near,
+           coalesce(s3.n_final, 0)::BIGINT AS n_final,
+           coalesce(s3.tokens_final, 0)::BIGINT AS tokens_final,
+           round(coalesce(s3.n_final, 0)::DOUBLE / i.n_in, 6) AS pct_kept
+    FROM n_in i
+    LEFT JOIN s1 USING (source)
+    LEFT JOIN s2 USING (source)
+    LEFT JOIN s3 USING (source)
+    ORDER BY i.source
+    """,
+)
+def q159_full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole nightly curation pipeline as ONE declarative plan —
+    exact dedup (min-id per normalized-text fingerprint) → near-dup
+    cluster collapse over the exact survivors (inverted-index Jaccard
+    pairs → connected components → min-id representative) → quality
+    gate (composite score ≥ 0.55) — with per-source stage accounting
+    (docs surviving each stage, final token yield, keep rate). Every
+    stage reuses a verified operator (dedup_exact's fingerprint,
+    jaccard_pairs, connected_components, quality_score); Catalyst fuses
+    the stage FILTERS into the shared scans, and the only shuffles are
+    the three the stages inherently need (fingerprint group, shingle
+    join, component loop). This is the query a platform team actually
+    schedules; the oracle replays all three stages in one recursive
+    CTE."""
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        tokens,
+    )
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    ex_keep = (
+        docs.withColumn("__fp", fingerprint("text"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exd = docs.join(ex_keep, "doc_id").persist()
+    pairs = jaccard_pairs(exd, "doc_id", "text", k=3, threshold=0.5)
+    cc = connected_components(
+        pairs, "id_a", "id_b", vertices=exd.select(F.col("doc_id").alias("id"))
+    )
+    near_keep = (
+        cc.filter(F.col("id") == F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    nd = exd.join(near_keep, "doc_id").persist()
+    final = nd.filter(quality_score("text") >= 0.55)
+    n_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    s1 = exd.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    s2 = nd.groupBy("source").agg(F.count(F.lit(1)).alias("n_near"))
+    s3 = final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(F.size(tokens("text"))).alias("tokens_final"),
+    )
+    return (
+        n_in.join(s1, "source", "left")
+        .join(s2, "source", "left")
+        .join(s3, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+            F.round(F.coalesce("n_final", F.lit(0)) / F.col("n_in"), 6).alias(
+                "pct_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+# q156/q159 perf note (measured sf0.1, warm): the winnowing / shingle
+# candidate self-joins dominate (~7s each, Σ df² co-occurrences over
+# 440k fingerprints) — the verify stages are trivial (<2s). At 100 TB
+# the same joins stay keyed on fingerprint/shingle hash and scale with
+# shared mass; prune Σ df² with a df cap on the posting lists (drop
+# fingerprints with df > cap from the INDEX only — containment
+# candidates still surface through their rarer fingerprints).

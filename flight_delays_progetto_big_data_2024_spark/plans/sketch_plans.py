@@ -691,3 +691,77 @@ def q153_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         cat.embeddings, queries, m=4, sub_dim=16, k=8, iterations=2, top=3
     ).orderBy("qid", "rank")
+
+
+@register(
+    "q158_term_drift_between_halves",
+    sql=f"""
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    toks AS (
+        SELECT CASE WHEN doc_id * 2 <= mx THEN 0 ELSE 1 END AS half,
+               unnest({_TOKS_SQL}) AS term
+        FROM documents, m
+    ),
+    counts AS (
+        SELECT half, term, count(*) AS c FROM toks GROUP BY half, term
+    ),
+    ranked AS (
+        SELECT half, term, c,
+               row_number() OVER (PARTITION BY half
+                                  ORDER BY c DESC, term) AS rk
+        FROM counts
+    ),
+    top AS (SELECT half, term, rk FROM ranked WHERE rk <= 100),
+    joined AS (
+        SELECT a.term, a.rk AS rk_a, b.rk AS rk_b
+        FROM (SELECT * FROM top WHERE half = 0) a
+        FULL OUTER JOIN (SELECT * FROM top WHERE half = 1) b
+          ON a.term = b.term
+    )
+    SELECT count(*) FILTER (rk_a IS NOT NULL AND rk_b IS NOT NULL)::BIGINT
+               AS n_shared,
+           count(*) FILTER (rk_b IS NULL)::BIGINT AS n_dropped,
+           count(*) FILTER (rk_a IS NULL)::BIGINT AS n_new,
+           round(count(*) FILTER (rk_a IS NOT NULL AND rk_b IS NOT NULL)
+                 / (count(*))::DOUBLE, 6) AS jaccard_top100,
+           round(avg(abs(rk_a - rk_b)) FILTER (rk_a IS NOT NULL
+                                               AND rk_b IS NOT NULL), 4)
+               AS avg_rank_shift
+    FROM joined
+    """,
+)
+def q158_term_drift_between_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: compare the top-100 term lists of the first
+    and second corpus halves (doc_id order = ingestion order) — shared
+    terms, dropouts, newcomers, top-k Jaccard, and the mean rank shift
+    of terms that stayed. The per-half ranking window partitions by
+    half over the VOCABULARY-sized count table; the comparison is a
+    full-outer join of two 100-row lists. This is the cheap canary run
+    between crawl snapshots before anything retrains."""
+    cat = Catalog(spark, sf_dir)
+    mx = cat.documents.agg(F.max("doc_id").alias("mx"))
+    toks = (
+        cat.documents.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("doc_id") * 2 <= F.col("mx"), 0).otherwise(1).alias("half"),
+            F.explode(tokens("text")).alias("term"),
+        )
+    )
+    counts = toks.groupBy("half", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("half").orderBy(F.desc("c"), F.asc("term"))
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 100)
+    a = top.filter(F.col("half") == 0).select("term", F.col("rk").alias("rk_a"))
+    b = top.filter(F.col("half") == 1).select("term", F.col("rk").alias("rk_b"))
+    joined = a.join(b, "term", "full_outer")
+    shared = F.col("rk_a").isNotNull() & F.col("rk_b").isNotNull()
+    return joined.agg(
+        F.sum(shared.cast("long")).alias("n_shared"),
+        F.sum(F.col("rk_b").isNull().cast("long")).alias("n_dropped"),
+        F.sum(F.col("rk_a").isNull().cast("long")).alias("n_new"),
+        F.round(
+            F.sum(shared.cast("long")) / F.count(F.lit(1)), 6
+        ).alias("jaccard_top100"),
+        F.round(
+            F.avg(F.when(shared, F.abs(F.col("rk_a") - F.col("rk_b")))), 4
+        ).alias("avg_rank_shift"),
+    )
