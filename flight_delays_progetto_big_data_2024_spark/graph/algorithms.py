@@ -66,6 +66,7 @@ def pagerank(
     checkpoint_interval: int = 3,
     num_partitions: int | None = None,
     weight_col: str | None = None,
+    broadcast_graph: bool = False,
 ) -> DataFrame:
     """Static PageRank with GraphX/GraphFrames semantics (reference
     graphframes_flights.py:44-46: resetProbability=0.15, maxIter=10).
@@ -107,10 +108,12 @@ def pagerank(
     verts = verts.persist()
     contrib_base = contrib_base.persist()
 
+    cb_join = F.broadcast(contrib_base) if broadcast_graph else contrib_base
+    verts_join = F.broadcast(verts) if broadcast_graph else verts
     ranks = verts.withColumn("rank", F.lit(1.0))
     for i in range(max_iter):
-        contribs = contrib_base.join(
-            ranks, contrib_base["src"] == ranks["id"]
+        contribs = cb_join.join(
+            ranks, cb_join["src"] == ranks["id"]
         ).select(
             "dst", (F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib")
         )
@@ -119,7 +122,9 @@ def pagerank(
             # the groupBy needs no further exchange
             contribs = contribs.repartition(num_partitions, "dst")
         contribs = contribs.groupBy("dst").agg(F.sum("contrib").alias("mass"))
-        ranks = verts.join(contribs, verts["id"] == contribs["dst"], "left").select(
+        ranks = verts_join.join(
+            contribs, verts_join["id"] == contribs["dst"], "left"
+        ).select(
             "id",
             (
                 F.lit(reset_prob)

@@ -78,6 +78,7 @@ def q20_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nation_edges(cat),
         RESET_PROB,
         MAX_ITER,
+        broadcast_graph=True,  # 25-nation graph = a broadcast dimension
         num_partitions=1,
         checkpoint_interval=5,
     )
@@ -291,6 +292,7 @@ def q105_weighted_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
         num_partitions=1,
         checkpoint_interval=5,
         weight_col="w",
+        broadcast_graph=True,  # same dimension-sized graph as q20
     )
     return (
         ranks.select(
