@@ -157,6 +157,8 @@ VERIFY_NEXT: list[str] = [
     "q157_event_markov_steady_state",  # new in r2 (aggregate-loop power iter)
     "q158_term_drift_between_halves",  # new in r2 (corpus drift canary)
     "q159_full_curation_pipeline",  # new in r2 (end-to-end composition)
+    "q160_lang_id_confusion",  # new in r2 (classifier eval matrix)
+    "q161_knn_label_consistency",  # new in r2 (embedding task-level eval)
 ]
 
 

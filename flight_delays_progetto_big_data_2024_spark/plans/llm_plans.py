@@ -3067,3 +3067,125 @@ def q159_full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared mass; prune Σ df² with a df cap on the posting lists (drop
 # fingerprints with df > cap from the INDEX only — containment
 # candidates still surface through their rarer fingerprints).
+
+
+@register(
+    "q160_lang_id_confusion",
+    sql=f"""
+    SELECT lang AS labeled,
+           {lang_id_sql("text")} AS predicted,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY labeled, predicted
+    ORDER BY labeled, predicted
+    """,
+)
+def q160_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic classifier
+    (functions.text.lang_id — stopword-hit voting) scored against the
+    corpus's labeled ``lang`` column. The eval harness every
+    lang-filtered pipeline needs before trusting its routing: per
+    (labeled, predicted) cell counts, one scan + one grouped aggregate,
+    classifier evaluated inline as a column expression (no UDF, no
+    second pass)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(
+            F.col("lang").alias("labeled"), lang_id("text").alias("predicted")
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+@register(
+    "q161_knn_label_consistency",
+    sql=f"""
+    WITH n AS ({_EMB_PREP_SQL}),
+    q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    ),
+    topk AS (
+        SELECT query_id, candidate_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+            ) AS rnk FROM scored
+        ) WHERE rnk <= 5
+    ),
+    votes AS (
+        SELECT t.query_id, e.label, count(*) AS c
+        FROM topk t JOIN embeddings e ON e.vec_id = t.candidate_id
+        GROUP BY t.query_id, e.label
+    ),
+    pred AS (
+        SELECT query_id, label AS predicted FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY c DESC, label
+            ) AS rnk FROM votes
+        ) WHERE rnk = 1
+    )
+    SELECT e.label,
+           count(*) AS n_queries,
+           sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)::BIGINT
+               AS n_correct,
+           round(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS accuracy
+    FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+    GROUP BY e.label ORDER BY e.label
+    """,
+)
+def q161_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space sanity eval: leave-one-out 5-NN majority-vote
+    label prediction on a deterministic 1-in-20 query sample, reported
+    as per-label accuracy. This is the task-level check on an embedding
+    corpus (do neighbors share labels?) that complements q120's
+    retrieval-recall check on the index. Exact kNN runs as
+    broadcast(queries) × one corpus pass (cosine_topk — the sample
+    keeps it |Q|·N, never N²); votes and the majority pick are keyed
+    aggregates with deterministic ties (count desc, label asc)."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from pyspark.sql.window import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    topk = cosine_topk(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(F.col("vec_id").alias("candidate_id"), "label"),
+            "candidate_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("label"))
+    pred = (
+        votes.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("label").alias("predicted"))
+    )
+    return (
+        pred.join(
+            labels.select(F.col("vec_id").alias("query_id"), "label"), "query_id"
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum((F.col("predicted") == F.col("label")).cast("long")).alias(
+                "n_correct"
+            ),
+            F.round(
+                F.sum((F.col("predicted") == F.col("label")).cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
