@@ -159,6 +159,7 @@ VERIFY_NEXT: list[str] = [
     "q159_full_curation_pipeline",  # new in r2 (end-to-end composition)
     "q160_lang_id_confusion",  # new in r2 (classifier eval matrix)
     "q161_knn_label_consistency",  # new in r2 (embedding task-level eval)
+    "q162_watermark_lag_profile",  # new in r2 (distributed running max)
 ]
 
 

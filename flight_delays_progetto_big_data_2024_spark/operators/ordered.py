@@ -187,3 +187,41 @@ def winsorize(
         F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
     )
     return clipped.drop("__lo", "__hi")
+
+
+def bucketed_running_max(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    bucket_col: str,
+    out_col: str = "running_max",
+) -> DataFrame:
+    """Global running MAX in ``(bucket_col, *order_cols)`` order — the
+    same two-phase decomposition as :func:`bucketed_running_sum` with
+    (max, max) replacing (sum, sum): per-bucket maxima → exclusive
+    prefix-max over the bucket AGGREGATE → within-bucket running max
+    combined via ``greatest``. This is the streaming high-watermark
+    computed in batch (the watermark Spark Structured Streaming tracks
+    per trigger), so lateness profiles can be mined from history before
+    choosing a production watermark delay."""
+    totals = df.groupBy(bucket_col).agg(F.max(value_col).alias("__tot"))
+    w_off = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        bucket_col, F.max("__tot").over(w_off).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(offsets), bucket_col)
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.max(value_col).over(w_in),
+                F.coalesce(F.col("__off"), F.max(value_col).over(w_in)),
+            ),
+        )
+        .drop("__off")
+    )

@@ -299,3 +299,74 @@ def q136_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q162_watermark_lag_profile",
+    sql="""
+    WITH delayed AS (
+        SELECT ts, event_id,
+               event_id + CASE WHEN event_id % 17 = 0 THEN 500 ELSE 0 END
+                   AS arrival
+        FROM events
+    ),
+    arr AS (
+        SELECT ts,
+               max(ts) OVER (ORDER BY arrival, event_id
+                             ROWS UNBOUNDED PRECEDING) AS hwm
+        FROM delayed
+    ),
+    lat AS (
+        SELECT date_diff('second', ts, hwm) AS lag_s FROM arr
+    )
+    SELECT CASE WHEN lag_s <= 0 THEN 'on-time'
+                WHEN lag_s <= 600 THEN 'late<=10m'
+                WHEN lag_s <= 3600 THEN 'late<=1h'
+                WHEN lag_s <= 21600 THEN 'late<=6h'
+                ELSE 'late>6h' END AS lateness,
+           count(*) AS n_events
+    FROM lat GROUP BY lateness ORDER BY lateness
+    """,
+)
+def q162_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing profile: treating event_id as arrival order (the
+    q99 convention), compute each event's lag behind the running
+    HIGH-WATERMARK (max event time seen so far) and bucket the corpus
+    into lateness bands — the table that tells you what
+    ``withWatermark`` delay loses how much data. The synthetic corpus's
+    arrival order is perfectly time-sorted, so (as with q128's planted
+    PII) the disorder under measurement is PLANTED deterministically:
+    every 17th event is redelivered 500 arrival slots late. The running
+    max is the distributed two-phase decomposition (operators.ordered.
+    bucketed_running_max, bucketed on arrival ranges), never a global
+    single-task window; the oracle uses DuckDB's global window."""
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        bucketed_running_max,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "event_id", F.col("ts").cast("timestamp").cast("double").alias("tsd")
+    ).withColumn(
+        "arrival",
+        F.col("event_id")
+        + F.when(F.col("event_id") % 17 == 0, 500).otherwise(0),
+    ).withColumn("__b", F.floor(F.col("arrival") / 1000))
+    hwm = bucketed_running_max(
+        ev, ["arrival", "event_id"], "tsd", "__b", out_col="hwm"
+    )
+    lat = hwm.select(
+        (F.col("hwm") - F.col("tsd")).cast("long").alias("lag_s")
+    )
+    band = (
+        F.when(F.col("lag_s") <= 0, "on-time")
+        .when(F.col("lag_s") <= 600, "late<=10m")
+        .when(F.col("lag_s") <= 3600, "late<=1h")
+        .when(F.col("lag_s") <= 21600, "late<=6h")
+        .otherwise("late>6h")
+    )
+    return (
+        lat.groupBy(band.alias("lateness"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("lateness")
+    )

@@ -109,3 +109,22 @@ def test_q130_windows_all_partitioned(spark):
     assert unpart <= 1, plan
     # and the result is still correct at test scale
     assert df.count() > 0
+
+
+def test_bucketed_running_max_equals_global(spark):
+    rows = [
+        Row(bucket=i // 10, seq=i, v=float((i * 73) % 29)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        bucketed_running_max,
+    )
+
+    got = {
+        r.seq: r.rm
+        for r in bucketed_running_max(df, ["seq"], "v", "bucket", "rm").collect()
+    }
+    run = float("-inf")
+    for r in sorted(rows, key=lambda r: (r.bucket, r.seq)):
+        run = max(run, r.v)
+        assert got[r.seq] == run
