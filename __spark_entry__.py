@@ -160,6 +160,8 @@ VERIFY_NEXT: list[str] = [
     "q160_lang_id_confusion",  # new in r2 (classifier eval matrix)
     "q161_knn_label_consistency",  # new in r2 (embedding task-level eval)
     "q162_watermark_lag_profile",  # new in r2 (distributed running max)
+    "q163_label_centroid_drift",  # new in r2 (embedding drift canary)
+    "q164_hour_type_independence",  # new in r2 (chi-square screen)
 ]
 
 

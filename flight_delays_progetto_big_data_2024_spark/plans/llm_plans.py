@@ -3189,3 +3189,138 @@ def q161_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q163_label_centroid_drift",
+    sql="""
+    WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
+    e AS (
+        SELECT label,
+               CASE WHEN vec_id * 2 <= mx THEN 0 ELSE 1 END AS half,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings, m
+    ),
+    cent AS (
+        SELECT label, half, pos, avg(val) AS c
+        FROM e GROUP BY label, half, pos
+    ),
+    dots AS (
+        SELECT a.label,
+               sum(a.c * b.c) AS dot,
+               sqrt(sum(a.c * a.c)) AS na,
+               sqrt(sum(b.c * b.c)) AS nb,
+               count(*) AS n_dims
+        FROM (SELECT * FROM cent WHERE half = 0) a
+        JOIN (SELECT * FROM cent WHERE half = 1) b
+          ON b.label = a.label AND b.pos = a.pos
+        GROUP BY a.label
+    )
+    SELECT label, n_dims::BIGINT AS n_dims,
+           round(dot / (na * nb), 6) AS centroid_cosine
+    FROM dots ORDER BY label
+    """,
+)
+def q163_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: cosine between each label's
+    centroid in the first and second corpus halves (vec_id order =
+    ingestion order) — the embedding companion to q158's term drift,
+    and the canary run before an ANN index or classifier trained on the
+    old half serves the new one. All arithmetic is positional
+    aggregation ((label, half, dim) means, then a dims-sized join per
+    label) — vectors never pairwise-join and nothing exceeds
+    |labels|·dims rows after the first aggregate."""
+    cat = Catalog(spark, sf_dir)
+    mx = cat.embeddings.agg(F.max("vec_id").alias("mx"))
+    e = (
+        cat.embeddings.crossJoin(F.broadcast(mx))
+        .select(
+            "label",
+            F.when(F.col("vec_id") * 2 <= F.col("mx"), 0).otherwise(1).alias("half"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+    )
+    cent = e.groupBy("label", "half", "pos").agg(F.avg("val").alias("c"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q164_hour_type_independence",
+    sql="""
+    WITH o AS (
+        SELECT hour(ts) AS hr, event_type, count(*) AS obs
+        FROM events GROUP BY hr, event_type
+    ),
+    margins AS (
+        SELECT hr, event_type, obs,
+               sum(obs) OVER (PARTITION BY hr) AS row_tot,
+               sum(obs) OVER (PARTITION BY event_type) AS col_tot,
+               sum(obs) OVER () AS n
+        FROM o
+    )
+    SELECT count(*) AS n_cells,
+           round(sum(pow(obs - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 4) AS chi_square,
+           round(sqrt(sum(pow(obs - row_tot * col_tot / n, 2)
+                          / (row_tot * col_tot / n))
+                      / (any_value(n) * 4)), 6) AS cramers_v
+    FROM margins
+    """,
+)
+def q164_hour_type_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type vs hour of day (plus
+    Cramér's V effect size) — the statistical screen for 'does behavior
+    actually vary by time' before anyone builds hourly models. The
+    contingency table is one grouped aggregate (≤ 24×|types| cells);
+    margins are windows OVER THE CELLS, so the statistic costs one fact
+    shuffle however large the event table. (Note the windows here are
+    cell-table-sized by construction — the unpartitioned sum(n) runs
+    over ≤120 rows.)"""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.events.groupBy(
+        F.hour("ts").alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    w_r = Window.partitionBy("hr")
+    w_c = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    m = o.select(
+        "obs",
+        F.sum("obs").over(w_r).alias("row_tot"),
+        F.sum("obs").over(w_c).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    term = F.pow(F.col("obs") - exp, 2) / exp
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(term), 4).alias("chi_square"),
+        F.round(
+            F.sqrt(F.sum(term) / (F.any_value("n") * 4)), 6
+        ).alias("cramers_v"),
+    )
