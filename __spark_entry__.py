@@ -162,6 +162,8 @@ VERIFY_NEXT: list[str] = [
     "q162_watermark_lag_profile",  # new in r2 (distributed running max)
     "q163_label_centroid_drift",  # new in r2 (embedding drift canary)
     "q164_hour_type_independence",  # new in r2 (chi-square screen)
+    "q165_near_dup_edit_distances",  # new in r2 (levenshtein enrichment)
+    "q166_weighted_sample_without_replacement",  # new in r2 (ES top-k sample)
 ]
 
 

@@ -22,6 +22,7 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
     lang_id,
     lang_id_sql,
     lexical_diversity,
+    normalize_text,
     quality_score,
     token_count,
     tokens,
@@ -3323,4 +3324,118 @@ def q164_hour_type_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.sum(term) / (F.any_value("n") * 4)), 6
         ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q165_near_dup_edit_distances",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    cand AS (SELECT * FROM p WHERE jaccard >= 0.5),
+    n AS (SELECT doc_id, {_NORM_SQL} AS nm FROM documents)
+    SELECT c.id_a, c.id_b, c.jaccard,
+           levenshtein(na.nm, nb.nm)::BIGINT AS edit_distance,
+           round(levenshtein(na.nm, nb.nm)::DOUBLE
+                 / greatest(len(na.nm), len(nb.nm)), 6) AS edit_ratio
+    FROM cand c
+    JOIN n na ON na.doc_id = c.id_a
+    JOIN n nb ON nb.doc_id = c.id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def q165_near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance enrichment of the exact near-dup pairs (q32's
+    J ≥ 0.5 set): Levenshtein distance and length-normalized edit ratio
+    per pair — the character-level second opinion that separates
+    shuffled-word dups (high Jaccard, HIGH edit distance) from
+    typo-level copies (both low). Levenshtein is O(len²) DP per pair,
+    which is exactly why it runs only on the inverted-index SURVIVORS
+    (a few hundred pairs), never the corpus cross product; both engines
+    implement the same classic definition, so the distances are
+    value-checked."""
+    cat = Catalog(spark, sf_dir)
+    pairs = jaccard_pairs(cat.documents, "doc_id", "text", k=3, threshold=0.5)
+    nm = cat.documents.select(
+        "doc_id", normalize_text("text").alias("nm")
+    )
+    na = nm.select(F.col("doc_id").alias("id_a"), F.col("nm").alias("nm_a"))
+    nb = nm.select(F.col("doc_id").alias("id_b"), F.col("nm").alias("nm_b"))
+    ed = F.levenshtein("nm_a", "nm_b")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            ed.cast("long").alias("edit_distance"),
+            F.round(
+                ed / F.greatest(F.length("nm_a"), F.length("nm_b")), 6
+            ).alias("edit_ratio"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q166_weighted_sample_without_replacement",
+    sql="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x' || substr(md5(doc_id::VARCHAR || '#es'), 1, 15))::BIGINT
+                   + 1.0) / 1152921504606846977.0) / n_chars AS es_key
+        FROM documents
+    ),
+    picked AS (
+        SELECT * FROM keyed
+        ORDER BY es_key DESC, doc_id LIMIT 50
+    )
+    SELECT source,
+           count(*) AS n_picked,
+           sum(n_chars)::BIGINT AS chars_picked
+    FROM picked GROUP BY source ORDER BY source
+    """,
+)
+def q166_weighted_sample_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    exponential keys: each doc draws u from its md5 hash (retry-stable,
+    engine-portable) and ranks by ln(u)/weight — the top-k IS an exact
+    weighted sample without replacement, computed as one projection plus
+    a top-k (TakeOrderedAndProject; no per-group state, no sequential
+    reservoir). This is how a token-budgeted corpus subset gets drawn at
+    100 TB: mergeable across partitions by construction (top-k of
+    unions = union of top-ks re-topped). Weight = n_chars, k = 50;
+    per-source composition of the sample is the value-checked output.
+    (u is shifted by one ulp-of-hash to dodge ln(0); keys are
+    continuous, so the cross-engine libm ulp difference cannot flip the
+    top-k boundary in practice — gaps between order statistics are ~1e-2,
+    15 orders above ulp noise.)"""
+    cat = Catalog(spark, sf_dir)
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(doc_id AS STRING), '#es')), 1, 15),"
+            " 16, 10) as double)"
+        )
+        + F.lit(1.0)
+    ) / F.lit(1152921504606846977.0)
+    keyed = cat.documents.select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    picked = keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(50)
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_picked"),
+            F.sum("n_chars").alias("chars_picked"),
+        )
+        .orderBy("source")
     )
