@@ -368,3 +368,39 @@ def test_weighted_median_matches_reference(spark, rows):
                 expect = v
                 break
         assert got[g] == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 20)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_cheapest_paths_matches_bellman_ford_reference(spark, edges):
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        cheapest_paths,
+    )
+
+    edges = [e for e in edges if e[0] != e[1]]  # self-loops never improve
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int, w long")
+    srcs = sorted({e[0] for e in edges})
+    source = spark.createDataFrame([(srcs[0],)], "id int")
+    got = {
+        r.id: r.cost
+        for r in cheapest_paths(df, source, weight_col="w", max_legs=4).collect()
+    }
+    # reference: Bellman-Ford limited to 4 relaxation rounds
+    INF = float("inf")
+    dist = {srcs[0]: 0}
+    for _ in range(4):
+        new = dict(dist)
+        for u, v, w in edges:
+            if u in dist and dist[u] + w < new.get(v, INF):
+                new[v] = dist[u] + w
+        dist = new
+    assert got == dist
