@@ -164,6 +164,7 @@ VERIFY_NEXT: list[str] = [
     "q164_hour_type_independence",  # new in r2 (chi-square screen)
     "q165_near_dup_edit_distances",  # new in r2 (levenshtein enrichment)
     "q166_weighted_sample_without_replacement",  # new in r2 (ES top-k sample)
+    "q167_seasonality_variance_share",  # new in r2 (eta-squared ANOVA)
 ]
 
 

@@ -755,3 +755,70 @@ def q157_event_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFram
     return v.select(
         F.col("id").alias("event_type"), F.round("v", 6).alias("steady_state")
     ).orderBy("event_type")
+
+
+@register(
+    "q167_seasonality_variance_share",
+    sql="""
+    WITH g AS (
+        SELECT event_type,
+               (dayofweek(ts) * 24 + hour(ts)) AS how,
+               value
+        FROM events
+    ),
+    cell AS (
+        SELECT event_type, how, count(*) AS n, avg(value) AS m
+        FROM g GROUP BY event_type, how
+    ),
+    tot AS (
+        SELECT event_type, count(*) AS n_tot, avg(value) AS gm,
+               sum(value * value) AS ss
+        FROM g GROUP BY event_type
+    )
+    SELECT t.event_type,
+           round(sum(c.n * (c.m - t.gm) * (c.m - t.gm))
+                 / (t.ss - t.n_tot * t.gm * t.gm), 6) AS eta_squared,
+           count(*) AS n_cells
+    FROM cell c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY t.event_type, t.ss, t.n_tot, t.gm
+    ORDER BY t.event_type
+    """,
+)
+def q167_seasonality_variance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength as variance decomposition (η² — the ANOVA
+    between-group share): what fraction of each event type's value
+    variance is explained by the hour-of-week cell it falls in. Two
+    grouped aggregates (cells + per-type totals) and a broadcast join —
+    the screen that says whether hourly/weekly models are worth
+    building, computed without any per-row second pass (SS_total comes
+    from Σx² - n·mean², both engines with identical algebra)."""
+    cat = Catalog(spark, sf_dir)
+    g = cat.events.select(
+        "event_type",
+        (F.dayofweek("ts") * 24 + F.hour("ts")).alias("how"),
+        "value",
+    )
+    cell = g.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("m")
+    )
+    tot = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.avg("value").alias("gm"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    return (
+        cell.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "ss", "n_tot", "gm")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+                )
+                / (F.col("ss") - F.col("n_tot") * F.col("gm") * F.col("gm")),
+                6,
+            ).alias("eta_squared"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .select("event_type", "eta_squared", "n_cells")
+        .orderBy("event_type")
+    )

@@ -300,3 +300,50 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     assert any(r.weight is None for r in batch) or all(
         r.event_type in {"click", "purchase", "view"} for r in batch
     )
+
+
+def test_complete_mode_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    """Output-mode coverage: COMPLETE mode re-emits the whole aggregate
+    per micro-batch; after availableNow drains every file, the LAST
+    emission must equal the batch aggregate over all data (append and
+    update modes are covered by the windowed/sessionizer tests)."""
+    import glob
+
+    src = str(tmp_path / "complete-in")
+    os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(300)
+    # two arrival files so at least two micro-batches re-emit
+    for i, pred in enumerate([F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]):
+        staging = str(tmp_path / f"cstage-{i}")
+        events.filter(pred).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.copy(part, f"{src}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    emissions = []
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, bid: emissions.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert len(emissions) >= 2  # complete mode re-emitted per batch
+
+    final = {
+        (r["w"]["start"], r["event_type"]): r["n"] for r in emissions[-1][1]
+    }
+    batch = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
