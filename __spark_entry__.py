@@ -11,17 +11,23 @@ package; this module just exposes its registry.
 Ordering: the round-1 driver recorded correctness rows for exactly the
 first 50 queries in ``queries()`` iteration order, so the registry is
 re-ordered each round to rotate every registered query through that
-verification window. Round 2 leads with q61 (whose round-1 hash
-mismatch is fixed) plus 49 queries with no round-1 row; ``VERIFY_NEXT``
-holds the remaining 29 — 14 carried from round 1 (operator families
-already green via sibling queries) and the 15 added this round
-(q114-q128) — all of which pass the same oracle comparison in the
-in-repo driver-sim (see .claude/skills/verify/SKILL.md) and fit
-round 3's window together with room to spare.
+verification window. The rotation is AUTOMATIC: ``_driver_verified``
+reads every committed ``CORRECTNESS_r*.json`` in the repo root and
+treats a query as verified once it has a fully-green row (or its
+expected rows-only record); ``_ordered`` then puts not-yet-verified
+queries first — curated priority order (``VERIFY_FIRST`` +
+``VERIFY_NEXT``) among them, registration order for anything newer —
+so each round's 50-slot window always checks the queries with the
+least driver evidence, with zero manual reshuffling between rounds. A
+query whose past row FAILED (hash mismatch) counts as unverified and
+rotates straight back into the window.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -168,13 +174,45 @@ VERIFY_NEXT: list[str] = [
 ]
 
 
+def _driver_verified() -> set[str]:
+    """Queries with green driver evidence in any committed
+    CORRECTNESS_r*.json: full rows+schema+hash pass, or the documented
+    rows-only record (err == 'no_oracle') for non-SQL-expressible ops.
+    Failed or error rows do NOT count — those rotate back into the
+    window."""
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                record = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in record.items():
+            if not isinstance(row, dict):
+                continue
+            full_pass = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            rows_only = row.get("err") == "no_oracle"
+            if full_pass or rows_only:
+                seen.add(name)
+    return seen
+
+
 def _ordered() -> list[str]:
     head = VERIFY_FIRST + VERIFY_NEXT
     missing = [n for n in head if n not in registry.QUERIES]
     if missing:  # fail loud: a renamed query must not silently shrink the window
         raise KeyError(f"VERIFY ordering references unknown queries: {missing}")
-    rest = [n for n in registry.QUERIES if n not in set(head)]
-    return head + rest
+    prio = {n: i for i, n in enumerate(head)}
+    names = list(registry.QUERIES)
+    reg_pos = {n: i for i, n in enumerate(names)}
+    verified = _driver_verified()
+    key = lambda n: (n in verified, prio.get(n, len(prio)), reg_pos[n])
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

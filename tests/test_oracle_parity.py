@@ -43,3 +43,22 @@ def test_coverage_doc_references_match_registry():
     missing_in_doc = {f"q{i}" for i in reg_ids - doc_ids}
     assert not missing_in_registry, f"COVERAGE.md cites unknown queries: {missing_in_registry}"
     assert not missing_in_doc, f"registered but undocumented: {missing_in_doc}"
+
+
+def test_rotation_puts_unverified_queries_first():
+    """The driver records only the FIRST 50 queries() entries; the
+    rotation must spend that window on queries without green driver
+    evidence. Pinned against the committed round-1 record: its failed
+    row (q61) re-enters the window, its passes sort to the tail, and
+    the unverified/verified partition is exact."""
+    import __spark_entry__ as e
+
+    ver = e._driver_verified()
+    assert "q01_popular_nations_avg_delay" in ver  # green r1 row
+    assert "q29_cardinality_profile_approx" in ver  # expected rows-only
+    assert "q61_curation_funnel" not in ver  # r1 hash-fail -> re-verify
+    order = list(e.queries())
+    n_unv = sum(1 for n in order if n not in ver)
+    assert all(n not in ver for n in order[:n_unv])
+    assert all(n in ver for n in order[n_unv:])
+    assert order[0] == "q61_curation_funnel"  # priority head preserved
