@@ -47,6 +47,42 @@ def stream_interval_join(
     streaming the equi key co-partitions state and the range condition
     plus both watermarks bound it (module docstring).
     """
+    return _stream_interval_join(
+        left, right, key, left_ts, right_ts, max_delay, watermark, "inner"
+    )
+
+
+def stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER interval join: like :func:`stream_interval_join`, but
+    an unmatched left row is EMITTED WITH NULL right columns once the
+    watermark proves no match can still arrive — the streaming
+    "conversion did not happen within the window" detector. The delayed
+    null emission is the semantic difference from batch left joins:
+    results for a left row are final only after
+    ``watermark(right) > left_ts + max_delay``."""
+    return _stream_interval_join(
+        left, right, key, left_ts, right_ts, max_delay, watermark, "left_outer"
+    )
+
+
+def _stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
     l, r = left.withWatermark(left_ts, watermark), right.withWatermark(
         right_ts, watermark
     )
@@ -55,7 +91,7 @@ def stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])
 
 
 def stream_dedup(

@@ -347,3 +347,65 @@ def test_complete_mode_windowed_counts_match_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched left rows emit
+    with their match; an UNMATCHED left row must surface with null right
+    columns once the right watermark passes left_ts + max_delay — the
+    streaming 'no conversion inside the window' signal batch joins give
+    for free but streams can only emit after the watermark proves
+    finality."""
+    import glob
+    from datetime import datetime
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.joins import (
+        stream_interval_join_outer,
+    )
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    lsrc = str(tmp_path / "lo-left")
+    rsrc = str(tmp_path / "lo-right")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    lschema = "k long, lts timestamp, lval string"
+    rschema = "k long, rts timestamp, rval string"
+
+    def drop(dirpath, name, rows, schema):
+        staging = str(tmp_path / f"lo-stage-{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.copy(part, f"{dirpath}/{name}.parquet")
+
+    # left: key 1 will match; key 2 never gets a right row
+    drop(lsrc, "l1", [(1, t(10, 0), "a"), (2, t(10, 0), "b")], lschema)
+    # right: match for key 1 inside the 30-min window. The GLOBAL
+    # watermark is min(left, right), so BOTH streams get far-future
+    # advancing rows, and one more batch after that flushes the
+    # evicted-state outer nulls
+    drop(rsrc, "r1", [(1, t(10, 10), "m")], rschema)
+    drop(lsrc, "l2", [(98, t(20, 0), "advance-l")], lschema)
+    drop(rsrc, "r2", [(99, t(20, 0), "advance-r")], rschema)
+    drop(lsrc, "l3", [(97, t(21, 0), "advance-l2")], lschema)
+    drop(rsrc, "r3", [(96, t(21, 0), "advance-r2")], rschema)
+
+    left = spark.readStream.schema(lschema).option("maxFilesPerTrigger", "1").parquet(lsrc)
+    right = spark.readStream.schema(rschema).option("maxFilesPerTrigger", "1").parquet(rsrc)
+    out = stream_interval_join_outer(
+        left, right, "k", "lts", "rts", max_delay="30 minutes", watermark="10 minutes"
+    )
+    collected = []
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "lo-ckpt"))
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    rows = {(r.k, r.lval): (r.rval) for r in collected if r.k in (1, 2)}
+    assert rows.get((1, "a")) == "m"  # matched pair
+    assert (2, "b") in rows and rows[(2, "b")] is None  # null-emitted after close

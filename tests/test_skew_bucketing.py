@@ -98,3 +98,61 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         assert joined.count() == Catalog(spark, SF).lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """AQE's skew-join must actually ACTIVATE on a hot key once the
+    skew thresholds are crossed — this pins the runtime behavior the
+    engine's skew story relies on (the salted operators cover the
+    map side; OptimizeSkewedJoin covers the reduce side). Thresholds
+    are lowered temporarily so a test-sized hot key crosses them
+    deterministically, and restored afterwards."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.coalescePartitions.enabled": conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        ),
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        big = spark.range(0, 200_000).select(
+            # 90% of rows share ONE key; rest spread over 1000 keys
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # aggregate over the payload so column pruning can't strip it —
+        # the hot partition must stay physically big through the shuffle
+        joined = big.join(small, "k").select(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("b")
+        )
+        [row] = joined.collect()  # executes THIS DataFrame's plan
+        assert row.n == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # AQE marks split skew partitions in the final plan
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
