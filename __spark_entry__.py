@@ -171,6 +171,8 @@ VERIFY_NEXT: list[str] = [
     "q165_near_dup_edit_distances",  # new in r2 (levenshtein enrichment)
     "q166_weighted_sample_without_replacement",  # new in r2 (ES top-k sample)
     "q167_seasonality_variance_share",  # new in r2 (eta-squared ANOVA)
+    "q168_inter_event_time_profile",  # new in r2 (hazard/CV profile)
+    "q169_brand_share_shift",  # new in r2 (share-shift dashboard)
 ]
 
 

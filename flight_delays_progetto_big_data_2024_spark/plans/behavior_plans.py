@@ -822,3 +822,116 @@ def q167_seasonality_variance_share(spark: SparkSession, sf_dir: str) -> DataFra
         .select("event_type", "eta_squared", "n_cells")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q168_inter_event_time_profile",
+    sql="""
+    WITH gaps AS (
+        SELECT event_type,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id),
+                         ts) / 1000000.0 AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           count(gap_s) AS n_gaps,
+           round(avg(gap_s), 4) AS avg_gap_s,
+           round(stddev_samp(gap_s), 4) AS sd_gap_s,
+           round(stddev_samp(gap_s) / avg(gap_s), 6) AS cv,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q168_inter_event_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time (hazard) profile per event type: mean/sd/median
+    gap between consecutive same-type events of the same user, plus the
+    coefficient of variation — CV ≈ 1 reads as Poisson arrivals, CV > 1
+    as bursty — the first statistic checked before assuming exponential
+    inter-arrival models (or sizing session gaps). One lag window per
+    (user, type) partition; all downstream relations are
+    per-type-sized."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = cat.events.select(
+        "event_type",
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lag("ts").over(w).cast("timestamp").cast("double")
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.stddev_samp("gap_s"), 4).alias("sd_gap_s"),
+            F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 6).alias("cv"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q169_brand_share_shift",
+    sql="""
+    WITH bm AS (
+        SELECT p.p_brand AS brand,
+               strftime(o.o_orderdate, '%Y-%m') AS month,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, month
+    ),
+    shares AS (
+        SELECT brand, month,
+               round(rev / sum(rev) OVER (PARTITION BY month), 6) AS share
+        FROM bm
+    ),
+    shifts AS (
+        SELECT brand, month, share,
+               round(share - lag(share) OVER (PARTITION BY brand
+                                              ORDER BY month), 6) AS delta
+        FROM shares
+    )
+    SELECT brand, month, share, delta
+    FROM shifts WHERE delta IS NOT NULL
+    ORDER BY abs(delta) DESC, brand, month LIMIT 20
+    """,
+)
+def q169_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand market-share dynamics: monthly revenue share per brand
+    (share-of-total window over the brand×month AGGREGATE) and its
+    month-over-month delta (lag over the same aggregate), surfacing the
+    20 biggest shifts. The fact table is touched once for the rollup;
+    every window after that runs over |brands|×|months| rows — the
+    composition pattern for any 'who is gaining share' dashboard."""
+    cat = Catalog(spark, sf_dir)
+    bm = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+    )
+    w_m = Window.partitionBy("month")
+    w_b = Window.partitionBy("brand").orderBy("month")
+    shares = bm.select(
+        "brand",
+        "month",
+        F.round(F.col("rev") / F.sum("rev").over(w_m), 6).alias("share"),
+    )
+    shifts = shares.withColumn(
+        "delta", F.round(F.col("share") - F.lag("share").over(w_b), 6)
+    ).filter(F.col("delta").isNotNull())
+    return shifts.orderBy(F.abs("delta").desc(), "brand", "month").limit(20)
