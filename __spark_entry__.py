@@ -173,6 +173,8 @@ VERIFY_NEXT: list[str] = [
     "q167_seasonality_variance_share",  # new in r2 (eta-squared ANOVA)
     "q168_inter_event_time_profile",  # new in r2 (hazard/CV profile)
     "q169_brand_share_shift",  # new in r2 (share-shift dashboard)
+    "q170_jaccard_pair_histogram",  # new in r2 (threshold calibration)
+    "q171_session_depth_conversion",  # new in r2 (depth-conversion curve)
 ]
 
 

@@ -935,3 +935,77 @@ def q169_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta", F.round(F.col("share") - F.lag("share").over(w_b), 6)
     ).filter(F.col("delta").isNotNull())
     return shifts.orderBy(F.abs("delta").desc(), "brand", "month").limit(20)
+
+
+@register(
+    "q171_session_depth_conversion",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, session_id, count(*) AS depth,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT least(depth, 10) AS depth_bucket,
+           count(*) AS n_sessions,
+           sum(converted)::BIGINT AS n_converted,
+           round(sum(converted)::DOUBLE / count(*), 4) AS conversion_rate
+    FROM sessions GROUP BY depth_bucket ORDER BY depth_bucket
+    """,
+)
+def q171_session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session depth vs conversion: 2h-gap sessions bucketed by event
+    count (capped at 10+), each with its purchase-conversion rate — the
+    'does engagement depth buy conversion' curve. Sessionization is the
+    q41/q130 gaps-and-islands windows (user-partitioned); everything
+    after is session-sized."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = cat.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.lag("ts").over(w).cast("timestamp").cast("double")
+                > 7200.0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn("session_id", F.sum("new_session").over(wall))
+    sessions = marked.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    return (
+        sessions.groupBy(F.least("depth", F.lit(10)).alias("depth_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("depth_bucket")
+    )

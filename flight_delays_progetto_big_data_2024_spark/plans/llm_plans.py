@@ -3439,3 +3439,39 @@ def q166_weighted_sample_without_replacement(
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q170_jaccard_pair_histogram",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     6) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) > 0
+    )
+    SELECT CAST(floor(j * 10) AS BIGINT) AS bucket,
+           count(*) AS n_pairs
+    FROM p GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q170_jaccard_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold calibration: the full histogram of word-3-gram
+    Jaccard over every CO-OCCURRING pair (shared shingle > 0 — the only
+    pairs any threshold could ever flag), bucketed at 0.1. This is the
+    curve a dedup owner reads before picking t: where the near-dup mass
+    separates from the background hump. Computed from the same inverted
+    index as q32 with the threshold filter REMOVED — cost is the
+    co-occurrence mass Σ df², identical to the t>0 case, because exact
+    Jaccard never enumerates non-co-occurring pairs anyway."""
+    cat = Catalog(spark, sf_dir)
+    pairs = jaccard_pairs(cat.documents, "doc_id", "text", k=3, threshold=1e-9)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket")
+    )
