@@ -175,6 +175,8 @@ VERIFY_NEXT: list[str] = [
     "q169_brand_share_shift",  # new in r2 (share-shift dashboard)
     "q170_jaccard_pair_histogram",  # new in r2 (threshold calibration)
     "q171_session_depth_conversion",  # new in r2 (depth-conversion curve)
+    "q172_hard_negative_mining",  # new in r2 (contrastive negatives)
+    "q173_alpha_smoothed_mixture",  # new in r2 (temperature sampling)
 ]
 
 

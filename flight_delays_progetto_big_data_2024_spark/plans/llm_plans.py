@@ -3475,3 +3475,153 @@ def q170_jaccard_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "q172_hard_negative_mining",
+    sql=f"""
+    WITH n AS ({_EMB_PREP_SQL}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT n.*, lab.label FROM n JOIN lab USING (vec_id)
+          WHERE vec_id % 20 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS candidate_id, cl.label AS c_label,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q
+        JOIN n c ON c.vec_id <> q.vec_id
+        JOIN lab cl ON cl.vec_id = c.vec_id
+        WHERE cl.label <> q.label
+    ),
+    topk AS (
+        SELECT query_id, q_label, candidate_id, c_label, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+            ) AS rnk FROM scored
+        ) WHERE rnk <= 3
+    )
+    SELECT q_label AS label,
+           count(*) AS n_negatives,
+           round(avg(cosine), 6) AS avg_neg_cosine,
+           round(max(cosine), 6) AS max_neg_cosine
+    FROM topk GROUP BY q_label ORDER BY label
+    """,
+)
+def q172_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each sampled
+    anchor (1-in-20), the 3 nearest neighbors with a DIFFERENT label —
+    the high-similarity wrong-class examples a triplet/contrastive loss
+    needs. The label filter applies BEFORE ranking (exclude-then-top-k,
+    not top-k-then-filter, which under-delivers negatives near label
+    clusters); search is the broadcast-anchors × one-corpus-pass shape
+    of cosine_topk with the label anti-predicate pushed into the join.
+    Per-label counts and negative-similarity stats are value-checked."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        _prep,
+        cosine_prenormed,
+    )
+    from pyspark.sql.window import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    labels = emb.select("vec_id", "label")
+    c = _prep(emb, "vec_id", "embedding").join(
+        labels.select(F.col("vec_id").alias("id"), F.col("label").alias("c_label")),
+        "id",
+    )
+    q = (
+        _prep(emb.filter(F.col("vec_id") % 20 == 0), "vec_id", "embedding")
+        .join(
+            labels.select(
+                F.col("vec_id").alias("id"), F.col("label").alias("q_label")
+            ),
+            "id",
+        )
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "q_label",
+        )
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("id") != F.col("query_id"))
+            & (F.col("c_label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            "q_label",
+            F.col("id").alias("candidate_id"),
+            cosine_prenormed("qv", "v", "qn", "nrm").alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
+    return (
+        topk.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_negatives"),
+            F.round(F.avg("cosine"), 6).alias("avg_neg_cosine"),
+            F.round(F.max("cosine"), 6).alias("max_neg_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q173_alpha_smoothed_mixture",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, sum(len({_TOKS_SQL}))::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    smoothed AS (
+        SELECT source, n_tokens,
+               pow(n_tokens, 0.7) AS w
+        FROM toks
+    )
+    SELECT source, n_tokens,
+           round(n_tokens / (SELECT sum(n_tokens)::DOUBLE FROM toks), 6)
+               AS raw_share,
+           round(w / (SELECT sum(w) FROM smoothed), 6) AS alpha_share,
+           round((w / (SELECT sum(w) FROM smoothed))
+                 / (n_tokens / (SELECT sum(n_tokens)::DOUBLE FROM toks)), 4)
+               AS boost
+    FROM smoothed ORDER BY source
+    """,
+)
+def q173_alpha_smoothed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed sampling mixture (p_s ∝ tokens^0.7 — the
+    multilingual/multi-source rebalancing rule): per source, the raw
+    token share, the alpha-smoothed sampling share, and the implied
+    up/down-sampling boost. One token-count rollup + broadcast scalar
+    totals; the table every mixture-weighted dataloader is configured
+    from (q98's planner consumes exactly these shares)."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("n_tokens")
+    )
+    smoothed = toks.withColumn("w", F.pow("n_tokens", 0.7))
+    totals = smoothed.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.sum("w").alias("tot_w"),
+    )
+    return (
+        smoothed.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("raw_share"),
+            F.round(F.col("w") / F.col("tot_w"), 6).alias("alpha_share"),
+            F.round(
+                (F.col("w") / F.col("tot_w"))
+                / (F.col("n_tokens") / F.col("tot_tokens")),
+                4,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
