@@ -177,6 +177,8 @@ VERIFY_NEXT: list[str] = [
     "q171_session_depth_conversion",  # new in r2 (depth-conversion curve)
     "q172_hard_negative_mining",  # new in r2 (contrastive negatives)
     "q173_alpha_smoothed_mixture",  # new in r2 (temperature sampling)
+    "q174_encoding_advisor",  # new in r2 (storage-encoding advisor)
+    "q175_length_quality_heatmap",  # new in r2 (joint quintile heatmap)
 ]
 
 

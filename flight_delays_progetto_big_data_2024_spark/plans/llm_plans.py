@@ -3625,3 +3625,61 @@ def q173_alpha_smoothed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q175_length_quality_heatmap",
+    sql=f"""
+    WITH q AS (
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_toks,
+               CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                    ELSE round(
+                        0.6 * (len(list_distinct({_TOKS_SQL}))::DOUBLE
+                               / len({_TOKS_SQL}))
+                        + 0.4 * (CASE WHEN
+                              list_aggregate(list_transform({_TOKS_SQL},
+                                             t -> len(t)), 'sum')::DOUBLE
+                              / len({_TOKS_SQL})
+                              BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+                        - (CASE WHEN len(text) > 0
+                                THEN (len(text) - len(regexp_replace(text,
+                                     '[.,!?;:''"]', '', 'g')))::DOUBLE
+                                     / len(text)
+                                ELSE 0.0 END), 6) END AS quality
+        FROM documents
+    ),
+    tiled AS (
+        SELECT ntile(5) OVER (ORDER BY n_toks, doc_id) AS len_q,
+               ntile(5) OVER (ORDER BY quality, doc_id) AS qual_q
+        FROM q
+    )
+    SELECT len_q, qual_q, count(*) AS n_docs
+    FROM tiled GROUP BY len_q, qual_q ORDER BY len_q, qual_q
+    """,
+)
+def q175_length_quality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint length×quality distribution: docs tiled into quintiles on
+    BOTH token count and composite quality, cell counts as the heatmap —
+    the diagnostic that shows whether a length filter silently doubles
+    as a quality filter (diagonal mass) or cuts orthogonally. ntile
+    runs over the doc-level aggregate with doc_id tiebreaks (both
+    engines tile identically); at extreme doc counts swap quantile
+    cutpoint joins, as q143 documents."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    q = cat.documents.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_toks"),
+        quality_score("text").alias("quality"),
+    )
+    tiled = q.select(
+        F.ntile(5).over(Window.orderBy("n_toks", "doc_id")).alias("len_q"),
+        F.ntile(5).over(Window.orderBy("quality", "doc_id")).alias("qual_q"),
+    )
+    return (
+        tiled.groupBy("len_q", "qual_q")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("len_q", "qual_q")
+    )

@@ -547,3 +547,68 @@ def q125_order_price_item_correlation(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "q174_encoding_advisor",
+    sql="""
+    WITH t AS (SELECT count(*) AS n FROM lineitem),
+    cols AS (
+        SELECT 'l_returnflag' AS col,
+               count(DISTINCT l_returnflag) AS n_distinct FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(DISTINCT l_extendedprice) FROM lineitem
+    )
+    SELECT col, n_distinct,
+           round(n_distinct::DOUBLE / t.n, 6) AS distinct_ratio,
+           (n_distinct::DOUBLE / t.n) < 0.1 AS dict_encode
+    FROM cols, t ORDER BY col
+    """,
+)
+def q174_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor: per candidate column, the distinct-value
+    ratio and whether parquet dictionary encoding will pay (ratio <
+    0.1 — the heuristic writers use before falling back to plain). ONE
+    scan computes every column's exact distinct count as a multi-agg
+    (Spark plans count(DISTINCT x), count(DISTINCT y), ... as expand +
+    one aggregate — no per-column rescans); at fact scale swap
+    approx_count_distinct in, same shape. Pairs with
+    sources.maintenance's layout tools: the advisor says WHICH columns
+    reward sorting/dictionaries before a rewrite."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count_distinct(c).alias(f"d_{c}")
+            for c in [
+                "l_returnflag",
+                "l_linestatus",
+                "l_suppkey",
+                "l_partkey",
+                "l_extendedprice",
+            ]
+        ],
+    )
+    rows = agg.selectExpr(
+        "n",
+        "stack(5, "
+        "'l_extendedprice', d_l_extendedprice, "
+        "'l_linestatus', d_l_linestatus, "
+        "'l_partkey', d_l_partkey, "
+        "'l_returnflag', d_l_returnflag, "
+        "'l_suppkey', d_l_suppkey"
+        ") AS (col, n_distinct)",
+    )
+    return rows.select(
+        "col",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n"), 6).alias("distinct_ratio"),
+        (F.col("n_distinct") / F.col("n") < 0.1).alias("dict_encode"),
+    ).orderBy("col")
