@@ -179,6 +179,8 @@ VERIFY_NEXT: list[str] = [
     "q173_alpha_smoothed_mixture",  # new in r2 (temperature sampling)
     "q174_encoding_advisor",  # new in r2 (storage-encoding advisor)
     "q175_length_quality_heatmap",  # new in r2 (joint quintile heatmap)
+    "q176_multires_rollup_reconciliation",  # new in r2 (tiered-retention invariant)
+    "q177_user_behavior_similarity",  # new in r2 (behavioral vectors)
 ]
 
 

@@ -1009,3 +1009,60 @@ def q171_session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("depth_bucket")
     )
+
+
+@register(
+    "q177_user_behavior_similarity",
+    sql="""
+    WITH vec AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'view')::DOUBLE AS v1,
+               count(*) FILTER (event_type = 'click')::DOUBLE AS v2,
+               count(*) FILTER (event_type = 'purchase')::DOUBLE AS v3,
+               count(*) FILTER (event_type = 'signup')::DOUBLE AS v4,
+               count(*) FILTER (event_type = 'error')::DOUBLE AS v5
+        FROM events GROUP BY user_id
+    ),
+    n AS (
+        SELECT *, sqrt(v1*v1 + v2*v2 + v3*v3 + v4*v4 + v5*v5) AS nrm
+        FROM vec
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               round((a.v1*b.v1 + a.v2*b.v2 + a.v3*b.v3 + a.v4*b.v4
+                      + a.v5*b.v5) / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.user_id < b.user_id
+        WHERE a.nrm > 0 AND b.nrm > 0
+    )
+    SELECT user_a, user_b, cosine FROM pairs
+    ORDER BY cosine DESC, user_a, user_b LIMIT 10
+    """,
+)
+def q177_user_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral user similarity WITHOUT an embedding model: each user
+    becomes a 5-dim event-type count vector (one pivoted aggregate), and
+    the 10 most-similar user pairs surface by cosine — the
+    segmentation/fraud-twin primitive. The pair join is user²-sized over
+    the USER AGGREGATE (the fact table is touched once); at web-scale
+    user counts swap the exact self-join for the LSH bucketing the
+    embedding family already provides — same vectors, same contract."""
+    cat = Catalog(spark, sf_dir)
+    vec = cat.events.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("double")).alias(f"v{i+1}")
+            for i, t in enumerate(["view", "click", "purchase", "signup", "error"])
+        ]
+    )
+    comp = [F.col(f"v{i}") for i in range(1, 6)]
+    nrm = F.sqrt(sum((c * c for c in comp), F.lit(0.0)))
+    n = vec.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
+    a, b = n.alias("a"), n.alias("b")
+    dot = sum(
+        (F.col(f"a.v{i}") * F.col(f"b.v{i}") for i in range(1, 6)), F.lit(0.0)
+    )
+    pairs = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+    )
+    return pairs.orderBy(F.desc("cosine"), "user_a", "user_b").limit(10)

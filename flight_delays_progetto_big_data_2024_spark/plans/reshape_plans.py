@@ -612,3 +612,65 @@ def q174_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_distinct") / F.col("n"), 6).alias("distinct_ratio"),
         (F.col("n_distinct") / F.col("n") < 0.1).alias("dict_encode"),
     ).orderBy("col")
+
+
+@register(
+    "q176_multires_rollup_reconciliation",
+    sql="""
+    WITH m5 AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5,
+               count(*) AS n, round(sum(value), 6) AS v
+        FROM events GROUP BY b5
+    ),
+    h1_direct AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bh,
+               count(*) AS n, round(sum(value), 6) AS v
+        FROM events GROUP BY bh
+    ),
+    h1_rolled AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, b5) AS bh,
+               sum(n) AS n, round(sum(v), 6) AS v
+        FROM m5 GROUP BY bh
+    )
+    SELECT count(*) AS n_hours,
+           sum(CASE WHEN d.n = r.n THEN 1 ELSE 0 END)::BIGINT
+               AS n_count_match,
+           sum(CASE WHEN abs(d.v - r.v) <= 0.001 THEN 1 ELSE 0 END)::BIGINT
+               AS n_value_match
+    FROM h1_direct d JOIN h1_rolled r ON r.bh = d.bh
+    """,
+)
+def q176_multires_rollup_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-resolution downsampling reconciliation: 5-minute cells must
+    roll up EXACTLY into the directly-computed hourly aggregates —
+    counts bit-equal, sums within the documented rounding tolerance
+    (each path rounds its partials at 1e-6, so re-aggregated sums can
+    differ by accumulated half-ulps; the certified bound is 1e-3). This
+    is the invariant every tiered-retention metrics store (raw → 5m →
+    1h → 1d) must hold before deleting the finer tier; both engines
+    verify it as value-checked match counters."""
+    cat = Catalog(spark, sf_dir)
+    m5 = cat.events.groupBy(
+        F.window("ts", "5 minutes").alias("w5")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    h_direct = cat.events.groupBy(
+        F.window("ts", "1 hour").alias("wh")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    h_rolled = m5.groupBy(
+        F.window(F.col("w5.start"), "1 hour").alias("wh")
+    ).agg(F.sum("n").alias("n"), F.round(F.sum("v"), 6).alias("v"))
+    d = h_direct.select(
+        F.col("wh.start").alias("bh"), F.col("n").alias("dn"), F.col("v").alias("dv")
+    )
+    r = h_rolled.select(
+        F.col("wh.start").alias("bh"), F.col("n").alias("rn"), F.col("v").alias("rv")
+    )
+    return d.join(r, "bh").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum((F.col("dn") == F.col("rn")).cast("long")).alias("n_count_match"),
+        F.sum(
+            (F.abs(F.col("dv") - F.col("rv")) <= 0.001).cast("long")
+        ).alias("n_value_match"),
+    )
