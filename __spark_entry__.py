@@ -181,6 +181,8 @@ VERIFY_NEXT: list[str] = [
     "q175_length_quality_heatmap",  # new in r2 (joint quintile heatmap)
     "q176_multires_rollup_reconciliation",  # new in r2 (tiered-retention invariant)
     "q177_user_behavior_similarity",  # new in r2 (behavioral vectors)
+    "q178_pareto_skyline",  # new in r2 (SKYLINE via sort + running max)
+    "q179_order_total_integrity",  # new in r2 (cross-table reconciliation)
 ]
 
 

@@ -674,3 +674,123 @@ def q176_multires_rollup_reconciliation(
             (F.abs(F.col("dv") - F.col("rv")) <= 0.001).cast("long")
         ).alias("n_value_match"),
     )
+
+
+@register(
+    "q178_pareto_skyline",
+    sql="""
+    WITH pts AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
+               l_quantity AS qty
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT *,
+               max(qty) OVER (ORDER BY price DESC, qty DESC, l_orderkey,
+                              l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS best_qty_so_far
+        FROM pts
+    )
+    SELECT l_orderkey, l_linenumber, price, qty
+    FROM ranked
+    WHERE best_qty_so_far IS NULL OR qty > best_qty_so_far
+    ORDER BY price DESC, qty DESC
+    """,
+)
+def q178_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (the classic SKYLINE operator Spark lacks):
+    lineitems not dominated on (price, quantity) — no other row is ≥ on
+    both and > on one. The 2-D case reduces to a sort by price plus a
+    running max of quantity: a row survives iff its quantity beats every
+    better-priced row's. At scale the running max is the two-phase
+    bucketed decomposition (operators.ordered.bucketed_running_max with
+    price-range buckets); at oracle/test scale the plan uses the global
+    window directly — same semantics, and the skyline is tiny by
+    definition. Ties on both dims keep the first in the deterministic
+    (orderkey, linenumber) order — a strict-domination variant would
+    keep all; documented choice."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    pts = cat.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    w = (
+        Window.orderBy(
+            F.desc("price"), F.desc("qty"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn("best_qty_so_far", F.max("qty").over(w))
+    return (
+        ranked.filter(
+            F.col("best_qty_so_far").isNull()
+            | (F.col("qty") > F.col("best_qty_so_far"))
+        )
+        .select("l_orderkey", "l_linenumber", "price", "qty")
+        .orderBy(F.desc("price"), F.desc("qty"))
+    )
+
+
+@register(
+    "q179_order_total_integrity",
+    sql="""
+    WITH li AS (
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS computed
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus AS status,
+           count(*) AS n_orders,
+           sum(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_no_lines,
+           sum(CASE WHEN li.l_orderkey IS NOT NULL
+                     AND abs(o.o_totalprice - li.computed) > 0.01
+                    THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
+           round(avg(CASE WHEN li.l_orderkey IS NOT NULL
+                          THEN abs(o.o_totalprice - li.computed) END), 4)
+               AS avg_abs_diff
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    GROUP BY status ORDER BY status
+    """,
+)
+def q179_order_total_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table monetary integrity: does every order's stored
+    o_totalprice equal the recomputed Σ price·(1-disc)·(1+tax) of its
+    lines? Per status: orders with NO lines (referential gap) and
+    orders whose stored total drifts beyond a cent, plus the average
+    absolute drift — the reconciliation any finance-adjacent warehouse
+    runs nightly. One lineitem rollup + one left join keyed on the
+    order — at 100 TB both sides bucket by orderkey and the join is
+    shuffle-free."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("computed")
+    )
+    joined = cat.orders.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    )
+    has_lines = F.col("l_orderkey").isNotNull()
+    diff = F.abs(F.col("o_totalprice") - F.col("computed"))
+    return (
+        joined.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((~has_lines).cast("long")).alias("n_no_lines"),
+            F.sum((has_lines & (diff > 0.01)).cast("long")).alias("n_mismatch"),
+            F.round(F.avg(F.when(has_lines, diff)), 4).alias("avg_abs_diff"),
+        )
+        .orderBy("status")
+    )
