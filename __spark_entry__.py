@@ -183,6 +183,7 @@ VERIFY_NEXT: list[str] = [
     "q177_user_behavior_similarity",  # new in r2 (behavioral vectors)
     "q178_pareto_skyline",  # new in r2 (SKYLINE via sort + running max)
     "q179_order_total_integrity",  # new in r2 (cross-table reconciliation)
+    "q180_residual_quantization_gain",  # new in r2 (IVF-PQ hybrid eval)
 ]
 
 

@@ -765,3 +765,171 @@ def q158_term_drift_between_halves(spark: SparkSession, sf_dir: str) -> DataFram
             F.avg(F.when(shared, F.abs(F.col("rk_a") - F.col("rk_b")))), 4
         ).alias("avg_rank_shift"),
     )
+
+
+def _pq_cte(p: str, src: str) -> str:
+    """q152's unrolled per-subspace 2-iteration Lloyd chain, CTE-name
+    prefixed with ``p`` and reading the exploded relation ``src``
+    (columns vec_id, sub, pos, val) — so the SAME generator replays PQ
+    over raw vectors and over residuals in one oracle."""
+    return f"""
+    {p}c0 AS (SELECT vec_id AS cid, sub, pos, val AS cval
+              FROM {src} WHERE vec_id < 8),
+    {p}a1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY round(d2, 6), cid
+                   ) AS rn
+            FROM (
+                SELECT e.vec_id, e.sub, c.cid, sum((e.val - c.cval) ^ 2) AS d2
+                FROM {src} e JOIN {p}c0 c ON c.sub = e.sub AND c.pos = e.pos
+                GROUP BY e.vec_id, e.sub, c.cid
+            )
+        ) WHERE rn = 1
+    ),
+    {p}c1 AS (
+        SELECT a.sub, a.cid, e.pos, avg(e.val) AS cval
+        FROM {src} e JOIN {p}a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub
+        GROUP BY a.sub, a.cid, e.pos
+    ),
+    {p}a2 AS (
+        SELECT vec_id, sub, cid, d2 FROM (
+            SELECT vec_id, sub, cid, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY round(d2, 6), cid
+                   ) AS rn
+            FROM (
+                SELECT e.vec_id, e.sub, c.cid, sum((e.val - c.cval) ^ 2) AS d2
+                FROM {src} e JOIN {p}c1 c ON c.sub = e.sub AND c.pos = e.pos
+                GROUP BY e.vec_id, e.sub, c.cid
+            )
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "q180_residual_quantization_gain",
+    sql=f"""
+    WITH e AS (
+        SELECT vec_id,
+               (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cell, pos, val AS cval FROM e WHERE vec_id < 16),
+    cnorm AS (SELECT cell, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY cell),
+    vnorm AS (SELECT vec_id, sqrt(sum(val * val)) AS vn FROM e GROUP BY vec_id),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(sum(e.val * c.cval)
+                                      / (any_value(v.vn) * any_value(n.cn)), 6)
+                                DESC, c.cell
+                   ) AS rn
+            FROM e
+            JOIN cent c ON c.pos = e.pos
+            JOIN vnorm v ON v.vec_id = e.vec_id
+            JOIN cnorm n ON n.cell = c.cell
+            GROUP BY e.vec_id, c.cell
+        ) WHERE rn = 1
+    ),
+    res AS (
+        SELECT e.vec_id, e.sub, e.pos, e.val - c.cval AS val
+        FROM e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN cent c ON c.cell = a.cell AND c.pos = e.pos
+    ),
+    {_pq_cte('raw_', 'e')},
+    {_pq_cte('res_', 'res')}
+    SELECT r.sub,
+           round(avg(r.d2), 4) AS raw_err,
+           round(avg(s.d2), 4) AS residual_err,
+           round(avg(s.d2) / avg(r.d2), 6) AS err_ratio
+    FROM raw_a2 r JOIN res_a2 s ON s.vec_id = r.vec_id AND s.sub = r.sub
+    GROUP BY r.sub ORDER BY r.sub
+    """,
+)
+def q180_residual_quantization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ hybrid's core claim, MEASURED rather than assumed:
+    does quantizing RESIDUALS (vector minus coarse IVF centroid)
+    reconstruct better than quantizing raw vectors with the same PQ
+    budget? On naturally-clustered embeddings residuals concentrate
+    near zero and the ratio drops below 1; on THIS corpus's isotropic
+    vectors the eval correctly reports ratio > 1 — residual encoding
+    would not pay, and an index builder reading this table skips the
+    hybrid. That decision value is the point of shipping the eval, not
+    just the encoder. Pipeline: cosine coarse assignment to 16
+    lowest-id centroids (the ivf_topk quantizer), residual compute as a
+    positional join, then the IDENTICAL pq_encode on both raw and
+    residual vectors; output is per-subspace mean error and the
+    residual/raw ratio (< 1 = the hybrid pays). Every stage — coarse
+    assignment, both PQ trainings, the comparison — replays in the
+    oracle via the parameterized CTE generator."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        as_double_array,
+        pq_encode,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    e = emb.select(
+        "vec_id", F.posexplode(as_double_array("embedding")).alias("pos0", "val")
+    )
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), "pos0", F.col("val").alias("cval")
+    )
+    vnorm = e.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    cnorm = cent.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        e.join(F.broadcast(cent), "pos0")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
+        .join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cos"),
+        )
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    res_rows = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(cent), ["cell", "pos0"])
+        .select("vec_id", "pos0", (F.col("val") - F.col("cval")).alias("rval"))
+    )
+    residuals = res_rows.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "rval"))),
+            lambda x: x["rval"],
+        ).alias("embedding")
+    )
+    raw_codes = pq_encode(emb, m=4, sub_dim=16, k=8, iterations=2)
+    res_codes = pq_encode(residuals, m=4, sub_dim=16, k=8, iterations=2)
+    r = raw_codes.select("vec_id", "sub", F.col("dist2").alias("raw_d2"))
+    s = res_codes.select("vec_id", "sub", F.col("dist2").alias("res_d2"))
+    return (
+        r.join(s, ["vec_id", "sub"])
+        .groupBy("sub")
+        .agg(
+            F.round(F.avg("raw_d2"), 4).alias("raw_err"),
+            F.round(F.avg("res_d2"), 4).alias("residual_err"),
+            F.round(F.avg("res_d2") / F.avg("raw_d2"), 6).alias("err_ratio"),
+        )
+        .orderBy("sub")
+    )
