@@ -3502,7 +3502,10 @@ def q170_jaccard_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q_label AS label,
            count(*) AS n_negatives,
-           round(avg(cosine), 6) AS avg_neg_cosine,
+           -- integer micro-unit sum: both engines divide the SAME exact
+           -- integer, so the 1e-6 rounding can't flip on association order
+           round(sum(CAST(round(cosine * 1000000) AS BIGINT))
+                 / (count(*) * 1000000.0), 6) AS avg_neg_cosine,
            round(max(cosine), 6) AS max_neg_cosine
     FROM topk GROUP BY q_label ORDER BY label
     """,
@@ -3565,7 +3568,13 @@ def q172_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.groupBy(F.col("q_label").alias("label"))
         .agg(
             F.count(F.lit(1)).alias("n_negatives"),
-            F.round(F.avg("cosine"), 6).alias("avg_neg_cosine"),
+            # integer micro-unit sum — engine-exact average of rounded
+            # cosines (float association order can't flip the 1e-6 round)
+            F.round(
+                F.sum(F.round(F.col("cosine") * 1000000).cast("long"))
+                / (F.count(F.lit(1)) * 1000000.0),
+                6,
+            ).alias("avg_neg_cosine"),
             F.round(F.max("cosine"), 6).alias("max_neg_cosine"),
         )
         .orderBy("label")
