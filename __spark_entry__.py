@@ -184,6 +184,8 @@ VERIFY_NEXT: list[str] = [
     "q178_pareto_skyline",  # new in r2 (SKYLINE via sort + running max)
     "q179_order_total_integrity",  # new in r2 (cross-table reconciliation)
     "q180_residual_quantization_gain",  # new in r2 (IVF-PQ hybrid eval)
+    "q181_quality_budget_curve",  # new in r2 (best-first budget table)
+    "q182_source_vocab_overlap",  # new in r2 (source redundancy matrix)
 ]
 
 

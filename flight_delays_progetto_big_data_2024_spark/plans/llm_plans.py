@@ -3692,3 +3692,154 @@ def q175_length_quality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("len_q", "qual_q")
     )
+
+
+@register(
+    "q181_quality_budget_curve",
+    sql=f"""
+    WITH q AS (
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_toks,
+               CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                    ELSE round(
+                        0.6 * (len(list_distinct({_TOKS_SQL}))::DOUBLE
+                               / len({_TOKS_SQL}))
+                        + 0.4 * (CASE WHEN
+                              list_aggregate(list_transform({_TOKS_SQL},
+                                             t -> len(t)), 'sum')::DOUBLE
+                              / len({_TOKS_SQL})
+                              BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+                        - (CASE WHEN len(text) > 0
+                                THEN (len(text) - len(regexp_replace(text,
+                                     '[.,!?;:''"]', '', 'g')))::DOUBLE
+                                     / len(text)
+                                ELSE 0.0 END), 6) END AS quality
+        FROM documents
+    ),
+    tiled AS (
+        SELECT n_toks,
+               ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+        FROM q
+    ),
+    per AS (
+        SELECT decile, count(*) AS n_docs, sum(n_toks)::BIGINT AS toks
+        FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT sum(toks)::DOUBLE AS t FROM per)
+    SELECT decile, n_docs, toks,
+           (sum(toks) OVER (ORDER BY decile
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens,
+           round(sum(toks) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 / tot.t, 6) AS cum_share
+    FROM per, tot ORDER BY decile
+    """,
+)
+def q181_quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first token budget curve: rank documents by quality, bucket
+    into deciles, and report cumulative token supply per decile — the
+    table that answers 'if the training budget is X tokens, how deep
+    into the quality distribution must we reach'. The prefix sum runs
+    over the 10-ROW decile aggregate (never the doc table), and decile
+    assignment is the deterministic-tie ntile of q143/q175."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    q = cat.documents.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_toks"),
+        quality_score("text").alias("quality"),
+    )
+    tiled = q.select(
+        "n_toks",
+        F.ntile(10).over(Window.orderBy(F.desc("quality"), F.asc("doc_id"))).alias(
+            "decile"
+        ),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("toks")
+    )
+    tot = per.agg(F.sum("toks").cast("double").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "toks",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.round(F.sum("toks").over(w) / F.col("t"), 6).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q182_source_vocab_overlap",
+    sql=f"""
+    WITH counts AS (
+        SELECT source, term, count(*) AS c
+        FROM (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents)
+        GROUP BY source, term
+    ),
+    top AS (
+        SELECT source, term FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY c DESC, term) AS rk
+            FROM counts
+        ) WHERE rk <= 30
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+        GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b, shared,
+           round(shared / (60.0 - shared), 6) AS jaccard_top30
+    FROM pairs
+    ORDER BY jaccard_top30 DESC, src_a, src_b LIMIT 15
+    """,
+)
+def q182_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap: each source's top-30 terms,
+    inverted-index joined on the term (never a source crossJoin), scored
+    by top-k Jaccard — the redundancy matrix read before paying to
+    ingest 'another' crawl that's lexically the same corpus. All
+    relations after the count rollup are (sources × 30)-sized."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat.documents.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 30)
+        .select("source", "term")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(F.col("shared") / (60.0 - F.col("shared")), 6).alias(
+                "jaccard_top30"
+            ),
+        )
+        .orderBy(F.desc("jaccard_top30"), "src_a", "src_b")
+        .limit(15)
+    )
