@@ -186,6 +186,7 @@ VERIFY_NEXT: list[str] = [
     "q180_residual_quantization_gain",  # new in r2 (IVF-PQ hybrid eval)
     "q181_quality_budget_curve",  # new in r2 (best-first budget table)
     "q182_source_vocab_overlap",  # new in r2 (source redundancy matrix)
+    "q183_dup_cluster_quality_spread",  # new in r2 (survivor-policy audit)
 ]
 
 

@@ -3843,3 +3843,103 @@ def q182_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_top30"), "src_a", "src_b")
         .limit(15)
     )
+
+
+@register(
+    "q183_dup_cluster_quality_spread",
+    sql=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                    6) >= 0.5
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+    r(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.comp FROM e JOIN r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(comp) AS cluster FROM r GROUP BY id),
+    q AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                    ELSE round(
+                        0.6 * (len(list_distinct({_TOKS_SQL}))::DOUBLE
+                               / len({_TOKS_SQL}))
+                        + 0.4 * (CASE WHEN
+                              list_aggregate(list_transform({_TOKS_SQL},
+                                             t -> len(t)), 'sum')::DOUBLE
+                              / len({_TOKS_SQL})
+                              BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+                        - (CASE WHEN len(text) > 0
+                                THEN (len(text) - len(regexp_replace(text,
+                                     '[.,!?;:''"]', '', 'g')))::DOUBLE
+                                     / len(text)
+                                ELSE 0.0 END), 6) END AS quality
+        FROM documents
+    ),
+    clusters AS (
+        SELECT c.cluster, count(*) AS size,
+               round(max(q.quality) - min(q.quality), 6) AS spread,
+               round(max(q.quality)
+                     - any_value(q.quality ORDER BY c.doc_id), 6) AS min_id_loss
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+        GROUP BY c.cluster HAVING count(*) > 1
+    )
+    SELECT count(*) AS n_multi_clusters,
+           round(avg(spread), 6) AS avg_spread,
+           round(max(spread), 6) AS max_spread,
+           round(avg(min_id_loss), 6) AS avg_min_id_loss,
+           sum(CASE WHEN min_id_loss > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_suboptimal_keeps
+    FROM clusters
+    """,
+)
+def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does dedup's survivor policy cost quality? For every multi-doc
+    near-dup cluster: the quality spread between best and worst copy,
+    and the loss incurred by the NAIVE min-id keep (best quality minus
+    the min-id doc's quality) — nonzero rows are exactly the clusters
+    where q102's quality-aware survivor selection pays over q58's
+    arbitrary-but-deterministic keep. Clusters come from the q58
+    machinery; quality joins on the cluster relation (cluster-sized
+    after the first aggregate)."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = jaccard_pairs(cat.documents, "doc_id", "text", k=3, threshold=0.5)
+    cc = connected_components(
+        pairs,
+        "id_a",
+        "id_b",
+        vertices=cat.documents.select(F.col("doc_id").alias("id")),
+    )
+    q = cat.documents.select("doc_id", quality_score("text").alias("quality"))
+    joined = cc.select(F.col("id").alias("doc_id"), F.col("component")).join(
+        q, "doc_id"
+    )
+    clusters = (
+        joined.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.round(F.max("quality") - F.min("quality"), 6).alias("spread"),
+            F.round(
+                F.max("quality")
+                - F.min_by("quality", "doc_id"),
+                6,
+            ).alias("min_id_loss"),
+        )
+        .filter(F.col("size") > 1)
+    )
+    return clusters.agg(
+        F.count(F.lit(1)).alias("n_multi_clusters"),
+        F.round(F.avg("spread"), 6).alias("avg_spread"),
+        F.round(F.max("spread"), 6).alias("max_spread"),
+        F.round(F.avg("min_id_loss"), 6).alias("avg_min_id_loss"),
+        F.sum((F.col("min_id_loss") > 0).cast("long")).alias("n_suboptimal_keeps"),
+    )
