@@ -190,14 +190,18 @@ VERIFY_NEXT: list[str] = [
 ]
 
 
-def _driver_verified() -> set[str]:
+def _driver_verified(records_dir: str | None = None) -> set[str]:
     """Queries with green driver evidence in any committed
     CORRECTNESS_r*.json: full rows+schema+hash pass, or the documented
     rows-only record (err == 'no_oracle') for non-SQL-expressible ops.
     Failed or error rows do NOT count — those rotate back into the
-    window."""
+    window.
+
+    ``records_dir`` defaults to the repo root (live driver records);
+    tests inject a fixture directory so the suite is insensitive to
+    which driver rounds happen to be on disk."""
     seen: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = records_dir or os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:

@@ -7,13 +7,34 @@ return either bounded output (aggregates / top-k / pair sets) or
 top-k-per-group output that is O(documents) with a small constant
 (q59: 3 rows/doc) — nothing O(tokens) or O(pairs-unfiltered) that
 would make driver transfer dominate the measured time at higher SF.
+
+Two policies (round-3):
+
+* **Deployable-path overrides.** The registry variant of a query may
+  deliberately run an engine-portable configuration so DuckDB can
+  value-check it (e.g. q34 registers the md5-60bit token hash so the
+  oracle replays signatures bit-for-bit). The bench must time what a
+  user would deploy at 100 TB, so ``BENCH_OVERRIDES`` maps such
+  queries to their default-configuration operator call. Correctness
+  evidence is unchanged — the driver still checks the registered
+  portable variant.
+
+* **Regression gate.** After timing, the harness diffs per-query times
+  against the newest committed ``BENCH_r*.json`` and prints a WARNING
+  line to stderr for every >2x regression not in
+  ``REGRESSION_ALLOWLIST`` (deliberate swaps, documented inline). The
+  JSON contract on stdout is unchanged. ``compare_bench`` is pure and
+  unit-tested in tests/test_plan_shapes.py.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 #: Headline set: one per operator family — core join+agg shapes, window
@@ -44,6 +65,143 @@ HEADLINE = [
     "q72_heavy_hitter_terms",
 ]
 
+#: Queries whose registry variant runs an oracle-portable configuration;
+#: the bench times the default (deployable) configuration instead.
+#: Keep each entry's rationale next to its builder below.
+REGRESSION_ALLOWLIST: dict[str, str] = {
+    # r2 regression was the deliberate md5 portable-hash swap; r3 benches
+    # the xxhash64 deployable path via BENCH_OVERRIDES, so the allowlist
+    # entry only papers over the r2->r3 record discontinuity.
+    "q34_simhash_near_dups": "r3 times the xxhash64 deployable path (r2 timed the md5 oracle path)",
+}
+
+
+def _q34_deployable(spark, sf_dir):
+    """q34 with its DEFAULT token hash (xxhash64 — the 100 TB path).
+
+    The registered q34 uses PORTABLE_TOKEN_HASH_SQL (md5-60bit) purely
+    so the DuckDB oracle can replay signatures bit-for-bit; that hash
+    costs ~3x on the signature pass and is not what a user deploys.
+    Both paths share every line of plan code except the token-hash
+    expression (each is a valid SimHash instantiation; identical docs
+    pair at hamming 0 under either); tests/test_plan_shapes.py pins
+    that this override stays in sync with the registered plan."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    return simhash_near_dups(cat.documents, "doc_id", "text").withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+BENCH_OVERRIDES = {
+    "q34_simhash_near_dups": _q34_deployable,
+}
+
+
+def compare_bench(
+    prev: dict[str, float],
+    cur: dict[str, float],
+    threshold: float = 2.0,
+    allowlist: dict[str, str] | None = None,
+) -> list[str]:
+    """Return warning strings for queries that regressed more than
+    ``threshold``x vs ``prev`` and are not allowlisted. Sub-0.5s
+    previous times are noise-dominated at sf0.1 and are skipped."""
+    allow = allowlist or {}
+    warnings = []
+    for name, t_cur in sorted(cur.items()):
+        t_prev = prev.get(name)
+        if t_prev is None or t_prev < 0.5:
+            continue
+        if t_cur > threshold * t_prev:
+            note = f" (allowlisted: {allow[name]})" if name in allow else ""
+            msg = (
+                f"BENCH REGRESSION{' [allowed]' if name in allow else ''}: "
+                f"{name} {t_prev:.2f}s -> {t_cur:.2f}s "
+                f"({t_cur / t_prev:.1f}x){note}"
+            )
+            if name not in allow:
+                warnings.append(msg)
+            else:
+                print(msg, file=sys.stderr)
+    return warnings
+
+
+def _latest_committed_bench(repo_root: str) -> dict[str, float]:
+    paths = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as fh:
+            return dict(json.load(fh).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
+
+
+def _bench_streaming(spark, sf_dir: str, times: dict[str, float]) -> None:
+    """Wall-time the streaming family as it actually runs: availableNow
+    micro-batch over a file-source drop directory with a checkpoint,
+    writing to the noop sink (tumbling + session windows). The batch
+    plans of the same aggregations are timed as q39/q41; parity between
+    the two forms is pinned in tests/test_streaming_multimodal.py."""
+    from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
+        read_event_stream,
+        stream_session_windows,
+        stream_tumbling_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "part-000.parquet"),
+        )
+        raw_schema = spark.read.parquet(src).schema
+        runs = [
+            (
+                "stream_tumbling_availablenow",
+                lambda s: stream_tumbling_counts(
+                    s, window="1 hour", watermark="0 seconds"
+                ),
+                "complete",
+            ),
+            (
+                "stream_session_availablenow",
+                lambda s: stream_session_windows(
+                    s, gap="30 minutes", watermark="0 seconds"
+                ),
+                "append",
+            ),
+        ]
+        for name, build, mode in runs:
+            start = time.perf_counter()
+            stream = read_event_stream(
+                spark, src, raw_schema, ts_is_nanos_long=True
+            )
+            query = (
+                build(stream)
+                .writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", os.path.join(tmp, f"{name}_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            finished = query.awaitTermination(600)
+            times[name] = round(time.perf_counter() - start, 3)
+            if not finished:
+                query.stop()
+                print(f"WARNING: {name} hit the 600s cap", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,9 +230,22 @@ def main() -> int:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        fn = BENCH_OVERRIDES.get(name, registry.QUERIES[name])
         start = time.perf_counter()
-        registry.QUERIES[name](spark, sf_dir).collect()
+        fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - start, 3)
+
+    # streaming micro-batch wall times are recorded under their own key
+    # so the headline total stays comparable across rounds (r1/r2 summed
+    # exactly these 21 batch queries)
+    stream_times: dict[str, float] = {}
+    _bench_streaming(spark, sf_dir, stream_times)
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    for warning in compare_bench(
+        _latest_committed_bench(repo_root), times, allowlist=REGRESSION_ALLOWLIST
+    ):
+        print(warning, file=sys.stderr)
 
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -89,6 +260,7 @@ def main() -> int:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "streaming": stream_times,
                 "sf": sf,
             }
         )

@@ -35,7 +35,13 @@ def test_coverage_doc_references_match_registry():
     import re
 
     text = open("COVERAGE.md").read()
-    doc_ids = {m for m in re.findall(r"\bq(\d+)\b", text)}
+    # lines declaring ids as intentionally unused are exempt from the
+    # must-be-registered direction (they document numbering gaps)
+    exempt: set[str] = set()
+    for line in text.splitlines():
+        if "intentionally unused" in line:
+            exempt |= set(re.findall(r"\bq(\d+)\b", line))
+    doc_ids = {m for m in re.findall(r"\bq(\d+)\b", text)} - exempt
     for lo, hi in re.findall(r"\bq(\d+)-q(\d+)\b", text):
         doc_ids |= {str(i) for i in range(int(lo), int(hi) + 1)}
     reg_ids = {name.split("_")[0][1:] for name in registry.QUERIES}
@@ -45,20 +51,49 @@ def test_coverage_doc_references_match_registry():
     assert not missing_in_doc, f"registered but undocumented: {missing_in_doc}"
 
 
+def test_driver_verified_record_semantics(tmp_path):
+    """_driver_verified classifies fixture records exactly: full green
+    and documented rows-only count as verified; hash-fails and errors
+    rotate back. Driven entirely from synthesized records in tmp_path
+    so the suite stays green no matter which live CORRECTNESS_r*.json
+    rounds the driver has committed to the repo root."""
+    import json
+
+    import __spark_entry__ as e
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    hashfail = dict(green, hash_match=False)
+    rows_only = {"rows_match": True, "schema_match": None, "hash_match": None,
+                 "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
+    errored = dict(green, rows_match=False, err="boom")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_green": green, "q_fail_then_pass": hashfail,
+        "q_rows_only": rows_only, "q_errored": errored,
+    }))
+    # a later round fixing the failed row must flip it to verified
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_fail_then_pass": green,
+    }))
+    ver = e._driver_verified(str(tmp_path))
+    assert ver == {"q_green", "q_fail_then_pass", "q_rows_only"}
+    # empty/absent directory -> nothing verified
+    assert e._driver_verified(str(tmp_path / "nowhere")) == set()
+
+
 def test_rotation_puts_unverified_queries_first():
     """The driver records only the FIRST 50 queries() entries; the
     rotation must spend that window on queries without green driver
-    evidence. Pinned against the committed round-1 record: its failed
-    row (q61) re-enters the window, its passes sort to the tail, and
-    the unverified/verified partition is exact."""
+    evidence. Asserts the partition INVARIANT against whatever live
+    records exist (not any particular round's contents)."""
     import __spark_entry__ as e
 
     ver = e._driver_verified()
-    assert "q01_popular_nations_avg_delay" in ver  # green r1 row
-    assert "q29_cardinality_profile_approx" in ver  # expected rows-only
-    assert "q61_curation_funnel" not in ver  # r1 hash-fail -> re-verify
     order = list(e.queries())
     n_unv = sum(1 for n in order if n not in ver)
     assert all(n not in ver for n in order[:n_unv])
     assert all(n in ver for n in order[n_unv:])
-    assert order[0] == "q61_curation_funnel"  # priority head preserved
+    # among the unverified, curated priority order is respected
+    prio = {n: i for i, n in enumerate(e.VERIFY_FIRST + e.VERIFY_NEXT)}
+    unv_prio = [prio[n] for n in order[:n_unv] if n in prio]
+    assert unv_prio == sorted(unv_prio)

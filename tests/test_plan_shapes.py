@@ -201,3 +201,49 @@ def test_join_strategy_hints_are_honored(spark):
         li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
     )
     assert "SortMergeJoin" in mg
+
+
+# --- bench harness gates (round-3) -----------------------------------
+
+
+def test_bench_compare_flags_regressions():
+    """compare_bench is the gate that would have caught q34's r2 3.3x:
+    >2x on a non-allowlisted query warns; allowlisted or sub-0.5s
+    baselines do not."""
+    from bench import compare_bench
+
+    prev = {"qa": 2.0, "qb": 2.0, "qc": 0.1, "qd": 3.0}
+    cur = {"qa": 5.0, "qb": 6.6, "qc": 4.0, "qd": 3.1, "qe": 9.9}
+    warnings = compare_bench(prev, cur, allowlist={"qb": "deliberate swap"})
+    assert len(warnings) == 1 and "qa" in warnings[0]  # qb allowed,
+    # qc below noise floor, qd within 2x, qe has no baseline
+
+
+def test_bench_overrides_stay_in_sync():
+    """Every BENCH_OVERRIDES key must be a registered headline query,
+    and the q34 override must time the DEFAULT (xxhash64) token hash —
+    if the registered plan ever becomes the deployable path the
+    override should be deleted, and this test flags the drift."""
+    import bench
+    from flight_delays_progetto_big_data_2024_spark.plans import registry
+
+    assert set(bench.BENCH_OVERRIDES) <= set(bench.HEADLINE)
+    assert set(bench.BENCH_OVERRIDES) <= set(registry.QUERIES)
+    import inspect
+
+    from flight_delays_progetto_big_data_2024_spark.operators import dedup
+
+    sig = inspect.signature(dedup.simhash_near_dups)
+    assert sig.parameters["token_hash_sql"].default == "xxhash64(t)"
+
+
+def test_bench_q34_override_matches_plan_shape(spark):
+    """The deployable q34 override and the registered q34 build the
+    same physical plan shape (pigeonhole block equi-join, no cartesian
+    product) — only the token-hash expression differs."""
+    import bench
+
+    df = bench.BENCH_OVERRIDES["q34_simhash_near_dups"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert df.columns == registry.QUERIES["q34_simhash_near_dups"](spark, SF).columns
