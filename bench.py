@@ -228,12 +228,17 @@ def main() -> int:
         cat.table(table).write.format("noop").mode("overwrite").save()
     registry.QUERIES[HEADLINE[0]](spark, sf_dir).collect()
 
+    from flight_delays_progetto_big_data_2024_spark.session import release_caches
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = BENCH_OVERRIDES.get(name, registry.QUERIES[name])
         start = time.perf_counter()
         fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - start, 3)
+        # caller-owned cache lifetime (see session.release_caches): drop
+        # query N's persisted blocks so they can't skew query N+1
+        release_caches(spark)
 
     # streaming micro-batch wall times are recorded under their own key
     # so the headline total stays comparable across rounds (r1/r2 summed

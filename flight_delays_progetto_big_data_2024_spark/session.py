@@ -65,3 +65,26 @@ def clear_operator_caches(spark: SparkSession) -> None:
     a long-lived service should call this between corpus runs to stop
     storage-memory growth. (Spark also LRU-evicts under pressure.)"""
     spark.catalog.clearCache()
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Unpersist every cached RDD/DataFrame block in the session and
+    return how many were released.
+
+    Cache-lifetime policy: operators that RETURN a lazy DataFrame may
+    persist() intermediates the result reads more than once (banded
+    MinHash candidates, PQ code relations, shingle sets); they cannot
+    unpersist before the caller materializes, so THE CALLER OWNS the
+    cache lifetime. One-shot callers (bench sweeps, the driver's
+    correctness loop, notebook sessions running many unrelated queries)
+    should call this between queries so cached blocks from query N
+    don't occupy (or spill under) memory during query N+1. Iterative
+    operators that materialize internally (pagerank, connected
+    components, k-means) already unpersist their own loop state and
+    don't need this.
+    """
+    sc = spark.sparkContext
+    rdds = list(sc._jsc.getPersistentRDDs().values())
+    for rdd in rdds:
+        rdd.unpersist(False)
+    return len(rdds)
