@@ -348,14 +348,15 @@ def cheapest_paths(
             .agg(F.min("cost").alias("cost"))
             .localCheckpoint(eager=True)
         )
-        # converged? (control-plane scalar on the vertex-sized table)
-        improved = (
+        # converged? (control-plane scalar on the vertex-sized table):
+        # isEmpty() == True means NO row improved this leg
+        converged = (
             new_dist.join(dist.withColumnRenamed("cost", "old"), "id", "left")
             .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
             .isEmpty()
         )
         dist = new_dist
-        if improved:
+        if converged:
             break
     e.unpersist()
     return dist

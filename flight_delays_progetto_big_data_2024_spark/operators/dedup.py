@@ -761,23 +761,30 @@ def jaccard_pairs_cross(
 
     Returns (id_left, id_right, jaccard).
     """
-    dl = _shingle_docs(left, id_col, text_col, k, shingle_fn).persist()
-    dr = _shingle_docs(right, id_col, text_col, k, shingle_fn).persist()
-    il = dl.select(F.col("id").alias("id_left"), F.explode("shingles").alias("s"))
-    ir = dr.select(F.col("id").alias("id_right"), F.explode("shingles").alias("s"))
-    il = il.select("id_left", F.xxhash64("s").alias("s"))
-    ir = ir.select("id_right", F.xxhash64("s").alias("s"))
+    # shingle sets are distinct per doc (array_distinct), so the set
+    # SIZE rides along on every exploded posting row and the pair
+    # aggregation recovers it with the group keys — no side relation to
+    # join back, and (advisor finding, round 2) no persist whose cached
+    # blocks would leak across a long-lived session
+    dl = _shingle_docs(left, id_col, text_col, k, shingle_fn)
+    dr = _shingle_docs(right, id_col, text_col, k, shingle_fn)
+    il = dl.select(
+        F.col("id").alias("id_left"),
+        F.size("shingles").alias("n_l"),
+        F.explode("shingles").alias("s"),
+    ).select("id_left", "n_l", F.xxhash64("s").alias("s"))
+    ir = dr.select(
+        F.col("id").alias("id_right"),
+        F.size("shingles").alias("n_r"),
+        F.explode("shingles").alias("s"),
+    ).select("id_right", "n_r", F.xxhash64("s").alias("s"))
     common = (
         il.join(ir, "s")
-        .groupBy("id_left", "id_right")
+        .groupBy("id_left", "id_right", "n_l", "n_r")
         .agg(F.count("*").alias("n_common"))
     )
-    sl = dl.select(F.col("id").alias("id_left"), F.size("shingles").alias("n_l"))
-    sr = dr.select(F.col("id").alias("id_right"), F.size("shingles").alias("n_r"))
     return (
-        common.join(sl, "id_left")
-        .join(sr, "id_right")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("n_l") + F.col("n_r") - F.col("n_common")),

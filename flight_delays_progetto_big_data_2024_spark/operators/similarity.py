@@ -633,9 +633,12 @@ def pca_variance_profile(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
+    # persist: three actions (n, s, g) read this relation, and without
+    # the cache each one re-runs the full distributed mean+Gram pass
+    # over the corpus (advisor finding, round 2)
     parts = emb.select(vec_col).mapInPandas(
         part, schema="n bigint, s array<double>, g array<double>"
-    )
+    ).persist()
     # reduce the per-partition partials to ONE row inside Spark: counts
     # as a plain sum, the two arrays element-wise via posexplode (the
     # partial relation is <= numPartitions rows — trivially small)
@@ -656,6 +659,7 @@ def pca_variance_profile(
     n = n_total.first()["n"]
     s = np.array([r["v"] for r in svec.orderBy("pos").collect()])
     g_flat = np.array([r["v"] for r in summed.orderBy("pos").collect()])
+    parts.unpersist()
     d = s.shape[0]
     mean = s / n
     cov = g_flat.reshape(d, d) / n - np.outer(mean, mean)

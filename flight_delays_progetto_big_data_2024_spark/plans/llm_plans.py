@@ -216,9 +216,18 @@ def q28_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q29_cardinality_profile_approx")
 def q29_cardinality_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality profile — the 100 TB path (single pass,
-    constant memory, no sort/shuffle of distinct values). No SQL oracle:
-    HLL estimates are engine-specific; pytest bounds its relative error
-    against q28's exact counts."""
+    constant memory, no sort/shuffle of distinct values).
+
+    Registered rows-only BY DESIGN: Spark's HLL++ registers are
+    engine-internal state DuckDB cannot replay, so no SQL oracle can
+    exist for the estimate itself. Its evidence is two-sided instead:
+    (1) tests/test_sketch.py::test_q29_hll_error_within_rsd_bound
+    certifies every estimate against the EXACT distinct counts within
+    the configured rsd=0.02 tolerance (the certify pattern q144 uses
+    for GK percentile bounds), and (2) q148 — the engine-portable
+    linear-counting estimator over the same kind of distinct-count
+    task — is the fully value-checked sibling of this operator family.
+    """
     cat = Catalog(spark, sf_dir)
     return cat.lineitem.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_orderkeys"),

@@ -319,11 +319,16 @@ def _bloom_duck_sql() -> str:
     probes_b = ", ".join(
         f"{_bloom_pos_duck('s', j)} AS p{j}" for j in range(_BLOOM_K)
     )
+    # LEFT joins + coalesce(word, 0): a corpus gram probing a word no
+    # benchmark gram ever set must read all-zero (bloom_member = false),
+    # not vanish from n_grams/n_docs (advisor finding, round 2)
     member = " AND ".join(
-        f"((w{j}.word >> (p.p{j} % 63)) & 1) = 1" for j in range(_BLOOM_K)
+        f"((coalesce(w{j}.word, 0) >> (p.p{j} % 63)) & 1) = 1"
+        for j in range(_BLOOM_K)
     )
     joins = " ".join(
-        f"JOIN bitmap w{j} ON w{j}.wi = p.p{j} // 63" for j in range(_BLOOM_K)
+        f"LEFT JOIN bitmap w{j} ON w{j}.wi = p.p{j} // 63"
+        for j in range(_BLOOM_K)
     )
     return f"""
     WITH sh AS ({_SHINGLES_SQL}),
@@ -422,16 +427,21 @@ def q147_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = corpus.selectExpr(
         "doc_id", "s", *[f"{e} AS p{j}" for j, e in enumerate(pos_exprs)]
     )
+    # LEFT joins so a probe row whose word index the benchmark never
+    # touched survives with word{j} = NULL -> coalesce 0 -> non-member,
+    # instead of silently dropping out of n_grams (advisor finding)
     for j in range(_BLOOM_K):
         wj = bitmap.select(
             F.col("wi").alias(f"wi{j}"), F.col("word").alias(f"word{j}")
         )
         probes = probes.join(
-            F.broadcast(wj), F.expr(f"CAST(p{j} DIV 63 AS BIGINT) = wi{j}")
+            F.broadcast(wj),
+            F.expr(f"CAST(p{j} DIV 63 AS BIGINT) = wi{j}"),
+            "left",
         )
     member = F.expr(
         " AND ".join(
-            f"((word{j} >> CAST(p{j} % 63 AS INT)) & 1) = 1"
+            f"((coalesce(word{j}, CAST(0 AS BIGINT)) >> CAST(p{j} % 63 AS INT)) & 1) = 1"
             for j in range(_BLOOM_K)
         )
     )
