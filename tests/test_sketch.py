@@ -96,3 +96,21 @@ def test_bloom_filter_has_no_false_negatives(spark, sf_dir):
     for r in out:
         assert r.n_candidates >= r.n_contaminated
         assert r.n_false_positive == r.n_candidates - r.n_contaminated
+
+
+def test_q29_hll_error_within_rsd_bound(spark):
+    """q29's HLL++ estimates are rows-only at the driver (registers are
+    engine-internal; see its docstring) — this is the certification that
+    stands in: every estimate must sit within a conservative multiple of
+    the configured rsd=0.02 of the EXACT distinct count. 5x rsd ≈ 5
+    sigma: loose enough to never flake, tight enough that a broken
+    estimator (or a column mixup) fails immediately."""
+    est = registry.QUERIES["q29_cardinality_profile_approx"](spark, SF).first()
+    cat_exact = spark.read.parquet(f"{SF}/lineitem.parquet").agg(
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+        F.countDistinct("l_partkey").alias("n_partkeys"),
+        F.countDistinct("l_suppkey").alias("n_suppkeys"),
+    ).first()
+    for col in ("n_orderkeys", "n_partkeys", "n_suppkeys"):
+        exact = cat_exact[col]
+        assert abs(est[col] - exact) <= max(5 * 0.02 * exact, 3), col
