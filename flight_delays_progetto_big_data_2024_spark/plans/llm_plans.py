@@ -3077,6 +3077,23 @@ def q159_full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared mass; prune Σ df² with a df cap on the posting lists (drop
 # fingerprints with df > cap from the INDEX only — containment
 # candidates still surface through their rarer fingerprints).
+#
+# Round-3 measurement (sf0.1): the synthetic corpus is DEGENERATE for
+# this operator family — 439,363 postings collapse onto 1,002 distinct
+# fingerprints (max df 3,891), and 12,489,351 of the 12,497,500
+# possible doc pairs (99.93%) share at least one fingerprint, i.e. the
+# candidate graph is effectively all-pairs, the same template-text
+# regime documented on q54. A rarest-first prefix filter (Bayardo/
+# SSJoin style: per-doc prefix of floor(0.2·n)+1 rarest fingerprints
+# joined against the full index — exact recall for the >=0.8
+# containment threshold by pigeonhole) was measured: it cuts raw join
+# mass 26x (590M -> 22.8M rows) but materializing the DISTINCT
+# candidate set costs more than the current streamed partial-agg join
+# (7.9s vs 6.2s) because 56% of all pairs survive anyway. On a real
+# (diverse) corpus Σ df² << n_docs² and the current plan's cost tracks
+# shared mass, which is the scaling property that matters; the prefix
+# filter becomes the right tool only if a corpus is BOTH huge and
+# near-duplicate-saturated, at which point dedup should run upstream.
 
 
 @register(
