@@ -197,11 +197,15 @@ def chunk_documents_udtf(spark):
     A UDTF (table function) rather than explode-of-array because each
     input row yields a VARIABLE number of rows with per-row derived
     state — exactly the one-to-many generator shape the UDTF API exists
-    for; Spark runs it arrow-batched per partition.
+    for. ``useArrow=True`` matters: without it the UDTF plans as
+    BatchEvalPythonUDTF (pickled row-at-a-time transfer); with it the
+    exchange is Arrow-batched (ArrowEvalPythonUDTF), the same transport
+    the mapInPandas operators use — pinned by the repo-wide
+    no-BatchEvalPython plan invariant in tests/test_plan_shapes.py.
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, n_chunk_tokens int")
+    @udtf(returnType="chunk_idx int, n_chunk_tokens int", useArrow=True)
     class ChunkDoc:
         def eval(self, text: str, chunk_size: int, stride: int):
             toks = [t for t in (text or "").split() if t]

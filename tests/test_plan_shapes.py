@@ -247,3 +247,28 @@ def test_bench_q34_override_matches_plan_shape(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert df.columns == registry.QUERIES["q34_simhash_near_dups"](spark, SF).columns
+
+
+def test_no_query_plans_cartesian_or_rowwise_python(spark):
+    """Repo-wide physical-plan invariants over EVERY registered query:
+
+    - no CartesianProduct anywhere (all all-pairs semantics are either
+      blocked/banded equi-joins or explicit 1-row broadcast scalars,
+      which plan as BroadcastNestedLoopJoin over one row);
+    - no BatchEvalPython (row-at-a-time Python UDF) — Python only ever
+      enters plans through Arrow (ArrowEvalPython / MapInPandas /
+      FlatMapGroupsInPandas).
+
+    Audited clean in round 3 (181/181); this pins it for every future
+    operator."""
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        plan = _plan(fn(spark, SF))
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
