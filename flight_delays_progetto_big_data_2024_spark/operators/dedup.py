@@ -720,7 +720,14 @@ def winnowing_fingerprints(
             for *meta, h in zip(*[pdf[c] for c in carry], pdf["__h"]):
                 if h is None:  # null text -> null gram array, drop (as
                     continue  # posexplode of null did)
-                h = np.asarray(h)
+                # NULL text actually arrives as [None] (md5(NULL) is
+                # NULL inside the gram transform): strip null elements,
+                # and a doc with no real grams has no fingerprints
+                if any(x is None for x in h):
+                    h = [x for x in h if x is not None]
+                    if not h:
+                        continue
+                h = np.asarray(h, dtype=object)
                 if h.size >= w:
                     mins = sliding_window_view(h, w).min(axis=1)
                 else:

@@ -1,0 +1,82 @@
+"""Dirty-corpus robustness: the sf* testdata is clean, so oracle parity
+never exercises NULL / empty / whitespace-only text — but a 100 TB
+corpus always contains them. Every text-family operator must process a
+dirty corpus without raising, with deterministic folding of degenerate
+texts (NULL groups alone, ""/whitespace normalize together) and without
+leaking NULL artifacts into pair/fingerprint spaces."""
+
+import pytest
+
+from flight_delays_progetto_big_data_2024_spark.functions.text import (
+    quality_score,
+    tokens,
+)
+from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash_near_dups,
+    winnowing_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return spark.createDataFrame(
+        [
+            (1, "hello world foo bar baz qux quux corge grault garply", "s1"),
+            (2, None, "s1"),
+            (3, "", "s2"),
+            (4, "   ", "s2"),
+            (5, "one", "s3"),
+            (6, "hello world foo bar baz qux quux corge grault garply", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_dedup_exact_folds_degenerate_texts(dirty):
+    rows = {r["doc_id"]: r for r in dedup_exact(dirty).collect()}
+    # identical real docs collapse onto the min id
+    assert rows[1]["n_copies"] == 2 and 6 not in rows
+    # "" and "   " normalize to the same fingerprint (md5("")), keep 3
+    assert rows[3]["n_copies"] == 2 and 4 not in rows
+    # NULL text groups alone (NULL hash), it never merges with ""
+    assert rows[2]["n_copies"] == 1 and rows[2]["text_hash"] is None
+    assert rows[5]["n_copies"] == 1
+
+
+def test_pair_operators_survive_dirty_rows(dirty):
+    # empty-normalized docs ARE mutually identical -> the (3,4) pair is
+    # correct; the NULL doc must appear in no pair at all
+    assert {(r["id_a"], r["id_b"]) for r in jaccard_pairs(dirty).collect()} == {
+        (1, 6),
+        (3, 4),
+    }
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(dirty).collect()}
+    assert (1, 6) in mh and not any(2 in p for p in mh)
+    sh = simhash_near_dups(dirty).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sh if r["hamming"] == 0} >= {(1, 6)}
+    # a degenerate doc (signature 0) may pair with other degenerates at
+    # hamming 0 but never with a real multi-token document
+    for r in sh:
+        pair = {r["id_a"], r["id_b"]}
+        if r["hamming"] == 0 and pair & {2, 3, 4}:
+            assert pair <= {2, 3, 4}, r
+
+
+def test_fingerprints_and_scores_skip_degenerates(dirty):
+    fp = winnowing_fingerprints(dirty)
+    # no NULL fingerprint artifacts (NULL text arrives as a [None] gram
+    # array from md5(NULL); the winnow pass strips it)
+    assert fp.filter(fp.fingerprint.isNull()).count() == 0
+    by_doc = {r["doc_id"] for r in fp.select("doc_id").distinct().collect()}
+    assert {1, 6} <= by_doc and 2 not in by_doc
+    scored = dirty.select(
+        "doc_id", tokens("text").alias("toks"), quality_score("text").alias("q")
+    ).collect()
+    for r in scored:
+        if r["doc_id"] != 2:
+            assert r["toks"] is not None  # empty array, never NULL
+        if r["q"] is not None:
+            assert 0.0 <= r["q"] <= 1.0
