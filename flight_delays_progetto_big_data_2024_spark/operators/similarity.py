@@ -657,6 +657,13 @@ def pca_variance_profile(
     # the ONLY driver materialization: one d² + one d + one scalar row —
     # fixed-size final aggregates (see docstring)
     n = n_total.first()["n"]
+    if not n:
+        parts.unpersist()
+        raise ValueError(
+            "pca_variance_profile: input relation has no rows with a "
+            f"non-null '{vec_col}' — covariance is undefined on an "
+            "empty corpus"
+        )
     s = np.array([r["v"] for r in svec.orderBy("pos").collect()])
     g_flat = np.array([r["v"] for r in summed.orderBy("pos").collect()])
     parts.unpersist()

@@ -80,3 +80,27 @@ def test_fingerprints_and_scores_skip_degenerates(dirty):
             assert r["toks"] is not None  # empty array, never NULL
         if r["q"] is not None:
             assert 0.0 <= r["q"] <= 1.0
+
+
+def test_operators_accept_empty_relations(spark):
+    """A pushed-down filter can legitimately leave a relation empty at
+    scale; the dedup/similarity family must return empty results (not
+    raise), and operators whose math is undefined on empty input (PCA)
+    must raise a clear ValueError instead of a numpy dtype error."""
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label string")
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        pca_variance_profile,
+    )
+
+    assert dedup_exact(docs).count() == 0
+    assert jaccard_pairs(docs).count() == 0
+    assert minhash_near_dups(docs).count() == 0
+    assert simhash_near_dups(docs).count() == 0
+    assert winnowing_fingerprints(docs).count() == 0
+    assert cosine_topk(emb, emb, k=5).count() == 0
+    assert ivf_topk(emb, emb, k=5).count() == 0
+    with pytest.raises(ValueError, match="empty corpus"):
+        pca_variance_profile(emb)
