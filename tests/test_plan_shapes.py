@@ -272,3 +272,50 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+#: Exchange-node counts (shuffle + broadcast exchanges in the initial
+#: physical plan at sf0.001) pinned per headline query. A refactor that
+#: ADDS an exchange to a headline plan must either get back under the
+#: pin or consciously raise it with a rationale in the commit.
+HEADLINE_EXCHANGE_PINS = {
+    "q01_popular_nations_avg_delay": 10,
+    "q04_popular_routes_avg_delay": 14,
+    "q07_shipped_vs_received_by_nation": 6,
+    "q13_return_ratio_by_priority": 3,
+    "q17_top_customers_per_nation": 5,
+    "q20_nation_pagerank": 1,
+    "q21_nation_triangle_count": 36,
+    "q23_dedup_exact_documents": 1,
+    "q25_doc_quality_scores": 0,
+    "q30_embedding_topk_cosine": 2,
+    "q31_embedding_cosine_histogram": 5,
+    "q32_ngram_jaccard_pairs": 8,
+    "q33_minhash_lsh_near_dups": 10,
+    "q34_simhash_near_dups": 3,
+    "q39_tumbling_hourly_events": 2,
+    "q41_user_session_windows": 2,
+    "q43_purchase_asof_last_click": 3,
+    "q44_embedding_ivf_topk": 6,
+    "q59_tfidf_top_terms": 5,
+    "q69_promo_window_shipments": 7,
+    "q72_heavy_hitter_terms": 6,
+}
+
+
+def test_headline_exchange_counts_pinned(spark):
+    """Shuffle-count regression gate for the bench headline set: the
+    number of Exchange nodes in each initial physical plan must not
+    grow. (Counts include broadcast exchanges and textual reuse
+    repeats — the pin is a ceiling on plan complexity, not a precise
+    shuffle tally.)"""
+    import bench
+
+    assert set(HEADLINE_EXCHANGE_PINS) == set(bench.HEADLINE)
+    over = {}
+    for name, ceiling in HEADLINE_EXCHANGE_PINS.items():
+        plan = _plan(registry.QUERIES[name](spark, SF))
+        got = plan.count("Exchange ")
+        if got > ceiling:
+            over[name] = (got, ceiling)
+    assert not over, f"exchange count grew (got, ceiling): {over}"
