@@ -260,17 +260,28 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
       FlatMapGroupsInPandas).
 
     Audited clean in round 3 (181/181); this pins it for every future
-    operator."""
+    operator.
+
+    Cleanup matters: building 181 plans executes each query function's
+    persist() marks without materializing them, and those CacheManager
+    entries would swap scans for InMemoryRelation in every LATER test
+    on the shared session — release them before leaving."""
+    from flight_delays_progetto_big_data_2024_spark.session import release_caches
+
     offenders = {}
-    for name, fn in registry.QUERIES.items():
-        plan = _plan(fn(spark, SF))
-        bad = [
-            marker
-            for marker in ("CartesianProduct", "BatchEvalPython")
-            if marker in plan
-        ]
-        if bad:
-            offenders[name] = bad
+    try:
+        for name, fn in registry.QUERIES.items():
+            plan = _plan(fn(spark, SF))
+            bad = [
+                marker
+                for marker in ("CartesianProduct", "BatchEvalPython")
+                if marker in plan
+            ]
+            if bad:
+                offenders[name] = bad
+    finally:
+        spark.catalog.clearCache()
+        release_caches(spark)
     assert not offenders, offenders
 
 
@@ -308,9 +319,14 @@ def test_headline_exchange_counts_pinned(spark):
     number of Exchange nodes in each initial physical plan must not
     grow. (Counts include broadcast exchanges and textual reuse
     repeats — the pin is a ceiling on plan complexity, not a precise
-    shuffle tally.)"""
+    shuffle tally.) Lingering caches from other tests in the shared
+    session swap scans for InMemoryTableScan and change plan shapes —
+    clear them so the pins measure the cold plan, order-independently."""
     import bench
+    from flight_delays_progetto_big_data_2024_spark.session import release_caches
 
+    spark.catalog.clearCache()
+    release_caches(spark)
     assert set(HEADLINE_EXCHANGE_PINS) == set(bench.HEADLINE)
     over = {}
     for name, ceiling in HEADLINE_EXCHANGE_PINS.items():
