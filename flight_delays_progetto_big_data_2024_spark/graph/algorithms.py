@@ -229,21 +229,38 @@ def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_graph: bool = False,
+) -> DataFrame:
     """Per-vertex triangle membership count, GraphFrames semantics
     (reference graphframes_flights.py:48-49): each triangle of the
     canonicalized undirected graph credits all three corners once.
 
     Enumeration: edges (u<v) joined (v,w) then closed by (u,w); the
     ``u < v < w`` ordering guarantees each triangle appears exactly once.
+
+    ``broadcast_graph``: opt-in for DIMENSION-sized graphs (same policy
+    as :func:`pagerank` — never forced in the library, a forced
+    broadcast is the scale bug at billions of edges). When set, the
+    undirected edge set is persisted (its derivation may be a fact-scale
+    aggregation that would otherwise run once per self-join) and the two
+    closing joins plus the corner decoration run as broadcast hash
+    joins — no shuffle beyond the edge derivation itself. The caller
+    owns the persisted edge set's lifetime (see session.release_caches).
     """
     und = undirected_edges(edges, src, dst)
+    if broadcast_graph:
+        und = und.persist()
+    b = F.broadcast if broadcast_graph else (lambda df: df)
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = und.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = und.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
     triangles = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        e1.join(b(e2), F.col("b") == F.col("b2"))
+        .join(b(e3), (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
     corner_counts = (
@@ -253,7 +270,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     verts = _vertices_from_edges(edges, src, dst)
     return (
-        verts.join(corner_counts, "id", "left").na.fill(0, ["triangle_count"])
+        verts.join(b(corner_counts), "id", "left").na.fill(0, ["triangle_count"])
     )
 
 

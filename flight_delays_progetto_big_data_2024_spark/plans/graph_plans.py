@@ -119,9 +119,12 @@ def q20_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_nation_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts on the canonicalized undirected graph
-    (reference graphframes_flights.py:48-49; GraphFrames semantics)."""
+    (reference graphframes_flights.py:48-49; GraphFrames semantics).
+    25-nation graph = a broadcast dimension: same opt-in as q20, the
+    fact-scale edge derivation runs once (persisted) and every
+    enumeration join broadcasts."""
     cat = Catalog(spark, sf_dir)
-    counts = triangle_count(_nation_edges(cat))
+    counts = triangle_count(_nation_edges(cat), broadcast_graph=True)
     return counts.select(F.col("id").alias("nation"), "triangle_count").orderBy(
         "nation"
     )
