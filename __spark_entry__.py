@@ -37,9 +37,12 @@ from flight_delays_progetto_big_data_2024_spark.plans import registry
 FLAGSHIP = "q01_popular_nations_avg_delay"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: Verification-window priority for this round (driver checks the first
-#: 50). 1 fixed query re-proving its repair + 49 queries with no prior
-#: driver row, ordered roughly by how load-bearing the operator is.
+#: Curated priority ORDER among unverified queries (the driver checks
+#: the first 50 of ``queries()``; ``_ordered`` sorts unverified-first
+#: automatically, using this list as the tiebreak). Entries whose
+#: queries have since gone green are harmless — they simply stop
+#: mattering. Round-2's window (below) went fully green; round 3 froze
+#: registration so the window drains the backlog.
 VERIFY_FIRST: list[str] = [
     "q61_curation_funnel",  # r1 hash mismatch, fixed (BIGINT oracle casts)
     # LSH dedup / similarity family — upgraded to full value oracles
