@@ -104,3 +104,43 @@ def test_operators_accept_empty_relations(spark):
     assert ivf_topk(emb, emb, k=5).count() == 0
     with pytest.raises(ValueError, match="empty corpus"):
         pca_variance_profile(emb)
+
+
+def test_unicode_corpus_round_trips(spark):
+    """The sf* corpora are ASCII; real corpora are not. Accents, CJK
+    (no-whitespace scripts), RTL text, and emoji must flow through the
+    dedup/text family with correct semantics: identical unicode docs
+    pair exactly, and every operator returns without codec errors."""
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld naïve café résumé Zürich " * 3, "s1"),
+            (2, "日本語のテキストです 機械学習 データ " * 3, "s1"),
+            (3, "emoji 🚀 test 🎉 mixed ascii and 🦄 symbols here now", "s2"),
+            (4, "普通 ascii mixed 中文 words بالعربية и русский", "s2"),
+            (5, "héllo wörld naïve café résumé Zürich " * 3, "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    dup = {r["doc_id"]: r["n_copies"] for r in dedup_exact(docs).collect()}
+    assert dup[1] == 2 and 5 not in dup  # unicode-identical docs fold
+    assert [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs(docs).collect()
+    ] == [(1, 5, 1.0)]
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(docs).collect()}
+    assert mh == {(1, 5)}
+    assert simhash_near_dups(docs).count() >= 1
+    # CJK text (no spaces between words) still produces fingerprints —
+    # char-gram hashing is script-agnostic
+    fp_docs = {
+        r["doc_id"]
+        for r in winnowing_fingerprints(docs).select("doc_id").distinct().collect()
+    }
+    assert fp_docs == {1, 2, 3, 4, 5}
+    from flight_delays_progetto_big_data_2024_spark.functions.text import lang_id
+
+    scored = docs.select(
+        "doc_id", tokens("text").alias("t"), quality_score("text").alias("q"),
+        lang_id("text").alias("lang")
+    ).collect()
+    assert all(r["t"] is not None and r["lang"] is not None for r in scored)
