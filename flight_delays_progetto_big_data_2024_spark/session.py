@@ -68,8 +68,10 @@ def clear_operator_caches(spark: SparkSession) -> None:
 
 
 def release_caches(spark: SparkSession) -> int:
-    """Unpersist every cached RDD/DataFrame block in the session and
-    return how many were released.
+    """Unpersist every cached RDD/DataFrame block in the session.
+    Returns the number of RDD-level persists swept AFTER the catalog
+    cache clear (usually 0 — DataFrame persists are dropped by
+    clearCache itself).
 
     Cache-lifetime policy: operators that RETURN a lazy DataFrame may
     persist() intermediates the result reads more than once (banded
@@ -83,6 +85,11 @@ def release_caches(spark: SparkSession) -> int:
     components, k-means) already unpersist their own loop state and
     don't need this.
     """
+    # clearCache() drops CacheManager entries (DataFrame-level persists,
+    # including marked-but-unmaterialized ones, so later identical plans
+    # don't silently resolve to InMemoryRelation); the RDD sweep then
+    # catches RDD-level persists CacheManager doesn't track.
+    spark.catalog.clearCache()
     sc = spark.sparkContext
     rdds = list(sc._jsc.getPersistentRDDs().values())
     for rdd in rdds:
