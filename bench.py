@@ -134,14 +134,23 @@ def compare_bench(
 
 
 def _latest_committed_bench(repo_root: str) -> dict[str, float]:
+    """Per-query times from the newest committed BENCH_r*.json. The
+    driver wraps this script's JSON line under a 'parsed' key (see
+    BENCH_r02.json: {n, rc, ..., parsed: {queries: ...}}), so look
+    there first and fall back to a bare record."""
     paths = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
     if not paths:
         return {}
     try:
         with open(paths[-1]) as fh:
-            return dict(json.load(fh).get("queries", {}))
+            record = json.load(fh)
     except (OSError, ValueError):
         return {}
+    parsed = record.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        record = parsed
+    queries = record.get("queries")
+    return dict(queries) if isinstance(queries, dict) else {}
 
 
 def _bench_streaming(spark, sf_dir: str, times: dict[str, float]) -> None:

@@ -335,3 +335,19 @@ def test_headline_exchange_counts_pinned(spark):
         if got > ceiling:
             over[name] = (got, ceiling)
     assert not over, f"exchange count grew (got, ceiling): {over}"
+
+
+def test_latest_committed_bench_reads_driver_format():
+    """The driver wraps bench stdout under a 'parsed' key; the gate must
+    read that shape (BENCH_r02.json regression: a bare .get('queries')
+    returned {} and silently disarmed the gate)."""
+    import json
+
+    import bench
+
+    prev = bench._latest_committed_bench("/root/repo")
+    committed = sorted(__import__("glob").glob("/root/repo/BENCH_r*.json"))
+    if committed:  # driver records exist -> the gate must be armed
+        raw = json.load(open(committed[-1]))
+        expect = raw.get("parsed", raw).get("queries", {})
+        assert prev == dict(expect) and prev, "gate disarmed"
