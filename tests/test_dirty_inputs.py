@@ -144,3 +144,42 @@ def test_unicode_corpus_round_trips(spark):
         lang_id("text").alias("lang")
     ).collect()
     assert all(r["t"] is not None and r["lang"] is not None for r in scored)
+
+
+def test_temporal_operators_survive_null_timestamps(spark):
+    """Null timestamps / null keys / null values must not crash the
+    windowing family, and null-ts events must never invent a session or
+    a window of their own with a non-null start."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        asof_join,
+        session_windows,
+    )
+    from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
+        tumbling_counts,
+    )
+
+    T = dt.datetime(2025, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, T, "click", 1.0),
+            (1, None, "click", 2.0),
+            (1, T, "purchase", None),
+            (2, T + dt.timedelta(hours=3), "click", 3.0),
+            (None, T, "click", 4.0),
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    sessions = session_windows(ev, gap="1 hour", keys=["user_id"]).collect()
+    assert len(sessions) >= 2  # real sessions exist; no exception
+    windows = tumbling_counts(ev, "1 hour").collect()
+    starts = [r["window_start"] for r in windows]
+    assert "2025-01-01 12:00:00" in starts and "2025-01-01 15:00:00" in starts
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(purchases, clicks, ["user_id"], ts_col="ts",
+                       right_cols=["value"]).collect()
+    assert len(joined) == 1  # the one purchase matches its prior click
