@@ -33,9 +33,25 @@ from flight_delays_progetto_big_data_2024_spark.operators.relational import (
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v, nrm) restricted to the DEFINED-cosine subspace: null
+    vectors, zero vectors (nrm == 0 divides by zero — a hard ANSI-mode
+    error, so ONE zero embedding in a 100 TB corpus would kill the whole
+    query) and non-finite vectors (NaN/Inf norms poison every score they
+    touch) are dropped here, once, for every cosine-based operator.
+    Clean corpora are unaffected; dirty rows silently leave the
+    candidate/query space, which is the only sound semantics for an
+    undefined similarity."""
     v = as_double_array(vec_col)
-    return df.select(
+    prepped = df.select(
         F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm")
+    )
+    # NB: Spark orders NaN ABOVE any double, so `nrm > 0` alone would
+    # keep NaN norms — the isnan test is load-bearing.
+    return prepped.filter(
+        F.col("nrm").isNotNull()
+        & ~F.isnan(F.col("nrm"))
+        & (F.col("nrm") > 0)
+        & (F.col("nrm") < F.lit(float("inf")))
     )
 
 
@@ -348,8 +364,21 @@ def kmeans_lloyd(
     """
     from pyspark.sql.window import Window
 
-    e = df.select(
-        F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("pos", "val")
+    # drop null/NaN/Inf vectors BEFORE the explode: one NaN value would
+    # flow through the centroid mean and poison its whole cluster (and,
+    # iteratively, every later assignment). Zero vectors stay — they are
+    # legitimate points under squared-Euclidean k-means.
+    v = as_double_array(vec_col)
+    clean = (
+        df.select(F.col(id_col), v.alias("__v"), l2_norm(v).alias("__nrm"))
+        .filter(
+            F.col("__nrm").isNotNull()
+            & ~F.isnan(F.col("__nrm"))
+            & (F.col("__nrm") < F.lit(float("inf")))
+        )
+    )
+    e = clean.select(
+        F.col(id_col), F.posexplode("__v").alias("pos", "val")
     )
     cent = e.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"), "pos", F.col("val").alias("cval")

@@ -183,3 +183,40 @@ def test_temporal_operators_survive_null_timestamps(spark):
     joined = asof_join(purchases, clicks, ["user_id"], ts_col="ts",
                        right_cols=["value"]).collect()
     assert len(joined) == 1  # the one purchase matches its prior click
+
+
+def test_ann_stack_survives_degenerate_vectors(spark):
+    """One zero vector in a 100 TB corpus must not kill a cosine query:
+    zero norms divide by zero (a hard error under ANSI mode), and
+    NaN/Inf norms poison every score they touch (Spark orders NaN ABOVE
+    all doubles, so naive `nrm > 0` keeps them). The prenorm layer drops
+    null/zero/non-finite vectors from the defined-cosine subspace;
+    k-means keeps zero vectors (legitimate under squared-Euclidean) but
+    drops NaN/Inf before the centroid mean can be poisoned."""
+    import math
+
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_lloyd,
+    )
+
+    rows = [(i, [float(i + j) for j in range(8)], "a") for i in range(6)]
+    rows += [
+        (6, [math.nan] * 8, "a"),
+        (7, [math.inf] + [1.0] * 7, "b"),
+        (8, [0.0] * 8, "b"),
+        (9, None, "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    queries = emb.filter("vec_id < 2")
+    for result in (cosine_topk(emb, queries, k=3), ivf_topk(emb, queries, k=3)):
+        got = result.collect()
+        assert len(got) == 6  # 2 queries x k=3 from the 6 clean vectors
+        assert not {r["candidate_id"] for r in got} & {6, 7, 8, 9}
+        assert all(not math.isnan(r["cosine"]) for r in got)
+    km = kmeans_lloyd(emb, k=2, iterations=2).collect()
+    assert {r["vec_id"] for r in km} == {0, 1, 2, 3, 4, 5, 8}  # zero-vec kept
+    assert all(not math.isnan(r["dist2"]) for r in km)
