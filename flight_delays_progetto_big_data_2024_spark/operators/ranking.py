@@ -67,8 +67,13 @@ def term_frequencies(
 def doc_frequencies(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``(term, df)`` from a term-frequency relation — one row per term,
     counting documents (the TF relation is already distinct on
-    (doc, term), so a plain count is a distinct-doc count)."""
-    return tf.groupBy("term").agg(F.count(id_col).alias("df"))
+    (doc, term), so a plain count is a distinct-doc count).
+
+    count(*), NOT count(id_col): a document with a NULL id is still a
+    document — count(id_col) skipped its rows, giving df = 0 for any
+    term occurring only in null-id docs, and ln(N/df) then dies with
+    DIVIDE_BY_ZERO under ANSI mode (one dirty row kills the query)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
 def tfidf(

@@ -220,3 +220,27 @@ def test_ann_stack_survives_degenerate_vectors(spark):
     km = kmeans_lloyd(emb, k=2, iterations=2).collect()
     assert {r["vec_id"] for r in km} == {0, 1, 2, 3, 4, 5, 8}  # zero-vec kept
     assert all(not math.isnan(r["dist2"]) for r in km)
+
+
+def test_tfidf_survives_null_doc_ids(spark):
+    """A NULL doc id is still a document: doc_frequencies must count its
+    rows (count(*)), else a term occurring only in null-id docs gets
+    df=0 and ln(N/df) dies with DIVIDE_BY_ZERO under ANSI mode — one
+    dirty row killing the whole corpus query."""
+    from flight_delays_progetto_big_data_2024_spark.operators.ranking import (
+        tfidf_topk_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "s1"),
+            (None, "uniqueterm appears only here today", "s1"),
+            (4, "short", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = tfidf_topk_terms(docs).collect()
+    assert len(out) > 0
+    # the null-id doc's exclusive terms have df=1, N=3: weight ln(3) > 0
+    null_rows = [r for r in out if r["doc_id"] is None]
+    assert null_rows and all(r["tfidf"] > 0 for r in null_rows)
