@@ -84,8 +84,17 @@ def with_pct_of_total(df: DataFrame, count_col: str, alias: str = "pct", scale: 
         df.crossJoin(F.broadcast(total))
         # c * 100.0 / t, matching the SQL oracle's evaluation order —
         # (c / t) * 100 can differ in the last ulp, which flips round()
-        # exactly on a .5 boundary
-        .withColumn(alias, F.round(F.col(count_col) * 100.0 / F.col("__total"), scale))
+        # exactly on a .5 boundary. A zero total (all-zero measure
+        # column) yields NULL pct for every row: share-of-nothing is
+        # undefined, and under ANSI mode the raw division would abort
+        # the whole query instead.
+        .withColumn(
+            alias,
+            F.when(
+                F.col("__total") != 0,
+                F.round(F.col(count_col) * 100.0 / F.col("__total"), scale),
+            ),
+        )
         .drop("__total")
     )
 

@@ -244,3 +244,18 @@ def test_tfidf_survives_null_doc_ids(spark):
     # the null-id doc's exclusive terms have df=1, N=3: weight ln(3) > 0
     null_rows = [r for r in out if r["doc_id"] is None]
     assert null_rows and all(r["tfidf"] > 0 for r in null_rows)
+
+
+def test_pct_of_total_zero_total_yields_null(spark):
+    """Share-of-nothing: an all-zero measure column must produce NULL
+    percentages, not an ANSI DIVIDE_BY_ZERO that aborts the query."""
+    from flight_delays_progetto_big_data_2024_spark.operators.relational import (
+        with_pct_of_total,
+    )
+
+    zero = spark.createDataFrame([("a", 0.0), ("b", 0.0)], "k string, v double")
+    out = with_pct_of_total(zero, "v").collect()
+    assert len(out) == 2 and all(r["pct"] is None for r in out)
+    ok = spark.createDataFrame([("a", 1.0), ("b", 3.0)], "k string, v double")
+    got = {r["k"]: r["pct"] for r in with_pct_of_total(ok, "v").collect()}
+    assert got == {"a": 25.0, "b": 75.0}
