@@ -103,7 +103,12 @@ def pagerank(
     # 1/out_degree; with no weight_col every edge weighs 1.0 and this is
     # exactly the classic formulation
     out_deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    contrib_base = e.join(out_deg, "src")
+    # a vertex whose out-weights sum to 0 cannot split rank by weight
+    # share (rank*w/out_w divides by zero — an ANSI-mode abort); treat
+    # it as DANGLING, exactly like a vertex with no out-edges: its
+    # edges carry no contribution. Unweighted graphs never hit this
+    # (every edge weighs 1.0).
+    contrib_base = e.join(out_deg, "src").filter(F.col("out_w") != 0)
 
     verts = verts.persist()
     contrib_base = contrib_base.persist()

@@ -325,7 +325,12 @@ def label_centroid_cohesion(
     cent_norm = cent.groupBy(label_col).agg(
         F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("centroid_norm")
     )
-    cos = F.col("dot") / (F.col("member_norm") * F.col("centroid_norm"))
+    # zero-norm members (or a centroid whose members cancel to zero)
+    # have no defined cosine: NULL instead of an ANSI divide-by-zero
+    # abort; avg/min skip NULLs so undefined members don't pollute the
+    # label's cohesion (n_members still counts them)
+    denom = F.col("member_norm") * F.col("centroid_norm")
+    cos = F.when(denom != 0, F.col("dot") / denom)
     return (
         per_member.join(cent_norm, label_col)
         .groupBy(label_col)

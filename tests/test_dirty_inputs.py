@@ -259,3 +259,47 @@ def test_pct_of_total_zero_total_yields_null(spark):
     ok = spark.createDataFrame([("a", 1.0), ("b", 3.0)], "k string, v double")
     got = {r["k"]: r["pct"] for r in with_pct_of_total(ok, "v").collect()}
     assert got == {"a": 25.0, "b": 75.0}
+
+
+def test_weighted_pagerank_zero_out_weight_is_dangling(spark):
+    """A vertex whose out-edge weights sum to zero cannot split rank by
+    weight share; it must behave as DANGLING (contribute nothing), not
+    abort the query with DIVIDE_BY_ZERO."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.0), (1, 3, 0.0), (2, 3, 1.0), (3, 1, 2.0)],
+        "src long, dst long, w double",
+    )
+    ranks = {r["id"]: r["pagerank"] for r in
+             pagerank(edges, weight_col="w", max_iter=3).collect()}
+    assert set(ranks) == {1, 2, 3}
+    # vertex 2 receives only from the dangling vertex -> pure reset mass
+    assert abs(ranks[2] - 0.15) < 1e-9
+    assert all(v > 0 for v in ranks.values())
+
+
+def test_cohesion_zero_centroid_yields_null_not_abort(spark):
+    """Members that cancel to a zero centroid (or zero-norm members)
+    have no defined cosine: the label reports NULL cohesion, the query
+    survives, and well-defined labels are unaffected."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        label_centroid_cohesion,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0], "a"),
+            (1, [2.0, 1.0], "a"),
+            (2, [0.0, 0.0], "b"),
+            (3, [1.0, -1.0], "b"),
+            (4, [-1.0, 1.0], "b"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = {r["label"]: r for r in label_centroid_cohesion(emb).collect()}
+    assert got["a"]["avg_cosine"] == got["a"]["min_cosine"] == 0.948683
+    assert got["b"]["n_members"] == 3
+    assert got["b"]["avg_cosine"] is None and got["b"]["min_cosine"] is None
