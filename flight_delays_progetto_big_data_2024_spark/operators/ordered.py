@@ -181,10 +181,17 @@ def winsorize(
     """Winsorized copy of ``value_col``: values below the exact ``lower``
     percentile clip up to it, above ``upper`` clip down. One scan for
     the bounds, one for the clip (Spark computes both percentiles in a
-    single aggregate)."""
+    single aggregate).
+
+    NULL stays NULL: Spark's greatest/least SKIP nulls, so the naive
+    clamp silently rewrote missing measurements as the lower bound —
+    fabricating a 1st-percentile value out of no data."""
     clipped = winsorize_bounds(df, value_col, lower, upper).withColumn(
         out_col,
-        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        ),
     )
     return clipped.drop("__lo", "__hi")
 

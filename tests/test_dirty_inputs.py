@@ -303,3 +303,21 @@ def test_cohesion_zero_centroid_yields_null_not_abort(spark):
     assert got["a"]["avg_cosine"] == got["a"]["min_cosine"] == 0.948683
     assert got["b"]["n_members"] == 3
     assert got["b"]["avg_cosine"] is None and got["b"]["min_cosine"] is None
+
+
+def test_winsorize_preserves_nulls(spark):
+    """Spark's greatest/least skip NULLs, so a naive clamp rewrites a
+    missing measurement as the lower percentile bound — fabricated
+    data. NULL must stay NULL; real values still clip."""
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 100)] + [(None,), (1000.0,)],
+        "v double",
+    )
+    out = {r["v"]: r["v_w"] for r in winsorize(df, "v", "v_w").collect()}
+    assert out[None] is None
+    assert out[1000.0] < 1000.0  # outlier clipped down
+    assert out[50.0] == 50.0     # interior untouched
