@@ -29,16 +29,23 @@ def hhmm_to_timestamp(
     year: str | Column, month: str | Column, day: str | Column, hhmm: str | Column
 ) -> Column:
     """(YEAR, MONTH, DAY, int HHMM) -> timestamp (reference
-    preprocessing.py:35-53: lpad + substr + concat + to_timestamp)."""
+    preprocessing.py:35-53: lpad + substr + concat + to_timestamp).
+
+    try_to_timestamp, not to_timestamp: the reference ran Spark 3 with
+    ANSI off, where an unparseable composite (e.g. the real DOT on-time
+    data's midnight encoding 2400, or a corrupt 2461) silently became
+    NULL. Under Spark 4's default ANSI mode the same expression ABORTS
+    the query — try_to_timestamp reproduces the reference's observable
+    NULL-on-invalid behavior."""
     date_part = F.concat_ws(
         "-",
         _c(year).cast("string"),
         F.lpad(_c(month).cast("string"), 2, "0"),
         F.lpad(_c(day).cast("string"), 2, "0"),
     )
-    return F.to_timestamp(
+    return F.try_to_timestamp(
         F.concat(date_part, F.lit(" "), hhmm_to_time_string(hhmm)),
-        "yyyy-MM-dd HH:mm:ss",
+        F.lit("yyyy-MM-dd HH:mm:ss"),
     )
 
 

@@ -321,3 +321,29 @@ def test_winsorize_preserves_nulls(spark):
     assert out[None] is None
     assert out[1000.0] < 1000.0  # outlier clipped down
     assert out[50.0] == 50.0     # interior untouched
+
+
+def test_hhmm_invalid_values_yield_null_not_abort(spark):
+    """The real DOT on-time data encodes midnight as HHMM=2400, and the
+    reference (Spark 3, ANSI off) silently produced NULL for it; under
+    Spark 4's default ANSI mode a plain to_timestamp ABORTS instead.
+    try_to_timestamp restores reference-faithful NULL-on-invalid."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.functions.timeparts import (
+        hhmm_to_timestamp,
+    )
+
+    df = spark.createDataFrame(
+        [(930,), (2359,), (None,), (2461,), (-5,), (2400,)], "hhmm int"
+    )
+    ts = {
+        r["hhmm"]: r["ts"]
+        for r in df.select(
+            "hhmm",
+            hhmm_to_timestamp(F.lit(2015), F.lit(1), F.lit(1), "hhmm").alias("ts"),
+        ).collect()
+    }
+    assert ts[930] is not None and ts[2359] is not None
+    assert ts[None] is None and ts[2461] is None and ts[-5] is None
+    assert ts[2400] is None  # reference behavior for the midnight quirk
