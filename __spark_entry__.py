@@ -20,7 +20,10 @@ queries first — curated priority order (``VERIFY_FIRST`` +
 so each round's 50-slot window always checks the queries with the
 least driver evidence, with zero manual reshuffling between rounds. A
 query whose past row FAILED (hash mismatch) counts as unverified and
-rotates straight back into the window.
+rotates straight back into the window. The verified tail is ordered
+oldest-evidence-first (round number of each query's newest green
+record), so once the backlog is empty, recheck windows refresh the
+stalest driver records round-robin.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -203,9 +207,26 @@ def _driver_verified(records_dir: str | None = None) -> set[str]:
     ``records_dir`` defaults to the repo root (live driver records);
     tests inject a fixture directory so the suite is insensitive to
     which driver rounds happen to be on disk."""
-    seen: set[str] = set()
+    return set(_newest_green_round(records_dir))
+
+
+def _newest_green_round(records_dir: str | None = None) -> dict[str, int]:
+    """Map each driver-verified query to the ROUND NUMBER of its newest
+    green record (full pass or documented rows-only). This is the
+    evidence-age key: once the backlog is empty, the verification
+    window should refresh the STALEST records first, round-robin —
+    without it, a fixed priority order would re-check the same prefix
+    forever while old evidence ages unrefreshed.
+
+    Latest evidence wins: a query whose NEWEST record is a fail is not
+    verified, even if an older round was green — a recheck regression
+    must rotate the query straight back into the window."""
+    newest_green: dict[str, int] = {}
+    newest_any: dict[str, int] = {}
     here = records_dir or os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 record = json.load(fh)
@@ -220,9 +241,14 @@ def _driver_verified(records_dir: str | None = None) -> set[str]:
                 and row.get("hash_match")
             )
             rows_only = row.get("err") == "no_oracle"
+            newest_any[name] = max(newest_any.get(name, 0), rnd)
             if full_pass or rows_only:
-                seen.add(name)
-    return seen
+                newest_green[name] = max(newest_green.get(name, 0), rnd)
+    return {
+        name: rnd
+        for name, rnd in newest_green.items()
+        if rnd >= newest_any[name]
+    }
 
 
 def _ordered() -> list[str]:
@@ -233,8 +259,16 @@ def _ordered() -> list[str]:
     prio = {n: i for i, n in enumerate(head)}
     names = list(registry.QUERIES)
     reg_pos = {n: i for i, n in enumerate(names)}
-    verified = _driver_verified()
-    key = lambda n: (n in verified, prio.get(n, len(prio)), reg_pos[n])
+    newest_green = _newest_green_round()
+    # unverified first (curated priority, then registration order);
+    # verified tail ordered oldest-evidence-first so recheck windows
+    # refresh driver records round-robin instead of re-pinning a prefix
+    key = lambda n: (
+        n in newest_green,
+        newest_green.get(n, 0),
+        prio.get(n, len(prio)),
+        reg_pos[n],
+    )
     return sorted(names, key=key)
 
 

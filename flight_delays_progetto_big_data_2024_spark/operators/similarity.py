@@ -689,18 +689,21 @@ def pca_variance_profile(
     n_total = parts.agg(F.sum("n").alias("n"))
 
     # the ONLY driver materialization: one d² + one d + one scalar row —
-    # fixed-size final aggregates (see docstring)
-    n = n_total.first()["n"]
-    if not n:
+    # fixed-size final aggregates (see docstring). try/finally so a
+    # failing collect can't leak the persisted partials in a long-lived
+    # session (round-3 advisor finding).
+    try:
+        n = n_total.first()["n"]
+        if not n:
+            raise ValueError(
+                "pca_variance_profile: input relation has no rows with a "
+                f"non-null '{vec_col}' — covariance is undefined on an "
+                "empty corpus"
+            )
+        s = np.array([r["v"] for r in svec.orderBy("pos").collect()])
+        g_flat = np.array([r["v"] for r in summed.orderBy("pos").collect()])
+    finally:
         parts.unpersist()
-        raise ValueError(
-            "pca_variance_profile: input relation has no rows with a "
-            f"non-null '{vec_col}' — covariance is undefined on an "
-            "empty corpus"
-        )
-    s = np.array([r["v"] for r in svec.orderBy("pos").collect()])
-    g_flat = np.array([r["v"] for r in summed.orderBy("pos").collect()])
-    parts.unpersist()
     d = s.shape[0]
     mean = s / n
     cov = g_flat.reshape(d, d) / n - np.outer(mean, mean)

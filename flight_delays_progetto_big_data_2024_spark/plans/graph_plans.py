@@ -122,7 +122,12 @@ def q21_nation_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference graphframes_flights.py:48-49; GraphFrames semantics).
     25-nation graph = a broadcast dimension: same opt-in as q20, the
     fact-scale edge derivation runs once (persisted) and every
-    enumeration join broadcasts."""
+    enumeration join broadcasts.
+
+    Cache obligation (caller-owned policy): ``broadcast_graph=True``
+    persists the canonical undirected edge set and does NOT unpersist
+    it — a long-lived session re-running this plan must call
+    ``session.release_caches(spark)`` between runs (bench.py does)."""
     cat = Catalog(spark, sf_dir)
     counts = triangle_count(_nation_edges(cat), broadcast_graph=True)
     return counts.select(F.col("id").alias("nation"), "triangle_count").orderBy(

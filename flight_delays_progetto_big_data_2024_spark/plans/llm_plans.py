@@ -1779,7 +1779,7 @@ def q100_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n,
-           round(avg(z), 6) AS z_mean,
+           round(avg(z), 6) + 0.0 AS z_mean,
            round(stddev_samp(z), 6) AS z_std,
            round(max(abs(z)), 4) AS max_abs_z
     FROM normed GROUP BY event_type ORDER BY event_type
@@ -1791,7 +1791,12 @@ def q101_zscore_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable stats join — NOT a window over raw events, which
     would sort every partition of the fact table to compute two
     numbers per group. Output checks mean~0 / std~1 and flags outliers
-    via max |z|."""
+    via max |z|.
+
+    z_mean adds +0.0 in BOTH engines: round(avg(z), 6) lands exactly on
+    IEEE -0.0 in DuckDB for some groups while Spark emits +0.0 —
+    numerically equal, but byte-distinguishable by a value hash. The
+    explicit +0.0 normalizes negative zero to +0.0 on both sides."""
     cat = Catalog(spark, sf_dir)
     stats = cat.events.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
@@ -1803,7 +1808,7 @@ def q101_zscore_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("z"), 6).alias("z_mean"),
+            (F.round(F.avg("z"), 6) + F.lit(0.0)).alias("z_mean"),
             F.round(F.stddev_samp("z"), 6).alias("z_std"),
             F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
         )

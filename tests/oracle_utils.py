@@ -1,10 +1,18 @@
 """Local mirror of the driver's DuckDB-oracle comparison: row count,
 sorted schema, and order-insensitive values (tolerance for float noise
-that the in-query rounding should already have removed)."""
+that the in-query rounding should already have removed).
+
+The driver's value hash is byte-level: it distinguishes IEEE -0.0 from
++0.0 even though Python/numpy equality treats them as equal. Any query
+whose rounded aggregate can land exactly on zero can therefore pass a
+naive float comparison here and still fail the driver (round-3 q101).
+``assert_zero_sign_parity`` closes that blind spot.
+"""
 
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from flight_delays_progetto_big_data_2024_spark.sources.readers import TESTDATA_TABLES
@@ -29,9 +37,40 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def assert_parity(spark_df, sql: str, sf_dir: str, rtol: float = 1e-9, atol: float = 1e-9) -> None:
-    actual = canonicalize(spark_df.toPandas())
-    expected = canonicalize(run_oracle(sql, sf_dir))
+def assert_zero_sign_parity(actual: pd.DataFrame, expected: pd.DataFrame) -> None:
+    """Fail on any float cell where one engine emits IEEE negative zero
+    and the other positive zero. ``-0.0 == 0.0`` is True in Python, so
+    ``assert_frame_equal`` passes — but the driver hashes value bytes
+    and records a mismatch (observed live: round-3 q101, where DuckDB's
+    ``round(avg(z), 6)`` produced -0.0 on two groups)."""
+    for col in actual.columns:
+        a, b = actual[col], expected[col]
+        if a.dtype.kind != "f" or b.dtype.kind != "f":
+            continue
+        av, bv = a.to_numpy(), b.to_numpy()
+        both_zero = (av == 0.0) & (bv == 0.0)
+        bad = both_zero & (np.signbit(av) != np.signbit(bv))
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise AssertionError(
+                f"negative-zero drift in column {col!r} at row {i}: "
+                f"spark={av[i]!r} oracle={bv[i]!r} — the driver's value "
+                f"hash distinguishes -0.0 from +0.0; normalize with "
+                f"`+ 0.0` in BOTH engines"
+            )
+
+
+def assert_pandas_parity(
+    actual: pd.DataFrame,
+    expected: pd.DataFrame,
+    rtol: float = 1e-9,
+    atol: float = 1e-9,
+) -> None:
+    """Driver-shaped comparison of two already-materialized frames:
+    sorted schema, row count, order-insensitive values, and the
+    zero-sign check the driver's byte hash implies."""
+    actual = canonicalize(actual)
+    expected = canonicalize(expected)
     assert list(actual.columns) == list(expected.columns), (
         f"schema mismatch: spark={list(actual.columns)} oracle={list(expected.columns)}"
     )
@@ -40,4 +79,11 @@ def assert_parity(spark_df, sql: str, sf_dir: str, rtol: float = 1e-9, atol: flo
     )
     pd.testing.assert_frame_equal(
         actual, expected, check_dtype=False, check_exact=False, rtol=rtol, atol=atol
+    )
+    assert_zero_sign_parity(actual, expected)
+
+
+def assert_parity(spark_df, sql: str, sf_dir: str, rtol: float = 1e-9, atol: float = 1e-9) -> None:
+    assert_pandas_parity(
+        spark_df.toPandas(), run_oracle(sql, sf_dir), rtol=rtol, atol=atol
     )

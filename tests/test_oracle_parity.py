@@ -13,6 +13,26 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert_parity(result, registry.ORACLE[name], sf_dir)
 
 
+def test_comparator_distinguishes_negative_zero():
+    """Round-3 q101 passed the in-repo sweep but failed the driver:
+    DuckDB's round(avg(z),6) emitted IEEE -0.0 where Spark emitted
+    +0.0, and Python float equality cannot tell them apart while the
+    driver's byte-level value hash can. The comparator must now fail
+    on exactly that drift — and still pass when signs agree."""
+    import pandas as pd
+
+    from tests.oracle_utils import assert_pandas_parity
+
+    spark_side = pd.DataFrame({"k": ["a", "b"], "v": [0.0, 1.5]})
+    oracle_side = pd.DataFrame({"k": ["a", "b"], "v": [-0.0, 1.5]})
+    with pytest.raises(AssertionError, match="negative-zero drift"):
+        assert_pandas_parity(spark_side, oracle_side)
+    # matching signs (both -0.0, both +0.0) are fine
+    assert_pandas_parity(
+        pd.DataFrame({"v": [-0.0, 0.0]}), pd.DataFrame({"v": [-0.0, 0.0]})
+    )
+
+
 def test_every_query_returns_rows(spark, sf_dir):
     # the driver's rows-only gate; every registered query is known to be
     # non-empty at every shipped SF — a zero here is a regression
@@ -97,3 +117,32 @@ def test_rotation_puts_unverified_queries_first():
     prio = {n: i for i, n in enumerate(e.VERIFY_FIRST + e.VERIFY_NEXT)}
     unv_prio = [prio[n] for n in order[:n_unv] if n in prio]
     assert unv_prio == sorted(unv_prio)
+    # the verified tail refreshes stalest evidence first: newest-green
+    # round numbers must be non-decreasing down the tail (round-3 judge
+    # item — without this, recheck windows re-pin the same prefix)
+    newest = e._newest_green_round()
+    ages = [newest[n] for n in order[n_unv:]]
+    assert ages == sorted(ages)
+
+
+def test_newest_green_round_tracks_latest_record(tmp_path):
+    """Evidence age = the newest round with a green row, and LATEST
+    EVIDENCE WINS: a query whose newest record is a failed re-check is
+    no longer verified (rotates back), while a re-verified query's age
+    advances."""
+    import json
+
+    import __spark_entry__ as e
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    hashfail = dict(green, hash_match=False)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_regressed": green, "q_refreshed": green, "q_stale": green})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q_refreshed": green, "q_regressed": hashfail})
+    )
+    newest = e._newest_green_round(str(tmp_path))
+    assert newest == {"q_stale": 1, "q_refreshed": 3}
+    assert e._driver_verified(str(tmp_path)) == {"q_stale", "q_refreshed"}

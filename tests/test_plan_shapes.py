@@ -208,15 +208,19 @@ def test_join_strategy_hints_are_honored(spark):
 
 def test_bench_compare_flags_regressions():
     """compare_bench is the gate that would have caught q34's r2 3.3x:
-    >2x on a non-allowlisted query warns; allowlisted or sub-0.5s
-    baselines do not."""
+    >2x on a non-allowlisted query warns; allowlisted regressions come
+    back in a separate list (pure — main() prints both). The noise
+    floor is two-sided: skipped only when BOTH times are small, so a
+    query crossing from noise into seconds (qc: 0.1s -> 4.0s) STILL
+    warns (round-3 advisor finding)."""
     from bench import compare_bench
 
-    prev = {"qa": 2.0, "qb": 2.0, "qc": 0.1, "qd": 3.0}
-    cur = {"qa": 5.0, "qb": 6.6, "qc": 4.0, "qd": 3.1, "qe": 9.9}
-    warnings = compare_bench(prev, cur, allowlist={"qb": "deliberate swap"})
-    assert len(warnings) == 1 and "qa" in warnings[0]  # qb allowed,
-    # qc below noise floor, qd within 2x, qe has no baseline
+    prev = {"qa": 2.0, "qb": 2.0, "qc": 0.1, "qd": 3.0, "qf": 0.2}
+    cur = {"qa": 5.0, "qb": 6.6, "qc": 4.0, "qd": 3.1, "qe": 9.9, "qf": 0.9}
+    warnings, allowed = compare_bench(prev, cur, allowlist={"qb": "deliberate swap"})
+    assert sorted(w.split(" ")[2] for w in warnings) == ["qa", "qc"]
+    # qb allowed, qd within 2x, qe has no baseline, qf both-small noise
+    assert len(allowed) == 1 and "qb" in allowed[0]
 
 
 def test_bench_overrides_stay_in_sync():
