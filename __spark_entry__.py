@@ -194,6 +194,8 @@ VERIFY_NEXT: list[str] = [
     "q181_quality_budget_curve",  # new in r2 (best-first budget table)
     "q182_source_vocab_overlap",  # new in r2 (source redundancy matrix)
     "q183_dup_cluster_quality_spread",  # new in r2 (survivor-policy audit)
+    "q184_dirty_corpus_robustness",  # new in r4 (planted dirty rows; the one
+    # registration allowed through the freeze — judge round-3 item 6)
 ]
 
 

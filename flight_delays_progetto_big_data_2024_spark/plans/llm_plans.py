@@ -3974,3 +3974,182 @@ def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.avg("min_id_loss"), 6).alias("avg_min_id_loss"),
         F.sum((F.col("min_id_loss") > 0).cast("long")).alias("n_suboptimal_keeps"),
     )
+
+
+@register(
+    "q184_dirty_corpus_robustness",
+    sql=f"""
+    WITH docs_all AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+            (9000000001, NULL,              'xx', 'planted', 0),
+            (9000000002, '',                'xx', 'planted', 0),
+            (9000000003, '   ',             'xx', 'planted', 3),
+            (9000000004, '!!! ??? ,,, ...', 'xx', 'planted', 15)
+        ) AS t(doc_id, text, lang, source, n_chars)
+    ),
+    base AS (
+        SELECT source, {_TOKS_SQL} AS toks,
+               len(text) AS n,
+               len(text) - len(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS n_punct
+        FROM docs_all
+    ),
+    m AS (
+        SELECT source, len(toks) AS tc,
+               CASE WHEN len(toks) > 0
+                    THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
+                         / len(toks) END AS atl,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks))::DOUBLE / len(toks) END AS diversity,
+               CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END AS pr
+        FROM base
+    ),
+    q AS (
+        SELECT source,
+               tc,
+               CASE WHEN tc = 0 THEN 0.0
+                    ELSE round(0.6 * diversity
+                               + 0.4 * (CASE WHEN atl >= 3.0 AND atl <= 8.0
+                                             THEN 1.0 ELSE 0.5 END)
+                               - pr, 6) END AS quality
+        FROM m
+    ),
+    emb_all AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT 9000000001, list_transform(range(64), x -> 0.0::FLOAT), 0
+        UNION ALL
+        SELECT 9000000002, list_transform(range(64), x -> 'NaN'::FLOAT), 0
+        UNION ALL
+        SELECT 9000000003, NULL, 0
+        UNION ALL
+        SELECT 9000000004, list_transform(range(64), x -> 'Infinity'::FLOAT), 0
+    ),
+    prep AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM emb_all
+    ),
+    defined AS (
+        SELECT * FROM prep
+        WHERE nrm IS NOT NULL AND NOT isnan(nrm)
+          AND nrm > 0 AND nrm < 'Infinity'::DOUBLE
+    ),
+    scored AS (
+        SELECT qv.vec_id AS query_id, c.vec_id AS candidate_id,
+               round(list_dot_product(qv.v, c.v) / (qv.nrm * c.nrm), 6) AS cosine
+        FROM (SELECT * FROM defined WHERE vec_id < 5) qv
+        JOIN defined c ON c.vec_id <> qv.vec_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+            ) AS rnk FROM scored
+        ) WHERE rnk <= 5
+    )
+    SELECT metric, value FROM (
+        SELECT 'docs_total' AS metric, count(*)::DOUBLE AS value FROM docs_all
+        UNION ALL SELECT 'docs_token_null', count(*) FILTER (WHERE tc IS NULL)::DOUBLE FROM q
+        UNION ALL SELECT 'docs_token_zero', count(*) FILTER (WHERE tc = 0)::DOUBLE FROM q
+        UNION ALL SELECT 'planted_quality_sum',
+                         round(sum(quality) FILTER (WHERE source = 'planted'), 6) + 0.0 FROM q
+        UNION ALL SELECT 'emb_total', count(*)::DOUBLE FROM emb_all
+        UNION ALL SELECT 'emb_defined', count(*)::DOUBLE FROM defined
+        UNION ALL SELECT 'topk_id_sum', sum(candidate_id)::DOUBLE FROM topk
+        UNION ALL SELECT 'topk_cos_sum', round(sum(cosine), 6) + 0.0 FROM topk
+    ) ORDER BY metric
+    """,
+)
+def q184_dirty_corpus_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-corpus robustness with DRIVER-HASH evidence: plants the
+    exact defect classes the round-3 sweep fixed (NULL / empty /
+    whitespace-only / punctuation-soup text; zero / NaN / NULL / Inf
+    embedding vectors) into the live testdata via unions, then runs the
+    text-metric and cosine operator paths over the contaminated corpus.
+    The oracle replays the identical planted rows and semantics, so the
+    NULL-handling contracts (token_count(NULL) is NULL, quality of
+    token-less text is 0.0, quality of NULL text is NULL and is SKIPPED
+    by sum, dirty vectors leave the defined-cosine subspace without
+    aborting the query or perturbing clean top-k results) are pinned by
+    the driver's value hash — not just by pytest on synthetic frames
+    (tests/test_dirty_inputs.py remains the fine-grained suite).
+
+    Long format (metric, value) keeps one stable schema across the two
+    table families. Rounded sums that can straddle zero carry the
+    ``+ 0.0`` negative-zero pin in both engines (q101 lesson). At scale
+    the plan is two single-pass conditional aggregates plus the q30
+    broadcast top-k — the planted union is constant-size."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        _prep,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    planted_docs = spark.createDataFrame(
+        [
+            (9000000001, None, "xx", "planted", 0),
+            (9000000002, "", "xx", "planted", 0),
+            (9000000003, "   ", "xx", "planted", 3),
+            (9000000004, "!!! ??? ,,, ...", "xx", "planted", 15),
+        ],
+        schema=cat.documents.schema,
+    )
+    docs_all = cat.documents.unionByName(planted_docs)
+    doc_m = docs_all.select(
+        token_count("text").alias("tc"),
+        quality_score("text").alias("quality"),
+        "source",
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("docs_total"),
+        F.sum(F.when(F.col("tc").isNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("docs_token_null"),
+        F.sum(F.when(F.col("tc") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("docs_token_zero"),
+        (
+            F.round(
+                F.sum(F.when(F.col("source") == "planted", F.col("quality"))), 6
+            )
+            + F.lit(0.0)
+        ).alias("planted_quality_sum"),
+    )
+
+    dim = 64
+    zero = [0.0] * dim
+    nan_vec = [float("nan")] * dim
+    inf_vec = [float("inf")] * dim
+    planted_emb = spark.createDataFrame(
+        [
+            (9000000001, zero, 0),
+            (9000000002, nan_vec, 0),
+            (9000000003, None, 0),
+            (9000000004, inf_vec, 0),
+        ],
+        schema=cat.embeddings.schema,
+    )
+    emb_all = cat.embeddings.unionByName(planted_emb)
+    emb_m = emb_all.agg(F.count(F.lit(1)).cast("double").alias("emb_total"))
+    defined_m = _prep(emb_all, "vec_id", "embedding").agg(
+        F.count(F.lit(1)).cast("double").alias("emb_defined")
+    )
+    topk = cosine_topk(emb_all, emb_all.filter(F.col("vec_id") < 5), k=5)
+    topk_m = topk.agg(
+        F.sum("candidate_id").cast("double").alias("topk_id_sum"),
+        (F.round(F.sum("cosine"), 6) + F.lit(0.0)).alias("topk_cos_sum"),
+    )
+
+    def melt(df: DataFrame) -> DataFrame:
+        pairs = ", ".join(f"'{c}', `{c}`" for c in df.columns)
+        return df.selectExpr(
+            f"stack({len(df.columns)}, {pairs}) AS (metric, value)"
+        )
+
+    return (
+        melt(doc_m)
+        .unionByName(melt(emb_m))
+        .unionByName(melt(defined_m))
+        .unionByName(melt(topk_m))
+        .orderBy("metric")
+    )
