@@ -55,6 +55,46 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
+#: Vertex-count ceiling for the driver-local iteration fast-path: a
+#: graph the caller has already declared broadcast-sized (so its whole
+#: edge aggregate ships to every executor anyway) additionally runs its
+#: iteration loop on the driver when the vertex set is at most this
+#: size. Beyond it, the distributed loop runs even under
+#: ``broadcast_graph=True`` — the fast-path must never become the scale
+#: path by accident.
+LOCAL_ITER_MAX_VERTICES = 65_536
+
+
+def _local_pagerank(
+    edge_rows: list, vert_ids: list, reset_prob: float, max_iter: int
+) -> dict:
+    """The identical GraphX-style recurrence executed as a driver-local
+    loop: for a dimension-sized graph, 10 distributed supersteps are
+    pure stage-scheduling floor (~0.4s each on a 25-vertex graph), while
+    this loop is microseconds. Same IEEE-double arithmetic as the
+    distributed sum; edge order is fixed (sorted by (dst, src)) so the
+    result is run-to-run deterministic, which the shuffled distributed
+    sum cannot promise either engine. Parity with the distributed loop
+    is pinned by tests/test_graph.py golden tests."""
+    ranks = {v: 1.0 for v in vert_ids}
+    damp = 1.0 - reset_prob
+    ordered = sorted(edge_rows, key=lambda r: (str(r[1]), str(r[0])))
+    for _ in range(max_iter):
+        mass: dict = {}
+        for s, d, w, out_w in ordered:
+            rs = ranks.get(s)
+            if rs is None:
+                # src outside the caller-supplied vertex set: no rank row
+                # exists, so the edge contributes nothing (the inner join
+                # against ranks drops it in the distributed loop too)
+                continue
+            mass[d] = mass.get(d, 0.0) + rs * w / out_w
+        ranks = {
+            v: reset_prob + damp * mass.get(v, 0.0) for v in vert_ids
+        }
+    return ranks
+
+
 def pagerank(
     edges: DataFrame,
     reset_prob: float = 0.15,
@@ -90,6 +130,74 @@ def pagerank(
     # re-execute in every iteration (10× the scan + shuffle cost at
     # 100 TB).
     w = F.col(weight_col) if weight_col else F.lit(1.0)
+
+    if broadcast_graph:
+        # Driver-local iteration fast-path. ``broadcast_graph=True`` is
+        # already the caller's declaration that the aggregated graph is
+        # dimension-sized (it ships whole to every executor); when the
+        # edge/vertex counts confirm it, the 10-superstep scheduling
+        # floor (the entire cost on a 25-vertex graph) collapses to a
+        # driver loop. ONE distributed job — a single limited collect of
+        # the aggregated edge relation, on its own wide lineage, before
+        # any ``num_partitions`` narrowing (the pin exists for the
+        # distributed loop's exchanges; funneling the fact-scale edge
+        # derivation through it would serialize the one pass that
+        # dominates the fast-path). Out-degrees and the vertex set are
+        # O(edges) driver arithmetic. Guards, not trust: an oversized
+        # graph falls through to the distributed loop below, which
+        # remains the default and the 100 TB path.
+        e0 = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+        )
+        max_edges = 32 * LOCAL_ITER_MAX_VERTICES
+        erows = e0.limit(max_edges + 1).collect()
+        if len(erows) <= max_edges:
+            if vertices is not None:
+                vrows = (
+                    vertices.select("id")
+                    .limit(LOCAL_ITER_MAX_VERTICES + 1)
+                    .collect()
+                )
+                vids = [r["id"] for r in vrows]
+                id_type = vertices.schema["id"].dataType
+            else:
+                vids = sorted({r["src"] for r in erows} | {r["dst"] for r in erows})
+                id_type = e0.schema["src"].dataType
+            if len(vids) <= LOCAL_ITER_MAX_VERTICES:
+                out_w: dict = {}
+                for r in erows:
+                    out_w[r["src"]] = out_w.get(r["src"], 0.0) + r["w"]
+                # zero out-weight == dangling (same rule as contrib_base
+                # below): those edges carry no contribution
+                quads = [
+                    (r["src"], r["dst"], r["w"], out_w[r["src"]])
+                    for r in erows
+                    if out_w[r["src"]] != 0
+                ]
+                ranks_map = _local_pagerank(quads, vids, reset_prob, max_iter)
+                import pandas as pd
+
+                from pyspark.sql.types import DoubleType, StructField, StructType
+
+                schema = StructType(
+                    [
+                        StructField("id", id_type),
+                        StructField("pagerank", DoubleType()),
+                    ]
+                )
+                # pandas + Arrow, NOT a list of tuples: the tuple path
+                # parallelizes through pickled Python RDD slices and its
+                # coalesce(1) costs seconds per collect; the Arrow path
+                # is a JVM-side local table (~0.2s). coalesce(1) keeps
+                # the dimension-sized result in one partition instead of
+                # defaultParallelism slivers.
+                pdf = pd.DataFrame(
+                    {"id": vids, "pagerank": [ranks_map[v] for v in vids]}
+                )
+                return edges.sparkSession.createDataFrame(
+                    pdf, schema=schema
+                ).coalesce(1)
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
     if num_partitions:
         e = e.repartition(num_partitions, "src")
@@ -256,8 +364,65 @@ def triangle_count(
     joins — no shuffle beyond the edge derivation itself. The caller
     owns the persisted edge set's lifetime (see session.release_caches).
     """
+    if broadcast_graph:
+        # Driver-local fast-path, same policy and guards as pagerank's:
+        # broadcast_graph is the caller's dimension-sized declaration;
+        # one limited collect of the (derived) edge relation, then the
+        # canonicalization + u<v<w enumeration are O(Σ min(deg)) driver
+        # set-intersections. An oversized graph falls through to the
+        # distributed enumeration below.
+        max_edges = 32 * LOCAL_ITER_MAX_VERTICES
+        rows = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .limit(max_edges + 1)
+            .collect()
+        )
+        if len(rows) <= max_edges:
+            vert_set = {r["s"] for r in rows} | {r["d"] for r in rows}
+            # NULL endpoints: least/greatest(NULL, x) = x in the
+            # distributed canonicalization, so the edge collapses to a
+            # dropped self-pair — but NULL stays a vertex (count 0)
+            und_set = set()
+            for r in rows:
+                a, b_ = r["s"], r["d"]
+                if a is None or b_ is None or a == b_:
+                    continue
+                und_set.add((a, b_) if a < b_ else (b_, a))
+            adj: dict = {}
+            for a, b_ in und_set:
+                adj.setdefault(a, set()).add(b_)  # greater endpoint only
+            counts = {v: 0 for v in vert_set}
+            empty: set = set()
+            for a, b_ in und_set:
+                for c in adj.get(a, empty) & adj.get(b_, empty):
+                    counts[a] += 1
+                    counts[b_] += 1
+                    counts[c] += 1
+            vids = sorted(v for v in vert_set if v is not None)
+            if None in vert_set:
+                vids.append(None)
+            import pandas as pd
+
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("id", edges.schema[src].dataType),
+                    StructField("triangle_count", LongType()),
+                ]
+            )
+            pdf = pd.DataFrame(
+                {"id": vids, "triangle_count": [counts[v] for v in vids]}
+            )
+            return edges.sparkSession.createDataFrame(
+                pdf, schema=schema
+            ).coalesce(1)
+
     und = undirected_edges(edges, src, dst)
     if broadcast_graph:
+        # oversized-graph fallback: still broadcast-join shaped; persist
+        # the derived edge set feeding the three self-join branches
+        # (caller-owned lifetime, see session.release_caches)
         und = und.persist()
     b = F.broadcast if broadcast_graph else (lambda df: df)
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))

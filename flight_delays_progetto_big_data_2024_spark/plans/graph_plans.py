@@ -65,15 +65,16 @@ def _pagerank_unrolled_sql(iters: int = MAX_ITER, reset: float = RESET_PROB) -> 
 @register("q20_nation_pagerank", sql=_pagerank_unrolled_sql())
 def q20_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (reset=0.15, 10 iters — reference
-    graphframes_flights.py:44,131) as an iterative DataFrame loop with
-    lineage truncation; GraphX/GraphFrames static semantics."""
+    graphframes_flights.py:44,131); GraphX/GraphFrames static semantics.
+    broadcast_graph=True routes the 25-vertex graph through the
+    driver-local iteration fast-path (one distributed job for the
+    fact-scale edge derivation, microsecond loop — the 10 distributed
+    supersteps were pure stage-scheduling floor at this size)."""
     cat = Catalog(spark, sf_dir)
-    # 25-vertex graph: pin loop exchanges to ONE partition (see pagerank
-    # docstring — iterative jobs pay scheduling cost per iteration; width
-    # should track graph size, not the session shuffle default) and
-    # checkpoint at the measured sweet spot (interval 5: fewer eager
-    # materializations than 3, without the plan-analysis blowup of
-    # never checkpointing — 3.1s vs 4.0s vs 5.4s at sf0.1)
+    # num_partitions/checkpoint_interval only matter on the distributed
+    # FALLBACK (oversized graph): pin loop exchanges to ONE partition
+    # (iterative jobs pay scheduling cost per iteration; width should
+    # track graph size) and checkpoint at the measured sweet spot
     ranks = pagerank(
         _nation_edges(cat),
         RESET_PROB,
@@ -120,14 +121,13 @@ def q20_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_nation_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts on the canonicalized undirected graph
     (reference graphframes_flights.py:48-49; GraphFrames semantics).
-    25-nation graph = a broadcast dimension: same opt-in as q20, the
-    fact-scale edge derivation runs once (persisted) and every
-    enumeration join broadcasts.
-
-    Cache obligation (caller-owned policy): ``broadcast_graph=True``
-    persists the canonical undirected edge set and does NOT unpersist
-    it — a long-lived session re-running this plan must call
-    ``session.release_caches(spark)`` between runs (bench.py does)."""
+    25-nation graph = a broadcast dimension: same opt-in as q20. The
+    fact-scale edge derivation runs distributed ONCE (a single limited
+    collect); the u<v<w enumeration itself runs on the driver
+    (graph/algorithms.py triangle_count fast-path — guards fall through
+    to the distributed broadcast-join enumeration for oversized graphs,
+    which then persists the derived edge set with caller-owned lifetime,
+    see ``session.release_caches``)."""
     cat = Catalog(spark, sf_dir)
     counts = triangle_count(_nation_edges(cat), broadcast_graph=True)
     return counts.select(F.col("id").alias("nation"), "triangle_count").orderBy(

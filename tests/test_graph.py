@@ -81,6 +81,53 @@ def test_pagerank_parallel_edges_are_contribution_channels(edge_df):
     assert want["B"] > py_pagerank(EDGES)["B"]  # the duplicate matters
 
 
+def test_pagerank_local_fastpath_matches_distributed(edge_df):
+    """broadcast_graph=True routes a dimension-sized graph through the
+    driver-local iteration loop; its ranks must agree with both the
+    distributed loop and the independent evaluator. Also pins that the
+    fast-path really engaged (a 1-partition local relation, not the
+    10-superstep plan) and that the weighted recurrence survives the
+    local path."""
+    distinct = edge_df.distinct()
+    local = pagerank(distinct, broadcast_graph=True)
+    assert local.rdd.getNumPartitions() == 1
+    got = {r["id"]: r["pagerank"] for r in local.collect()}
+    dist = {r["id"]: r["pagerank"] for r in pagerank(distinct).collect()}
+    want = py_pagerank(EDGES)
+    assert set(got) == set(dist) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        assert got[v] == pytest.approx(dist[v], abs=1e-9), v
+    # weighted graph: both paths split rank by weight share identically
+    spark = edge_df.sparkSession
+    wdf = spark.createDataFrame(
+        [("A", "B", 3.0), ("A", "C", 1.0), ("B", "C", 2.0), ("C", "A", 1.0)],
+        ["src", "dst", "w"],
+    )
+    wl = {r["id"]: r["pagerank"]
+          for r in pagerank(wdf, weight_col="w", broadcast_graph=True).collect()}
+    wd = {r["id"]: r["pagerank"]
+          for r in pagerank(wdf, weight_col="w").collect()}
+    assert set(wl) == set(wd)
+    for v in wd:
+        assert wl[v] == pytest.approx(wd[v], abs=1e-9), v
+
+
+def test_pagerank_local_fastpath_guard_falls_back(edge_df, monkeypatch):
+    """A graph over the vertex ceiling must run the distributed loop
+    even under broadcast_graph=True — the fast-path may never become
+    the scale path. Simulated by shrinking the ceiling below the golden
+    graph's vertex count."""
+    from flight_delays_progetto_big_data_2024_spark.graph import algorithms
+
+    monkeypatch.setattr(algorithms, "LOCAL_ITER_MAX_VERTICES", 2)
+    got = {r["id"]: r["pagerank"]
+           for r in algorithms.pagerank(edge_df.distinct(), broadcast_graph=True).collect()}
+    want = py_pagerank(EDGES)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
 def test_undirected_canonicalization(edge_df):
     und = {(r["u"], r["v"]) for r in undirected_edges(edge_df).collect()}
     # duplicates + reverse duplicates collapsed, self-loop dropped
