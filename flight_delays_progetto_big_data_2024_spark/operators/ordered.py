@@ -57,7 +57,7 @@ def bucketed_running_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        bucket_col,
+        F.col(bucket_col).alias("__bkt"),
         F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
     )
     w_in = (
@@ -65,10 +65,17 @@ def bucketed_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-SAFE join: groupBy keeps a NULL bucket as a group, but a
+    # plain equi-join would silently DROP every NULL-bucket row on the
+    # way back (4 rows in, 3 out — row loss, not an error). NULL sorts
+    # first in the offset window, so a NULL bucket is simply the
+    # earliest bucket of the global order.
     return (
-        df.join(F.broadcast(offsets), bucket_col)
+        df.join(
+            F.broadcast(offsets), F.col(bucket_col).eqNullSafe(F.col("__bkt"))
+        )
         .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w_in))
-        .drop("__off")
+        .drop("__bkt", "__off")
     )
 
 
@@ -127,9 +134,18 @@ def weighted_median(
     distinct value with its summed weight), which both makes the
     cumulative window deterministic and shrinks it to the distinct-value
     cardinality; the window then runs per group, never globally.
+
+    NULL values and NULL weights are excluded up front: a NULL value
+    otherwise consumes cumulative weight mass (NULL sorts first in the
+    window) and SHIFTS which real value crosses the half-weight line —
+    a fabricated median from missing data. A group left with no usable
+    rows disappears from the output (its median is undefined). Negative
+    weights are garbage-in/garbage-out, as with any weighted statistic.
     """
     keys = list(group_cols)
-    per_value = df.groupBy(*keys, value_col).agg(
+    per_value = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).groupBy(*keys, value_col).agg(
         F.sum(weight_col).alias("__w")
     )
     w_cum = (
@@ -214,15 +230,19 @@ def bucketed_running_max(
     totals = df.groupBy(bucket_col).agg(F.max(value_col).alias("__tot"))
     w_off = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        bucket_col, F.max("__tot").over(w_off).alias("__off")
+        F.col(bucket_col).alias("__bkt"), F.max("__tot").over(w_off).alias("__off")
     )
     w_in = (
         Window.partitionBy(bucket_col)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # null-safe for the same reason as bucketed_running_sum: a plain
+    # equi-join silently drops every NULL-bucket row
     return (
-        df.join(F.broadcast(offsets), bucket_col)
+        df.join(
+            F.broadcast(offsets), F.col(bucket_col).eqNullSafe(F.col("__bkt"))
+        )
         .withColumn(
             out_col,
             F.greatest(
@@ -230,5 +250,5 @@ def bucketed_running_max(
                 F.coalesce(F.col("__off"), F.max(value_col).over(w_in)),
             ),
         )
-        .drop("__off")
+        .drop("__bkt", "__off")
     )

@@ -51,7 +51,12 @@ def hash_split(
 ) -> DataFrame:
     """Append a content-deterministic split label: bucket(id) falls in
     the half-open interval whose width is the (normalized) weight.
-    Granularity is 1/65536 — weights are honored to ±0.002%."""
+    Granularity is 1/65536 — weights are honored to ±0.002%.
+
+    A NULL id hashes to a NULL bucket, every interval comparison is
+    NULL, and the when-chain's otherwise assigns the LAST label —
+    deterministic (all NULL-id rows land together, never split across
+    train/test), but worth knowing when ids can be missing."""
     assert len(weights) == len(labels) and len(labels) >= 2
     total = float(sum(weights))
     bucket = _hash_bucket(id_col, salt)
@@ -180,10 +185,18 @@ def weighted_sample(
     same row always makes the same decision regardless of partitioning,
     executor count, or retries (speculative task re-runs produce
     identical samples, which ``rand()`` does NOT guarantee). A pure
-    projection+filter: no shuffle, pushes down past column pruning."""
+    projection+filter: no shuffle, pushes down past column pruning.
+
+    NULL and NaN weights drop the row (an undefined keep probability is
+    not a keep). Without the explicit NaN guard, Spark's total ordering
+    makes ``greatest(NaN, 0.0) = NaN`` and ``least(NaN, 1.0) = 1.0`` —
+    one NaN weight silently became KEEP-ALWAYS."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = F.conv(_hash_bucket(id_col, salt), 16, 10).cast("double") / float(_BUCKETS)
-    return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
+    return df.filter(
+        ~F.isnan(w.cast("double"))
+        & (u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
+    )
 
 
 def chunk_documents_udtf(spark):

@@ -347,3 +347,79 @@ def test_hhmm_invalid_values_yield_null_not_abort(spark):
     assert ts[930] is not None and ts[2359] is not None
     assert ts[None] is None and ts[2461] is None and ts[-5] is None
     assert ts[2400] is None  # reference behavior for the midnight quirk
+
+
+def test_running_sum_keeps_null_bucket_rows(spark):
+    """groupBy keeps a NULL bucket as a group, but the broadcast-back
+    equi-join silently DROPPED every NULL-bucket row (4 in, 3 out) —
+    row loss, not an error. The join is null-safe now; the NULL bucket
+    sorts first in the offset window, so it is the earliest bucket of
+    the global order."""
+    import datetime as dt
+
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        bucketed_running_max,
+        bucketed_running_sum,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 12)
+    df = spark.createDataFrame(
+        [(ts, 1.0, "d1"), (ts, 2.0, None), (None, 3.0, "d1"), (ts, 4.0, "d2")],
+        "ts timestamp, v double, b string",
+    )
+    out = bucketed_running_sum(df, ["ts"], "v", "b").collect()
+    assert len(out) == 4  # no row lost
+    by_bucket = {(r["b"], r["v"]): r["running_sum"] for r in out}
+    # NULL bucket first (sum 2), then d1 (3 then 4 -> 5, 6), then d2
+    assert by_bucket[(None, 2.0)] == 2.0
+    assert by_bucket[("d1", 3.0)] == 5.0   # null-ts row sorts first in d1
+    assert by_bucket[("d1", 1.0)] == 6.0
+    assert by_bucket[("d2", 4.0)] == 10.0
+    outm = bucketed_running_max(df, ["ts"], "v", "b").collect()
+    assert len(outm) == 4
+
+
+def test_weighted_median_excludes_null_values_and_weights(spark):
+    """A NULL value consumed cumulative weight mass (NULL sorts first)
+    and SHIFTED which real value crossed the half-weight line — a
+    fabricated median from missing data. NULL values/weights are now
+    excluded; a group with no usable rows disappears (undefined
+    median)."""
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("shifted", None, 3.0), ("shifted", 1.0, 1.0), ("shifted", 5.0, 3.0),
+            ("allnull", 1.0, None), ("allnull", None, 2.0),
+            ("clean", 1.0, 1.0), ("clean", 5.0, 3.0),
+        ],
+        "g string, v double, w double",
+    )
+    got = {r["g"]: r["weighted_median"]
+           for r in weighted_median(df, "v", "w", ["g"]).collect()}
+    # without the fix the NULL (w=3) row made cw(1.0)=4 >= tw/2=3.5 -> 1.0
+    assert got["shifted"] == 5.0
+    assert got["clean"] == 5.0
+    assert "allnull" not in got
+
+
+def test_weighted_sample_drops_nan_weights(spark):
+    """Spark's total ordering makes greatest(NaN, 0.0)=NaN and
+    least(NaN, 1.0)=1.0, so a NaN weight silently became keep
+    probability 1. NaN and NULL weights must DROP the row (an
+    undefined probability is not a keep)."""
+    from flight_delays_progetto_big_data_2024_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("nan", float("nan")), ("null", None), ("neg", -0.5),
+         ("always", 1.0), ("never", 0.0)],
+        "doc_id string, w double",
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, "w").collect()}
+    assert "nan" not in kept and "null" not in kept
+    assert "neg" not in kept and "never" not in kept
+    assert "always" in kept
