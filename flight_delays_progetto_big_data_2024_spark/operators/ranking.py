@@ -210,9 +210,12 @@ def bm25_search(
     """
     qtf = Counter(str(t) for t in query_terms)
     terms = list(qtf)
+    # explicit schema: an EMPTY query must mean zero candidates (an
+    # empty result), not a schema-inference crash on the empty local
+    # relation
     qtf_rel = F.broadcast(
         df.sparkSession.createDataFrame(
-            [(t, float(c)) for t, c in qtf.items()], ["term", "qtf"]
+            [(t, float(c)) for t, c in qtf.items()], "term string, qtf double"
         )
     )
     # dl feeds both the scoring join and the corpus scalars; tf feeds

@@ -123,10 +123,15 @@ def scd2_from_changes(
     ``tiebreakers`` orders simultaneous changes of the same key
     deterministically (pass the change-log's unique id); without it,
     duplicate (key, ts) rows make version numbering nondeterministic.
+
+    Undated changes (NULL ``ts_col``) are dropped: NULL sorts first, so
+    such a row otherwise became a phantom "primordial" version with a
+    NULL ``valid_from`` that no ``snapshot_as_of`` read can ever see —
+    an ill-formed history row fabricated from a missing timestamp.
     """
     order = [F.col(ts_col).asc(), *[F.col(t).asc() for t in tiebreakers]]
     w = Window.partitionBy(*keys).orderBy(*order)
-    return changes.select(
+    return changes.filter(F.col(ts_col).isNotNull()).select(
         *keys,
         *attrs,
         F.row_number().over(w).alias("version"),
@@ -160,6 +165,14 @@ def asof_join(
     that corresponds to no actual right row. Equal (key, ts) right rows
     are tie-broken by greatest carried struct, so output is
     deterministic (DuckDB ASOF leaves this case unspecified).
+
+    NULL join keys never match (ANSI join equality): without the
+    explicit mask, the window's partitionBy groups NULLs TOGETHER, so a
+    NULL-key left row silently picked up the NULL-key right stream's
+    payload — a match no SQL join would produce. (DuckDB's ASOF JOIN is
+    worse still: a NULL left key matches an ARBITRARY row.) NULL
+    timestamps also never match (the comparison is undefined); the row
+    survives with null payload, like any unmatched left row.
     """
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
     r = right.select(
@@ -183,7 +196,16 @@ def asof_join(
     filled = merged.withColumn(
         "__carry", F.last(F.col("__carry"), ignorenulls=True).over(w)
     )
-    out = filled.filter(F.col("__side") == 1)
+    null_key = F.lit(False)
+    for k in on:
+        null_key = null_key | F.col(k).isNull()
+    null_key = null_key | F.col(ts_col).isNull()
+    out = filled.filter(F.col("__side") == 1).withColumn(
+        "__carry",
+        F.when(null_key, F.lit(None).cast(r.schema["__carry"].dataType)).otherwise(
+            F.col("__carry")
+        ),
+    )
     for c in carried:
         out = out.withColumn(c, F.col("__carry").getField(c))
     return out.drop("__side", "__carry")
@@ -227,6 +249,11 @@ def merge_upsert(
     tables on ``key`` the anti-join is shuffle-free, which is why
     snapshot tables in an incremental corpus pipeline should be
     bucketed by document id.
+
+    NULL keys follow standard MERGE equality (Delta/Iceberg alike):
+    NULL never matches NULL, so a NULL-key change INSERTS alongside any
+    NULL-key target row instead of replacing it. Deduplicate or drop
+    null-key rows upstream if that is not the intended outcome.
     """
     change_keys = changes.select(key)
     kept = target.join(change_keys, key, "left_anti")

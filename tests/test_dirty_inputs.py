@@ -423,3 +423,52 @@ def test_weighted_sample_drops_nan_weights(spark):
     assert "nan" not in kept and "null" not in kept
     assert "neg" not in kept and "never" not in kept
     assert "always" in kept
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """The window partitionBy groups NULLs together, so a NULL-key left
+    row silently picked up the NULL-key right stream's payload — a
+    match no SQL join would produce (and DuckDB ASOF is worse: NULL
+    matches an ARBITRARY row). NULL keys and NULL timestamps now yield
+    an unmatched row with null payload, like ANSI join equality."""
+    import datetime as dt
+
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        asof_join,
+    )
+
+    T = dt.datetime(2024, 1, 1, 12)
+    H = dt.timedelta(hours=1)
+    left = spark.createDataFrame(
+        [(1, T), (2, None), (None, T)], "uid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T - H, 10.0), (None, T - 2 * H, 20.0)],
+        "uid long, ts timestamp, value double",
+    )
+    got = {r["uid"]: r["value_right"]
+           for r in asof_join(left, right, ["uid"], "ts").collect()}
+    assert got[1] == 10.0          # real key matches backward
+    assert got[2] is None          # NULL ts: comparison undefined
+    assert got[None] is None       # NULL key: never matches
+
+
+def test_scd2_drops_undated_changes(spark):
+    """A NULL-ts change sorted first and became a phantom 'primordial'
+    version with NULL valid_from — invisible to every snapshot_as_of
+    read yet shifting every later version number. Undated changes are
+    dropped; dated history is unchanged."""
+    import datetime as dt
+
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        scd2_from_changes,
+    )
+
+    T = dt.datetime(2024, 1, 1, 12)
+    ch = spark.createDataFrame(
+        [(1, T, "x"), (1, None, "phantom"), (2, T, "z")],
+        "user_id long, ts timestamp, value string",
+    )
+    hist = scd2_from_changes(ch).collect()
+    assert {r["value"] for r in hist} == {"x", "z"}
+    assert all(r["version"] == 1 and r["is_current"] for r in hist)
