@@ -49,7 +49,12 @@ def constraint_report(
     evaluate in ONE aggregation pass; each ``unique_keys`` entry adds
     one groupBy over its key columns (a uniqueness check is inherently
     a shuffle on the key — but counts duplicate GROUPS map-side, so the
-    shuffle carries partial aggregates, not rows)."""
+    shuffle carries partial aggregates, not rows).
+
+    NULL semantics follow SQL CHECK constraints: a rule evaluating to
+    UNKNOWN on a row (e.g. ``expect_in_range`` over a NULL value) is
+    NOT a violation — pair any nullable column with an explicit
+    ``expect_non_null`` rule when missing values should fail."""
     total = F.count(F.lit(1))
     agg = df.agg(
         total.alias("__total"),
