@@ -404,3 +404,105 @@ def test_cheapest_paths_matches_bellman_ford_reference(spark, edges):
                 new[v] = dist[u] + w
         dist = new
     assert got == dist
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t,
+    )
+)
+@settings(**_SETTINGS)
+def test_pagerank_local_fastpath_matches_distributed_property(spark, edges):
+    """broadcast_graph=True (driver-local loop) and the distributed loop
+    must agree on arbitrary small multigraph-free graphs — the golden
+    test pins two fixed graphs, this pins the recurrence itself."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        pagerank,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(df, max_iter=3, broadcast_graph=True).collect()
+    }
+    dist = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(df, max_iter=3).collect()
+    }
+    assert set(local) == set(dist)
+    for v in dist:
+        assert abs(local[v] - dist[v]) < 1e-9, v
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 20)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_triangle_local_fastpath_matches_bruteforce(spark, edges):
+    """The broadcast_graph=True driver-local enumeration agrees with the
+    itertools bruteforce on arbitrary graphs (duplicate/reverse edges,
+    self-loops), exactly like the distributed path's property test."""
+    from itertools import combinations
+
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        triangle_count,
+    )
+
+    rows = [(a, b) for a, b, _ in edges] or [(0, 1)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["id"]: r["triangle_count"]
+        for r in triangle_count(df, broadcast_graph=True).collect()
+    }
+    und = {tuple(sorted(e)) for e in rows if e[0] != e[1]}
+    verts = {v for e in rows for v in e}
+    expected = dict.fromkeys(verts, 0)
+    for a, b, c in combinations(sorted({v for e in und for v in e}), 3):
+        if {(a, b), (b, c), (a, c)} <= und:
+            for v in (a, b, c):
+                expected[v] += 1
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.integers(0, 30),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_running_sum_null_bucket_matches_cumsum_reference(spark, rows):
+    """The null-safe join keeps NULL-bucket rows, and a NULL bucket is
+    the EARLIEST bucket of the global order (Spark windows sort nulls
+    first) — against a plain Python cumsum over the same ordering."""
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        bucketed_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(b, s, float(v)) for b, s, v in rows], "bucket int, seq int, v double"
+    )
+    got = {
+        (r.bucket, r.seq): r.rs
+        for r in bucketed_running_sum(df, ["seq"], "v", "bucket", "rs").collect()
+    }
+    assert len(got) == len(rows)  # no row lost to a NULL bucket
+    run = 0.0
+    key = lambda t: (t[0] is not None, t[0] if t[0] is not None else 0, t[1])
+    for b, s, v in sorted(rows, key=key):
+        run += float(v)
+        assert got[(b, s)] == run
