@@ -82,6 +82,12 @@ def _local_pagerank(
     for _ in range(max_iter):
         mass: dict = {}
         for s, d, w, out_w in ordered:
+            if s is None or d is None:
+                # NULL endpoints mirror the distributed loop's
+                # null-unsafe joins: a NULL src never matches a rank
+                # row, a NULL dst's mass never joins back — the NULL
+                # vertex exists but holds the reset probability
+                continue
             rs = ranks.get(s)
             if rs is None:
                 # src outside the caller-supplied vertex set: no rank row
@@ -161,7 +167,13 @@ def pagerank(
                 vids = [r["id"] for r in vrows]
                 id_type = vertices.schema["id"].dataType
             else:
-                vids = sorted({r["src"] for r in erows} | {r["dst"] for r in erows})
+                vset = {r["src"] for r in erows} | {r["dst"] for r in erows}
+                # NULL endpoints are vertices too (matching the
+                # distributed _vertices_from_edges); sort the real ids
+                # for determinism, NULL can't be compared
+                vids = sorted(v for v in vset if v is not None)
+                if None in vset:
+                    vids.append(None)
                 id_type = e0.schema["src"].dataType
             if len(vids) <= LOCAL_ITER_MAX_VERTICES:
                 out_w: dict = {}

@@ -472,3 +472,34 @@ def test_scd2_drops_undated_changes(spark):
     hist = scd2_from_changes(ch).collect()
     assert {r["value"] for r in hist} == {"x", "z"}
     assert all(r["version"] == 1 and r["is_current"] for r in hist)
+
+
+def test_graph_fastpath_survives_null_endpoints(spark):
+    """NULL edge endpoints through the broadcast_graph driver-local
+    paths must match the distributed semantics: NULL is a vertex, but
+    NULL src never contributes rank mass and NULL dst mass is never
+    credited (null-unsafe joins), and the NULL-endpoint edge collapses
+    out of the triangle canonicalization while NULL stays a 0-count
+    vertex."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        pagerank,
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A"), (None, "A"), ("B", None)],
+        "src string, dst string",
+    )
+    local = {r["id"]: r["pagerank"]
+             for r in pagerank(edges, broadcast_graph=True).collect()}
+    dist = {r["id"]: r["pagerank"] for r in pagerank(edges).collect()}
+    assert set(local) == set(dist) == {"A", "B", "C", None}
+    for v in dist:
+        assert abs(local[v] - dist[v]) < 1e-9, v
+    assert local[None] == 0.15  # reset probability only
+
+    tri_local = {r["id"]: r["triangle_count"]
+                 for r in triangle_count(edges, broadcast_graph=True).collect()}
+    tri_dist = {r["id"]: r["triangle_count"]
+                for r in triangle_count(edges).collect()}
+    assert tri_local == tri_dist == {"A": 1, "B": 1, "C": 1, None: 0}
