@@ -112,6 +112,8 @@ VERIFY_FIRST: list[str] = [
 #: q67/q84/q91 lag/rolling windows ~ q51), and all pass the in-repo
 #: oracle sweep.
 VERIFY_NEXT: list[str] = [
+    "q185_per_domain_mixture_cap",  # new in r5 (domain-mixture control)
+    "q186_url_canonical_dedup",  # new in r5 (URL-canonicalization dedup)
     "q114_cosine_histogram_sampled",  # new in r2 (sampled q31 variant)
     "q115_embedding_near_dup_clusters",  # new in r2 (semantic dedup)
     "q116_token_entropy_by_source",  # new in r2 (lexical diversity)

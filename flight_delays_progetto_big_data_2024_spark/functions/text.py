@@ -254,3 +254,83 @@ def lang_id_sql(text_expr: str = "text") -> str:
         WHEN {de} >= {fr} THEN 'de'
         ELSE 'fr'
     END"""
+
+
+#: Query parameters a crawl canonicalizer strips: pure click-tracking,
+#: never content-addressing. Kept as one alternation so the Spark and
+#: DuckDB expressions can't drift.
+TRACKING_PARAMS = "utm_[a-zA-Z]+|gclid|fbclid|ref"
+
+#: RE2-safe building blocks (NO lookaround: DuckDB is RE2, which has
+#: none — Java would accept it and the oracle would silently diverge).
+_SCHEME_HOST_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+_TRACK_RE = f"[?&](?:{TRACKING_PARAMS})=[^&#]*"
+
+
+def canonicalize_url(col: str | Column) -> Column:
+    """Canonical form of a crawl URL for URL-level dedup — the
+    cheapest, highest-precision near-dup pass of a web-crawl curation
+    pipeline (exact dedup on ``canonicalize_url(url)`` collapses the
+    scheme/host-case, default-port, fragment, tracking-param and
+    trailing-slash families that a raw-string dedup misses).
+
+    Steps, all pure JVM column expressions (codegen'd; no UDF):
+
+    1. lowercase the scheme and host (path stays case-sensitive)
+    2. strip ``:80`` (http) / ``:443`` (https) default ports
+    3. drop the ``#fragment``
+    4. strip tracking query params (``utm_*``, ``gclid``, ``fbclid``,
+       ``ref``), then repair separators (``?&`` → ``?``, dangling
+       ``?``/``&``)
+    5. collapse a trailing-slash run before end-of-path or ``?``
+
+    NULL stays NULL (an absent URL is not the same key as any real
+    one). Param ORDER is preserved, not sorted — reordered params are
+    genuinely rarer than the families above and sorting costs a
+    per-row array sort; layer it on top if a corpus needs it.
+    """
+    url = _c(col)
+    scheme_host = F.regexp_extract(url, _SCHEME_HOST_RE, 1)
+    rest = url.substr(F.length(scheme_host) + 1, F.lit(2**30))
+    head = F.lower(scheme_host)
+    head = F.when(
+        head.startswith("https://"), F.regexp_replace(head, ":443$", "")
+    ).otherwise(F.regexp_replace(head, ":80$", ""))
+    rest = F.regexp_replace(rest, "#.*$", "")          # fragment
+    rest = F.regexp_replace(rest, _TRACK_RE, "")       # tracking params
+    rest = F.regexp_replace(rest, r"\?&", "?")         # ?&a=1 -> ?a=1
+    rest = F.regexp_replace(rest, "&&+", "&")
+    rest = F.regexp_replace(rest, "[?&]$", "")         # dangling ? / &
+    rest = F.regexp_replace(rest, r"/+\?", "?")        # /path/? -> /path?
+    rest = F.regexp_replace(rest, "/+$", "")
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(head, rest)
+    )
+
+
+def canonicalize_url_sql(url_expr: str = "url") -> str:
+    """DuckDB-equivalent expression for :func:`canonicalize_url` — the
+    same RE2 patterns applied in the same order ('g' flag everywhere:
+    DuckDB's regexp_replace is first-match by default where Spark's is
+    global)."""
+    sh = f"regexp_extract({url_expr}, '{_SCHEME_HOST_RE}', 1)"
+    head = (
+        f"CASE WHEN starts_with(lower({sh}), 'https://') "
+        f"THEN regexp_replace(lower({sh}), ':443$', '', 'g') "
+        f"ELSE regexp_replace(lower({sh}), ':80$', '', 'g') END"
+    )
+    rest = f"substr({url_expr}, length({sh}) + 1)"
+    for pat, rep in (
+        ("#.*$", ""),
+        (_TRACK_RE.replace("'", "''"), ""),
+        (r"\?&", "?"),
+        ("&&+", "&"),
+        ("[?&]$", ""),
+        (r"/+\?", "?"),
+        ("/+$", ""),
+    ):
+        rest = f"regexp_replace({rest}, '{pat}', '{rep}', 'g')"
+    return (
+        f"CASE WHEN {url_expr} IS NULL THEN NULL "
+        f"ELSE {head} || {rest} END"
+    )

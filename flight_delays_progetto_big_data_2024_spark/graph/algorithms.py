@@ -176,15 +176,23 @@ def pagerank(
                     vids.append(None)
                 id_type = e0.schema["src"].dataType
             if len(vids) <= LOCAL_ITER_MAX_VERTICES:
+                # NULL weights match the distributed loop: F.sum skips
+                # them in out_deg, and a NULL contrib drops out of the
+                # contribution sum — so here a None-weight edge neither
+                # accumulates out-weight nor joins the quads. A vertex
+                # whose out-edges are ALL None-weight has no out_w entry
+                # → dangling, same as the distributed out_w-NULL filter.
                 out_w: dict = {}
                 for r in erows:
+                    if r["w"] is None:
+                        continue
                     out_w[r["src"]] = out_w.get(r["src"], 0.0) + r["w"]
                 # zero out-weight == dangling (same rule as contrib_base
                 # below): those edges carry no contribution
                 quads = [
                     (r["src"], r["dst"], r["w"], out_w[r["src"]])
                     for r in erows
-                    if out_w[r["src"]] != 0
+                    if r["w"] is not None and out_w.get(r["src"], 0.0) != 0
                 ]
                 ranks_map = _local_pagerank(quads, vids, reset_prob, max_iter)
                 import pandas as pd

@@ -88,3 +88,45 @@ def curation_funnel(
             )
         ).alias("f")
     ).select("f.stage_id", "f.stage", "f.docs_kept")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_cols: "list[str] | tuple[str, ...]" = ("doc_id",),
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-group mixture cap: keep at most ``n`` rows per ``group_col``,
+    chosen deterministically by ``order_cols`` — the domain-mixture
+    control of a web-crawl curation pipeline (no single domain may
+    contribute more than its cap to the training mix; CCNet/RefinedWeb
+    keep-N-per-host).
+
+    One shuffle on the group key (the ``row_number`` window); NULL
+    groups form their own capped group (window semantics — a crawl's
+    missing-host rows shouldn't bypass the cap). Pass ``rank_col`` to
+    also surface the 1-based within-group rank.
+
+    Scale/skew posture: the window sorts only WITHIN each group, so
+    cost is Σ g·log g — but a hot domain at 20% of a 100 TB crawl is a
+    single straggler task (windows are not AQE-skew-splittable). The
+    mitigation when ``order_cols`` is a uniform content hash (the usual
+    deterministic-random mixture choice) is a broadcast pre-filter:
+    count per domain, and for domains with count ≫ n keep only rows
+    whose hash falls below ``n·(1+ε)/count`` quantile BEFORE the exact
+    window — order-preserving for the kept prefix, so the final top-n
+    is identical. tests/test_skew_bucketing.py measures this operator
+    under a Zipf corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    out = df.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= n
+    )
+    if rank_col:
+        return out.withColumnRenamed("__rk", rank_col)
+    return out.drop("__rk")

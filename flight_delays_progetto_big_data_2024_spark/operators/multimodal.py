@@ -202,3 +202,164 @@ def sample_frames(
             )
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: pure-stdlib codecs (PPM P6, uncompressed 24-bit BMP)
+# ---------------------------------------------------------------------------
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, channels int, "
+    "mean_pixel double, max_pixel int"
+)
+
+
+def encode_ppm_p6(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize raw RGB bytes as a binary PPM (P6) image — the test-side
+    counterpart of :func:`decode_image_payloads`. ``pixels`` must be
+    ``width*height*3`` bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_bmp_24(width: int, height: int, pixels_bgr_rows: bytes) -> bytes:
+    """Serialize raw bottom-up BGR rows (already 4-byte padded) as an
+    uncompressed 24-bit BMP (BITMAPINFOHEADER)."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    if len(pixels_bgr_rows) != row_stride * height:
+        raise ValueError("pixel buffer must be row_stride*height bytes")
+    header_size = 14 + 40
+    file_size = header_size + len(pixels_bgr_rows)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        len(pixels_bgr_rows), 2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixels_bgr_rows
+
+
+def _decode_ppm_p6(buf: bytes):
+    """Header-parse + pixel view for a binary PPM. Returns
+    (width, height, channels, pixel ndarray) or None if malformed.
+    PPM headers are whitespace-separated ASCII tokens with ``#``
+    comments running to end-of-line — parsed byte-at-a-time, no regex
+    backtracking on attacker-sized inputs."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        return None
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(buf):
+        c = buf[pos:pos + 1]
+        if c == b"#":
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end:end + 1].isspace():
+                end += 1
+            tokens.append(buf[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if width <= 0 or height <= 0 or not (0 < maxval < 65536):
+        return None
+    pos += 1  # single whitespace byte after maxval, per spec
+    need = width * height * 3 * (2 if maxval > 255 else 1)
+    raw = buf[pos:pos + need]
+    if len(raw) < need:
+        return None  # truncated pixel data = corrupt
+    dtype = ">u2" if maxval > 255 else np.uint8
+    return width, height, 3, np.frombuffer(raw, dtype=dtype)
+
+
+def _decode_bmp_24(buf: bytes):
+    """Uncompressed 24-bit BITMAPINFOHEADER BMPs only — the honest
+    subset a pure-stdlib decoder can own; anything else is 'corrupt'
+    to this codec and skipped, like a truncated file."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 54 or not buf.startswith(b"BM"):
+        return None
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height_raw = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    height = abs(height_raw)
+    if width <= 0 or height == 0:
+        return None
+    row_stride = (width * 3 + 3) & ~3
+    need = row_stride * height
+    raw = buf[data_offset:data_offset + need]
+    if len(raw) < need:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_stride)
+    return width, height, 3, rows[:, : width * 3]  # strip row padding
+
+
+_CODECS = ((b"P6", _decode_ppm_p6, "ppm"), (b"BM", _decode_bmp_24, "bmp"))
+
+
+def decode_image_payloads(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode over Arrow batches — pure-stdlib PPM(P6)/BMP
+    codecs, no imaging library needed. Emits per-image pixel statistics
+    (dims, channel count, mean/max pixel value), the typed-metadata
+    extraction stage of a multimodal curation pipeline.
+
+    Same mapInPandas contract as :func:`fake_decode_images` — this is
+    the fake codec's gate finally closed with a genuine byte-level
+    decode. Rows whose payload is null, has an unknown magic, or fails
+    structural validation (truncated pixels, compressed BMP, bad
+    header) are SKIPPED, the standard decode-stage policy: one corrupt
+    blob must not kill a 100 TB scan task. Pixel math is numpy over a
+    zero-copy ``frombuffer`` view, so cost is O(bytes) per image with
+    no Python-per-pixel loop; payload bytes reach the worker once via
+    Arrow and never pass through row-at-a-time pickling."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs, chs, means, maxes = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                for magic, codec, fmt in _CODECS:
+                    if buf.startswith(magic):
+                        parsed = codec(buf)
+                        if parsed is not None:
+                            w, h, c, px = parsed
+                            ids.append(doc_id)
+                            fmts.append(fmt)
+                            ws.append(w)
+                            hs.append(h)
+                            chs.append(c)
+                            means.append(float(px.mean()))
+                            maxes.append(int(px.max()))
+                        break  # unknown magic or corrupt → skipped
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                    "max_pixel": pd.Series(maxes, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=PIXEL_STATS_SCHEMA)

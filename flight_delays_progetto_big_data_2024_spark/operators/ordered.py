@@ -51,7 +51,9 @@ def bucketed_running_sum(
     order-dependent running values (standard running-sum semantics);
     aggregate ties away upstream if per-row determinism is required.
     """
-    totals = df.groupBy(bucket_col).agg(F.sum(value_col).alias("__tot"))
+    totals = df.groupBy(bucket_col).agg(
+        F.sum(value_col).alias("__tot"), F.count(value_col).alias("__n")
+    )
     w_off = (
         Window.orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -59,6 +61,7 @@ def bucketed_running_sum(
     offsets = totals.select(
         F.col(bucket_col).alias("__bkt"),
         F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__noff"),
     )
     w_in = (
         Window.partitionBy(bucket_col)
@@ -70,12 +73,28 @@ def bucketed_running_sum(
     # way back (4 rows in, 3 out — row loss, not an error). NULL sorts
     # first in the offset window, so a NULL bucket is simply the
     # earliest bucket of the global order.
+    #
+    # NULL values must match the single-window reference F.sum(v).over
+    # (global order): NULL contributes nothing, and the result is NULL
+    # only while NO non-null value has appeared in the entire global
+    # prefix. The naive `__off + sum.over(w_in)` got this wrong — a row
+    # whose WITHIN-BUCKET prefix is all-NULL made the addition NULL and
+    # silently dropped the carried offset from prior buckets. Carry the
+    # non-null COUNT through the same decomposition to decide
+    # NULL-vs-0 exactly.
     return (
         df.join(
             F.broadcast(offsets), F.col(bucket_col).eqNullSafe(F.col("__bkt"))
         )
-        .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w_in))
-        .drop("__bkt", "__off")
+        .withColumn(
+            out_col,
+            F.when(
+                (F.col("__noff") + F.count(value_col).over(w_in)) > 0,
+                F.col("__off")
+                + F.coalesce(F.sum(value_col).over(w_in), F.lit(0)),
+            ),
+        )
+        .drop("__bkt", "__off", "__noff")
     )
 
 

@@ -173,8 +173,21 @@ def asof_join(
     worse still: a NULL left key matches an ARBITRARY row.) NULL
     timestamps also never match (the comparison is undefined); the row
     survives with null payload, like any unmatched left row.
+
+    NULL-ts/NULL-key RIGHT rows are dropped before the union — the
+    left-side mask alone is not enough: a right row with a NULL
+    ``ts_col`` sorts FIRST in its key partition (``asc`` puts nulls
+    first) and its non-null ``__carry`` would forward-fill into every
+    left row preceding the first dated right row, fabricating a match
+    ANSI/DuckDB ASOF would never produce. Dropping them at the scan
+    (where the filter pushes down) is also cheaper than masking after
+    the window.
     """
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+    right_valid = F.col(ts_col).isNotNull()
+    for k in on:
+        right_valid = right_valid & F.col(k).isNotNull()
+    right = right.filter(right_valid)
     r = right.select(
         *on,
         F.col(ts_col),

@@ -4153,3 +4153,153 @@ def q184_dirty_corpus_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(melt(topk_m))
         .orderBy("metric")
     )
+
+
+@register(
+    "q185_per_domain_mixture_cap",
+    sql="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS docs_kept,
+           sum(doc_id)::BIGINT AS kept_id_sum,
+           sum(n_chars)::BIGINT AS kept_chars
+    FROM ranked WHERE rk <= 15
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q185_per_domain_mixture_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture cap: at most 15 documents per source (CCNet /
+    RefinedWeb keep-N-per-host), deterministic by doc_id, then the kept
+    mix summarized per source. One window shuffle on the domain key —
+    operators.curation.cap_per_group carries the hot-domain skew
+    analysis (broadcast hash-quantile pre-filter) for the 100 TB tier,
+    and tests/test_skew_bucketing.py measures it on a Zipf corpus."""
+    from flight_delays_progetto_big_data_2024_spark.operators.curation import (
+        cap_per_group,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    kept = cap_per_group(cat.documents, "source", 15, order_cols=("doc_id",))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+from flight_delays_progetto_big_data_2024_spark.functions.text import (  # noqa: E402
+    canonicalize_url_sql,
+)
+
+_URL_VARIANT_SQL = """
+    CASE doc_id % 5
+        WHEN 0 THEN 'https://WWW.Example.COM/' || source || '/'
+                     || CAST(doc_id // 5 AS BIGINT) || '/page/'
+        WHEN 1 THEN 'https://www.example.com:443/' || source || '/'
+                     || CAST(doc_id // 5 AS BIGINT) || '/page'
+        WHEN 2 THEN 'https://www.example.com/' || source || '/'
+                     || CAST(doc_id // 5 AS BIGINT)
+                     || '/page?utm_source=crawl&utm_medium=cpc'
+        WHEN 3 THEN 'https://www.example.com/' || source || '/'
+                     || CAST(doc_id // 5 AS BIGINT) || '/page#section-2'
+        ELSE        'https://www.example.com/' || source || '/'
+                     || CAST(doc_id // 5 AS BIGINT)
+                     || '/page?id=1&utm_campaign=x'
+    END
+"""
+
+
+@register(
+    "q186_url_canonical_dedup",
+    sql=f"""
+    WITH crawl AS (
+        SELECT doc_id, source, {_URL_VARIANT_SQL} AS url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source, url,
+               {canonicalize_url_sql('url')} AS canonical_url
+        FROM crawl
+    ),
+    survivors AS (
+        SELECT canonical_url, min(doc_id) AS keep_doc_id,
+               count(*) AS family_size
+        FROM canon GROUP BY canonical_url
+    )
+    SELECT c.source,
+           count(*)::BIGINT AS raw_urls,
+           count(DISTINCT c.url)::BIGINT AS distinct_raw,
+           count(DISTINCT c.canonical_url)::BIGINT AS distinct_canonical,
+           sum(CASE WHEN c.doc_id = s.keep_doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS docs_kept
+    FROM canon c JOIN survivors s ON c.canonical_url = s.canonical_url
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def q186_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest web-crawl curation
+    pass: canonicalize (host case, default port, fragment, utm/gclid
+    tracking params, trailing slash), keep min-doc_id per canonical
+    family, report per-source collapse stats. URLs are synthesized
+    deterministically from the documents table (five dirty variants of
+    a base URL keyed by ``doc_id % 5``, so variants 0/1/3 and the bare
+    form collapse into one family and the ``?id=1`` form stays its own
+    key). The canonicalizer is pure codegen'd column expressions
+    (functions.text.canonicalize_url) and its oracle twin
+    (canonicalize_url_sql) shares the same RE2 patterns — driver-hash
+    parity pins both the regex semantics and the dedup.
+
+    Scale: canonicalization is a map; the survivor pick is one shuffle
+    on canonical_url (exact dedup's shape); the decorate-back join
+    shuffles once more or broadcasts when the survivor side is small.
+    """
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    bucket = F.floor(F.col("doc_id") / 5).cast("long").cast("string")
+    base = F.concat(F.lit("https://www.example.com/"), F.col("source"),
+                    F.lit("/"), bucket)
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://WWW.Example.COM/"), F.col("source"),
+                        F.lit("/"), bucket, F.lit("/page/")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://www.example.com:443/"), F.col("source"),
+                       F.lit("/"), bucket, F.lit("/page")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(base, F.lit("/page?utm_source=crawl&utm_medium=cpc")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(base, F.lit("/page#section-2")))
+        .otherwise(F.concat(base, F.lit("/page?id=1&utm_campaign=x")))
+    )
+    crawl = cat.documents.select(
+        "doc_id", "source", url.alias("url")
+    ).withColumn("canonical_url", canonicalize_url("url"))
+    survivors = crawl.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("family_size"),
+    )
+    return (
+        crawl.join(survivors, "canonical_url")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("raw_urls"),
+            F.countDistinct("url").alias("distinct_raw"),
+            F.countDistinct("canonical_url").alias("distinct_canonical"),
+            F.sum((F.col("doc_id") == F.col("keep_doc_id")).cast("long")).alias(
+                "docs_kept"
+            ),
+        )
+        .orderBy("source")
+    )

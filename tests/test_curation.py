@@ -46,3 +46,66 @@ def test_funnel_is_single_job_one_scan(spark):
     )
     # the funnel must not re-scan per stage: one logical scan of the input
     assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
+
+
+def test_cap_per_group_deterministic_and_null_group(spark):
+    """Mixture cap keeps the n lowest-order rows per group, NULL group
+    included (a crawl's missing-host rows must not bypass the cap),
+    and groups under the cap pass through whole."""
+    from flight_delays_progetto_big_data_2024_spark.operators.curation import (
+        cap_per_group,
+    )
+
+    rows = [("a", i) for i in range(5)] + [("b", 10)] + [(None, i) for i in (3, 1, 2)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    kept = cap_per_group(df, "source", 2, order_cols=("doc_id",))
+    got = {(r["source"], r["doc_id"]) for r in kept.collect()}
+    assert got == {("a", 0), ("a", 1), ("b", 10), (None, 1), (None, 2)}
+    ranked = cap_per_group(df, "source", 2, rank_col="rk")
+    assert {(r["source"], r["doc_id"], r["rk"]) for r in ranked.collect()} == {
+        ("a", 0, 1), ("a", 1, 2), ("b", 10, 1), (None, 1, 1), (None, 2, 2)
+    }
+
+
+def test_canonicalize_url_families_and_duckdb_parity(spark):
+    """The five canonicalization families collapse as documented, NULL
+    stays NULL, and the DuckDB twin produces byte-identical output on
+    every probe — the q186 driver-hash contract in miniature."""
+    import duckdb
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    urls = [
+        "https://WWW.Example.COM:443/a/b/?utm_source=x&utm_medium=y#frag",
+        "https://www.example.com/a/b",
+        "http://Host.Net:80/path/?id=1&utm_campaign=z&gclid=abc",
+        "https://site.org/p?a=1&fbclid=xyz&b=2",
+        "https://x.y/?utm_source=only",
+        "HTTPS://UPPER.com/Path/Case",       # path case preserved
+        "https://h.com/a//b///",             # only trailing runs collapse
+        "no-scheme/just/path/",              # degenerate: no scheme/host
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {r["i"]: r["c"]
+           for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
+    assert got[0] == got[1] == "https://www.example.com/a/b"
+    assert got[2] == "http://host.net/path?id=1"
+    assert got[3] == "https://site.org/p?a=1&b=2"
+    assert got[4] == "https://x.y"
+    assert got[5] == "https://upper.com/Path/Case"
+    assert got[6] == "https://h.com/a//b"
+    assert got[8] is None
+
+    con = duckdb.connect()
+    oracle = dict(con.execute(
+        f"SELECT i, {canonicalize_url_sql('url')} FROM (SELECT "
+        f"unnest(range({len(urls)})) AS i, unnest($1::VARCHAR[]) AS url)",
+        [urls],
+    ).fetchall())
+    assert got == oracle

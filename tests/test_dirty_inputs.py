@@ -503,3 +503,67 @@ def test_graph_fastpath_survives_null_endpoints(spark):
     tri_dist = {r["id"]: r["triangle_count"]
                 for r in triangle_count(edges).collect()}
     assert tri_local == tri_dist == {"A": 1, "B": 1, "C": 1, None: 0}
+
+
+def test_asof_join_null_ts_right_rows_never_forward_fill(spark):
+    """A RIGHT row with a NULL timestamp sorts FIRST in its key
+    partition (asc puts nulls first), so before the right-side filter
+    its non-null __carry forward-filled into every left row preceding
+    the first dated right row — fabricating a match ANSI/DuckDB ASOF
+    would never produce. The left-side mask can't see it (it only
+    checks LEFT nulls). NULL-ts right rows must simply not exist."""
+    import datetime as dt
+
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        asof_join,
+    )
+
+    T = dt.datetime(2024, 1, 1, 12)
+    H = dt.timedelta(hours=1)
+    left = spark.createDataFrame(
+        [(1, T - 2 * H), (1, T + H)], "uid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        # NULL-ts row would sort before the dated one; a NULL-key right
+        # row is equally unmatched and must be dropped, not kept in the
+        # NULL partition
+        [(1, None, 99.0), (1, T, 10.0), (None, T - 3 * H, 77.0)],
+        "uid long, ts timestamp, value double",
+    )
+    got = {r["ts"]: r["value_right"]
+           for r in asof_join(left, right, ["uid"], "ts").collect()}
+    assert got[T - 2 * H] is None   # precedes every DATED right row
+    assert got[T + H] == 10.0       # backward match to the dated row
+
+
+def test_graph_fastpath_survives_null_weights(spark):
+    """NULL edge weights through the broadcast_graph driver-local
+    pagerank must match the distributed loop: F.sum skips NULLs in the
+    out-degree and a NULL contribution drops out of the mass sum, so a
+    None-weight edge carries nothing — and a vertex whose out-edges are
+    ALL None-weight is dangling. Before the fix the fast-path raised
+    TypeError (None + float) instead of degrading gracefully."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("A", "B", 2.0),
+            ("A", "C", None),   # NULL weight alongside a real one
+            ("B", "C", 1.0),
+            ("C", "A", None),   # C's ONLY out-edge is NULL → dangling
+            ("D", "A", None),   # D likewise, via a different dst
+        ],
+        "src string, dst string, w double",
+    )
+    local = {r["id"]: r["pagerank"]
+             for r in pagerank(edges, weight_col="w",
+                               broadcast_graph=True).collect()}
+    dist = {r["id"]: r["pagerank"]
+            for r in pagerank(edges, weight_col="w").collect()}
+    assert set(local) == set(dist) == {"A", "B", "C", "D"}
+    for v in dist:
+        assert abs(local[v] - dist[v]) < 1e-9, v
+    # A receives nothing (C and D are dangling) → reset mass only
+    assert abs(local["A"] - 0.15) < 1e-9

@@ -241,16 +241,59 @@ def test_bench_overrides_stay_in_sync():
     assert sig.parameters["token_hash_sql"].default == "xxhash64(t)"
 
 
-def test_bench_q34_override_matches_plan_shape(spark):
-    """The deployable q34 override and the registered q34 build the
-    same physical plan shape (pigeonhole block equi-join, no cartesian
-    product) — only the token-hash expression differs."""
-    import bench
+#: Physical node types whose COUNT must match between a bench override
+#: and the query it stands in for. An override exists only to swap an
+#: oracle-portable expression (md5) for the deployable one (xxhash64)
+#: — both are projection-internal, so every structural node count must
+#: be identical. A future override that silently times a different
+#: ALGORITHM (fewer joins, an extra aggregate, a Python stage added or
+#: removed) diverges on one of these and fails here.
+OVERRIDE_PLAN_MARKERS = (
+    "Exchange",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "MapInPandas",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "Window",
+    "Generate",
+)
 
-    df = bench.BENCH_OVERRIDES["q34_simhash_near_dups"](spark, SF)
-    plan = _plan(df)
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert df.columns == registry.QUERIES["q34_simhash_near_dups"](spark, SF).columns
+
+def test_bench_overrides_match_registered_plan_shape(spark):
+    """EVERY entry in bench.BENCH_OVERRIDES must build the same physical
+    plan shape as the query it overrides — same columns, same count of
+    every structural node type — so an override can only ever differ in
+    scalar expressions (the hash swap it exists for), never in the
+    algorithm being timed. Generalizes the round-3 q34-only pin."""
+    import bench
+    from flight_delays_progetto_big_data_2024_spark.session import release_caches
+
+    spark.catalog.clearCache()
+    release_caches(spark)
+    assert bench.BENCH_OVERRIDES, "suite assumes at least one override"
+    try:
+        for name, fn in bench.BENCH_OVERRIDES.items():
+            over_df = fn(spark, SF)
+            reg_df = registry.QUERIES[name](spark, SF)
+            assert over_df.columns == reg_df.columns, name
+            over_plan, reg_plan = _plan(over_df), _plan(reg_df)
+            assert "CartesianProduct" not in over_plan, name
+            assert "BroadcastNestedLoopJoin" not in over_plan, name
+            for marker in OVERRIDE_PLAN_MARKERS:
+                assert over_plan.count(marker) == reg_plan.count(marker), (
+                    name,
+                    marker,
+                    over_plan.count(marker),
+                    reg_plan.count(marker),
+                )
+    finally:
+        spark.catalog.clearCache()
+        release_caches(spark)
 
 
 def test_no_query_plans_cartesian_or_rowwise_python(spark):
@@ -355,3 +398,41 @@ def test_latest_committed_bench_reads_driver_format():
         raw = json.load(open(committed[-1]))
         expect = raw.get("parsed", raw).get("queries", {})
         assert prev == dict(expect) and prev, "gate disarmed"
+
+
+def test_bench_tier_from_min_of_first_two_samples():
+    """A JIT-inflated first sample (8.5s cold, 1.0s steady) must not
+    lock in a single-shot tier — the tier comes from the MIN of the
+    first two samples, with a mandatory second sample under the
+    ceiling. Genuinely expensive queries stay single-shot."""
+    import bench
+
+    # cold-JIT shape: first sample huge but under the ceiling -> second
+    # sample mandatory; steady state 1.0s -> 5-rep tier
+    assert bench._needs_more_samples([8.5])
+    assert bench._needs_more_samples([8.5, 1.0])
+    assert bench._needs_more_samples([8.5, 1.0, 1.0, 1.0])
+    assert not bench._needs_more_samples([8.5, 1.0, 1.0, 1.0, 1.0])
+    # mid tier: 3 samples
+    assert bench._needs_more_samples([3.0, 3.1])
+    assert not bench._needs_more_samples([3.0, 3.1, 3.0])
+    # genuinely expensive: single shot, no second sample
+    assert not bench._needs_more_samples([12.0])
+    # expensive but under ceiling: second sample confirms the 1-rep tier
+    assert bench._needs_more_samples([5.0])
+    assert not bench._needs_more_samples([5.0, 5.1])
+
+
+def test_bench_sort_key_survives_digitless_round_file(tmp_path):
+    """BENCH_rtest.json (no digits after the r) must not AttributeError
+    the sort key — it sorts as round 0 and the newest real round still
+    wins."""
+    import json
+
+    import bench
+
+    (tmp_path / "BENCH_rtest.json").write_text("{}")
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 1.0}}})
+    )
+    assert bench._latest_committed_bench(str(tmp_path)) == {"q": 1.0}

@@ -156,3 +156,162 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: adversarial Zipf corpus — skew behavior measured, not assumed
+# ---------------------------------------------------------------------------
+
+
+def _zipf_docs():
+    """Deterministic heavy-tailed corpus: word w of a 400-word
+    vocabulary appears ∝ 1/w (pool of floor(400/w) copies), docs drawn
+    by a fixed coprime stride — no RNG, same corpus every run. The hot
+    words reach df ≈ 28% of documents, the regime where a plain
+    inverted index quadratically explodes on co-occurrences. 15 exact
+    duplicates are planted on top of the (many) natural near-dups the
+    tiny vocabulary creates."""
+    vocab = 400
+    pool: list[str] = []
+    for w in range(1, vocab + 1):
+        pool.extend([f"w{w:03d}"] * (vocab // w))
+    stride = 7919 if len(pool) % 7919 else 7920
+    n_docs, wpd = 300, 16
+    rows = []
+    for d in range(n_docs):
+        words = [pool[((d * wpd + j) * stride) % len(pool)] for j in range(wpd)]
+        rows.append((d, " ".join(words)))
+    rows += [(1000 + d, rows[d][1]) for d in range(15)]
+    return rows
+
+
+def test_jaccard_prefix_filter_bounds_candidates_on_zipf_corpus(spark):
+    """On the heavy-tailed corpus the PPJoin prefix filter must (a)
+    return EXACTLY the plain inverted-index result and (b) keep its
+    candidate set within the measured Σdf² budget — the '100 TB
+    runnable' claim as numbers: the full index co-occurs ~30k pairs
+    here, the prefix index must enumerate under 10% of that."""
+    from pyspark.sql import Window
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        word_shingles,
+    )
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        _shingle_docs,
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+    from flight_delays_progetto_big_data_2024_spark.session import release_caches
+
+    df = spark.createDataFrame(_zipf_docs(), "doc_id long, text string")
+    k, t = 3, 0.5
+
+    # measure the same index the operators build
+    docs = _shingle_docs(df, "doc_id", "text", k, word_shingles)
+    inv = docs.select(
+        "id", F.size("shingles").alias("n"), F.explode("shingles").alias("s0")
+    ).select("id", "n", F.xxhash64("s0").alias("s"))
+    dfreq = inv.groupBy("s").agg(F.count("*").alias("df"))
+    full_pairs = dfreq.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("p")
+    ).collect()[0]["p"]
+    top_df, n_docs = dfreq.agg(F.max("df")).collect()[0][0], df.count()
+    assert top_df >= 0.2 * n_docs  # the corpus IS adversarial
+
+    t_eff = t - 1e-6
+    ranked = inv.join(dfreq, "s").withColumn(
+        "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "s"))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+    )
+    # prefix postings drop the high-df tail (measured: 2520 vs 4410)
+    assert prefix.count() <= 0.7 * inv.count()
+    pj = prefix.select("id", "s").alias("a").join(
+        prefix.select("id", "s").alias("b"),
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+    )
+    raw_pairs = pj.count()
+    cand_pairs = pj.select("a.id", "b.id").distinct().count()
+    # the enumerated candidates respect the Σ df_prefix·(df_prefix−1)/2
+    # budget, and land far under the full index's Σdf² (measured: 1084
+    # distinct candidates vs 30018 full co-occurrences = 3.6%)
+    budget = prefix.groupBy("s").count().agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)
+    ).collect()[0][0]
+    assert raw_pairs <= budget
+    assert cand_pairs <= 0.10 * full_pairs, (cand_pairs, full_pairs)
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in jaccard_pairs(df, k=k, threshold=t).collect()}
+    pref = {(r["id_a"], r["id_b"])
+            for r in jaccard_pairs_prefix(df, k=k, threshold=t).collect()}
+    assert pref == exact and len(exact) >= 15  # planted dupes found
+    assert len(exact) <= cand_pairs            # verified ⊆ candidates
+    release_caches(spark)
+
+
+def test_salted_join_spreads_hot_key_on_skewed_fact(spark):
+    """One key owning 20% of a 100k-row fact: the salt must spread the
+    hot key across reducers (measured per-(key,salt) group sizes, not
+    wall time — deterministic under local[32]) while the join stays
+    row-identical to the plain join."""
+    n, n_salt = 100_000, 8
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 5 == 0, F.lit(7))
+        .otherwise(F.col("id") % 997)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(997).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    hot_rows = n // 5  # ~20%
+
+    # the exact salt expression salted_join applies to the big side
+    salted_groups = (
+        fact.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(n_salt)))
+        .filter(F.col("k") == 7)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    sizes = {r["__salt"]: r["count"] for r in salted_groups}
+    # the hot key's rows land on most salts, and no single (key, salt)
+    # group keeps more than half the unsalted hot group
+    assert len(sizes) >= n_salt // 2, sizes
+    assert max(sizes.values()) <= hot_rows / 2, sizes
+    assert sum(sizes.values()) >= hot_rows * 0.99
+
+    plain = fact.join(dim, "k").agg(
+        F.count(F.lit(1)).alias("rows"), F.sum(F.col("payload") + F.col("v")).alias("s")
+    ).collect()[0]
+    salted = salted_join(fact, dim, ["k"], n_salt).agg(
+        F.count(F.lit(1)).alias("rows"), F.sum(F.col("payload") + F.col("v")).alias("s")
+    ).collect()[0]
+    assert (plain["rows"], plain["s"]) == (salted["rows"], salted["s"])
+
+
+def test_cap_per_group_caps_hot_domain(spark):
+    """Mixture cap under domain skew: a hot domain at 50% of the corpus
+    is capped to exactly n while cold domains pass through, and the
+    kept rows are the deterministic lowest-order prefix."""
+    from flight_delays_progetto_big_data_2024_spark.operators.curation import (
+        cap_per_group,
+    )
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 50).cast("string")))
+        .alias("source"),
+        F.col("id").alias("doc_id"),
+    )
+    kept = cap_per_group(df, "source", 40, order_cols=("doc_id",))
+    counts = {r["source"]: r["n"]
+              for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["hot"] == 40
+    assert all(v <= 40 for v in counts.values())
+    hot_kept = sorted(
+        r["doc_id"] for r in kept.filter(F.col("source") == "hot").collect()
+    )
+    assert hot_kept == [2 * i for i in range(40)]  # lowest-doc_id prefix
