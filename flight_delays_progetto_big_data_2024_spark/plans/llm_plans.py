@@ -2889,14 +2889,38 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
     """EXACT whole-document substring containment (doc A's normalized
     text appears verbatim inside doc B) — the strictest dedup rule, the
     one "remove exact sub-documents" pass pipelines run before fuzzy
-    dedup. Candidates come from the winnowing fingerprint index (any
-    doc fully contained in another shares ≥80% of its fingerprints —
-    interior windows select identical minima, only ~2(w-1) boundary
-    windows can diverge — so the q85-style prefilter keeps every true
-    pair); survivors are verified with a real substring test on the
-    normalized text, joined only for the candidate pairs. The oracle
-    brute-forces position() over the cross join — affordable at oracle
-    scale only, which is the point of the index."""
+    dedup.
+
+    Candidate generation is a RAREST-FINGERPRINTS PROBE, not a full
+    fingerprint self-join. Correctness: if A occurs verbatim in B, then
+    every w-window of A's k-gram hash sequence is also a window of B's
+    sequence, and winnowing (Schleimer et al., SIGMOD 2003) selects the
+    min of every window — so every fingerprint of A is selected in B
+    too: fp(A) ⊆ fp(B), with NO boundary slack. Verification is an
+    exact substring test, so recall only needs candidates to be a
+    SUPERSET of true containments; the probe requires B to hold ALL of
+    A's k=2 globally rarest fingerprints (min document frequency,
+    fingerprint value as tie-break; all of them when A has fewer) —
+    each extra required fingerprint multiplies selectivity while the
+    subset property keeps recall perfect; len(A) <= len(B) is
+    short-circuited ahead of the substring scan. (Sub-window-sized docs — under k+w-1 = 8 normalized chars —
+    have no full window and sit outside the guarantee in the probe
+    form exactly as they did in the former 0.8-shared-ratio form.)
+
+    Scale: the former self-join enumerated Σ df² fingerprint
+    co-occurrences — the measured 15.2s / alpha 0.84 pole of SCALING.md
+    round 5 on this deliberately degenerate corpus (1002 distinct
+    fingerprints across 5k docs, max df 3891). The probe join
+    enumerates Σ_docs Σ_{i<=k} df(rarest_i(doc)) and the k-way AND
+    collapses candidates 495k → 65k here; measured 15.2s → ~5.0s
+    (warmed medians) with identical output. At 100 TB the probe side
+    is k=2 postings per document — the index side stays the only
+    corpus-sized relation.
+
+    The oracle brute-forces position() over the cross join —
+    affordable at oracle scale only, which is the point of the index."""
+    from pyspark.sql import Window
+
     from flight_delays_progetto_big_data_2024_spark.functions.text import (
         normalize_text,
     )
@@ -2904,34 +2928,58 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
         winnowing_fingerprints,
     )
 
+    n_probe = 2  # A/B-measured sweet spot: k=1 over-candidates (495k
+    # pairs to verify), k=3 pays more in the hit aggregate than the
+    # extra selectivity returns; k=2 cuts candidates ~8x for one
+    # cheap groupBy (medians 6.2 / 5.0 / 6.2s at sf0.1)
     cat = Catalog(spark, sf_dir)
     fp = winnowing_fingerprints(cat.documents).persist()
-    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    dfreq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
+    probe = (
+        fp.join(dfreq, "fingerprint")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "fingerprint")
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")), "doc_b")
-        .filter(F.col("shared") / F.least("n_a", "n_b") >= 0.8)
-        .select("doc_a", "doc_b")
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col("doc_id").alias("id_contained"), "fingerprint")
+    )
+    # how many probe hits a true container must show: min(|fp|, k),
+    # derived from the PERSISTED postings with a plain groupBy (a
+    # window-derived count would re-execute the rank pass)
+    need = fp.groupBy("doc_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(n_probe)).alias("need")
+    )
+    cands = (
+        probe.join(
+            fp.select(F.col("doc_id").alias("id_container"), "fingerprint"),
+            "fingerprint",
+        )
+        .filter(F.col("id_contained") != F.col("id_container"))
+        .groupBy("id_contained", "id_container")
+        .agg(F.count(F.lit(1)).alias("got"))
+        .join(need.withColumnRenamed("doc_id", "id_contained"), "id_contained")
+        .filter(F.col("got") == F.col("need"))
+        .select("id_contained", "id_container")
     )
     nm = cat.documents.select("doc_id", normalize_text("text").alias("nm"))
-    na = nm.select(F.col("doc_id").alias("doc_a"), F.col("nm").alias("nm_a"))
-    nb = nm.select(F.col("doc_id").alias("doc_b"), F.col("nm").alias("nm_b"))
-    verified = pairs.join(na, "doc_a").join(nb, "doc_b")
-    fwd = verified.filter(F.instr("nm_b", F.col("nm_a")) > 0).select(
-        F.col("doc_a").alias("id_contained"), F.col("doc_b").alias("id_container")
+    verified = cands.join(
+        nm.select(F.col("doc_id").alias("id_contained"), F.col("nm").alias("nm_in")),
+        "id_contained",
+    ).join(
+        nm.select(F.col("doc_id").alias("id_container"), F.col("nm").alias("nm_out")),
+        "id_container",
     )
-    rev = verified.filter(F.instr("nm_a", F.col("nm_b")) > 0).select(
-        F.col("doc_b").alias("id_contained"), F.col("doc_a").alias("id_container")
+    return (
+        verified.filter(
+            (F.length("nm_in") <= F.length("nm_out"))
+            & (F.instr("nm_out", F.col("nm_in")) > 0)
+        )
+        .select("id_contained", "id_container")
+        .orderBy("id_contained", "id_container")
     )
-    return fwd.unionByName(rev).distinct().orderBy("id_contained", "id_container")
 
 
 @register(
