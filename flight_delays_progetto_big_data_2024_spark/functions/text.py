@@ -300,6 +300,9 @@ def canonicalize_url(col: str | Column) -> Column:
     rest = F.regexp_replace(rest, _TRACK_RE, "")       # tracking params
     rest = F.regexp_replace(rest, r"\?&", "?")         # ?&a=1 -> ?a=1
     rest = F.regexp_replace(rest, "&&+", "&")
+    # '?track=x&real=y' loses its '?' with the tracking param — the
+    # first '&' with no separator before it IS the query start
+    rest = F.regexp_replace(rest, "^([^?&]*)&", "$1?")
     rest = F.regexp_replace(rest, "[?&]$", "")         # dangling ? / &
     rest = F.regexp_replace(rest, r"/+\?", "?")        # /path/? -> /path?
     rest = F.regexp_replace(rest, "/+$", "")
@@ -325,6 +328,9 @@ def canonicalize_url_sql(url_expr: str = "url") -> str:
         (_TRACK_RE.replace("'", "''"), ""),
         (r"\?&", "?"),
         ("&&+", "&"),
+        # backreference syntax differs: Java replacement is $1,
+        # DuckDB/RE2 is \1 — same pattern, engine-local replacement
+        ("^([^?&]*)&", r"\1?"),
         ("[?&]$", ""),
         (r"/+\?", "?"),
         ("/+$", ""),

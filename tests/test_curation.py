@@ -109,3 +109,39 @@ def test_canonicalize_url_families_and_duckdb_parity(spark):
         [urls],
     ).fetchall())
     assert got == oracle
+
+
+def test_canonicalize_url_leading_tracking_param_keeps_separator(spark):
+    """When the FIRST query param is a tracking param followed by real
+    ones, stripping it consumed the '?' and left a dangling '&' glued
+    to the path ('/p&x=2' — a different, invalid URL). The first '&'
+    with no separator before it is promoted back to '?'; DuckDB twin
+    included (engine-local backreference syntax: $1 vs \\1)."""
+    import duckdb
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    urls = [
+        "https://h.com/p?ref=nav&x=2",
+        "https://h.com/p?utm_source=a&b=1&utm_medium=c",
+        "https://h.com/p?gclid=1&fbclid=2",
+        "https://h.com/p?a=1&ref=x&b=2",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    got = {r["i"]: r["c"]
+           for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
+    assert got[0] == "https://h.com/p?x=2"
+    assert got[1] == "https://h.com/p?b=1"
+    assert got[2] == "https://h.com/p"
+    assert got[3] == "https://h.com/p?a=1&b=2"
+    con = duckdb.connect()
+    oracle = dict(con.execute(
+        f"SELECT i, {canonicalize_url_sql('url')} FROM (SELECT "
+        f"unnest(range({len(urls)})) AS i, unnest($1::VARCHAR[]) AS url)",
+        [urls],
+    ).fetchall())
+    assert got == oracle
