@@ -490,3 +490,37 @@ def test_decode_image_payloads_real_bytes(spark):
     assert (r["fmt"], r["width"], r["height"], r["channels"]) == ("bmp", 2, 2, 3)
     # padding bytes must be stripped from the stats
     assert r["mean_pixel"] == 10.0 and r["max_pixel"] == 10
+
+
+def test_decode_image_payloads_16bit_ppm_and_topdown_bmp(spark):
+    """The corners the codecs claim to own: 16-bit-maxval PPM (big-endian
+    two-byte samples per spec) and a top-down BMP (negative height) —
+    pixel stats are row-order-invariant, so the top-down file must
+    yield the same stats as its bottom-up twin."""
+    import struct
+
+    from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
+        decode_image_payloads,
+        encode_bmp_24,
+    )
+
+    # 1x2 RGB, maxval 1000, samples 0..5 scaled -> big-endian u16
+    samples = [0, 100, 200, 300, 400, 500]
+    ppm16 = b"P6\n1 2\n1000\n" + b"".join(struct.pack(">H", s) for s in samples)
+
+    stride_row = bytes([7] * 6) + b"\x00\x00"
+    bmp_up = encode_bmp_24(2, 2, stride_row * 2)
+    # same file with height negated (top-down per BMP spec)
+    bmp_down = bytearray(bmp_up)
+    struct.pack_into("<i", bmp_down, 22, -2)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm16)), (2, bytearray(bmp_up)), (3, bmp_down)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_image_payloads(df).collect()}
+    r = got[1]
+    assert (r["fmt"], r["width"], r["height"]) == ("ppm", 1, 2)
+    assert r["mean_pixel"] == sum(samples) / 6 and r["max_pixel"] == 500
+    for i in (2, 3):
+        assert (got[i]["mean_pixel"], got[i]["max_pixel"]) == (7.0, 7)
