@@ -105,8 +105,12 @@ def cap_per_group(
 
     One shuffle on the group key (the ``row_number`` window); NULL
     groups form their own capped group (window semantics — a crawl's
-    missing-host rows shouldn't bypass the cap). Pass ``rank_col`` to
-    also surface the 1-based within-group rank.
+    missing-host rows shouldn't bypass the cap). NULL ORDER values
+    sort LAST: Spark's ``asc`` puts nulls first, which would let rows
+    with a MISSING order key crowd real rows out of the deterministic
+    "lowest" slots (and silently diverge from ANSI/DuckDB, whose ASC
+    defaults to NULLS LAST). Pass ``rank_col`` to also surface the
+    1-based within-group rank.
 
     Scale/skew posture: the window sorts only WITHIN each group, so
     cost is Σ g·log g — but a hot domain at 20% of a 100 TB crawl is a
@@ -122,7 +126,7 @@ def cap_per_group(
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
-        *[F.col(c).asc() for c in order_cols]
+        *[F.col(c).asc_nulls_last() for c in order_cols]
     )
     out = df.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= n

@@ -145,3 +145,22 @@ def test_canonicalize_url_leading_tracking_param_keeps_separator(spark):
         [urls],
     ).fetchall())
     assert got == oracle
+
+
+def test_cap_per_group_null_order_values_sort_last(spark):
+    """Rows with a MISSING order key must not crowd real rows out of
+    the cap: Spark's asc puts nulls FIRST (two NULL-doc_id rows were
+    taking both slots while real docs were dropped), and DuckDB's ASC
+    defaults to NULLS LAST — a silent engine divergence on dirty data.
+    NULL-order rows now fill slots only after every real row."""
+    from flight_delays_progetto_big_data_2024_spark.operators.curation import (
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("a", 2), ("a", None), ("b", None)],
+        "source string, doc_id long",
+    )
+    kept = {(r["source"], r["doc_id"])
+            for r in cap_per_group(df, "source", 2).collect()}
+    assert kept == {("a", 1), ("a", 2), ("b", None)}
