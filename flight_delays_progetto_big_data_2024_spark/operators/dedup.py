@@ -101,7 +101,14 @@ def keep_first(
     order: Sequence,
 ) -> DataFrame:
     """Deterministic 'keep one row per key' (order decides which):
-    the row_number form of dropDuplicates."""
+    the row_number form of dropDuplicates.
+
+    NULL-ordering contract: Spark's bare/``asc`` ordering puts NULLs
+    FIRST, so a row with a missing order key would become the survivor
+    — and ANSI/DuckDB ASC defaults to NULLS LAST, a silent engine
+    divergence on dirty data. Pass ``F.col(c).asc_nulls_last()`` when
+    the order column is nullable and the survivor must be a real row
+    (same hazard class as cap_per_group, fixed round 5)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*keys).orderBy(*order)

@@ -113,7 +113,13 @@ def top_k_per_group(
     rank_alias: str = "rank",
 ) -> DataFrame:
     """Top-k within each group via row_number — the windowed variant the
-    reference lacks entirely (SURVEY.md §2.9)."""
+    reference lacks entirely (SURVEY.md §2.9).
+
+    NULL-ordering contract: Spark's bare/``asc`` puts NULLs FIRST
+    (ANSI/DuckDB ASC is NULLS LAST), so a nullable ASC order column
+    lets missing-key rows occupy top-k slots and silently diverge from
+    a SQL oracle; pass ``asc_nulls_last()`` there. DESC is safe — both
+    engines default to NULLS LAST for it."""
     w = Window.partitionBy(*partition_keys).orderBy(*order)
     return (
         df.withColumn(rank_alias, F.row_number().over(w))

@@ -898,8 +898,12 @@ def q36_event_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keep-earliest dedup per (user, event_type) — the
     row_number form of dropDuplicates (which keeps an arbitrary row)."""
     cat = Catalog(spark, sf_dir)
+    # asc_nulls_last: a NULL-ts event must not win "earliest" (Spark's
+    # bare asc is NULLS FIRST; the DuckDB oracle's ASC is NULLS LAST)
     deduped = keep_first(
-        cat.events, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+        cat.events,
+        ["user_id", "event_type"],
+        [F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()],
     )
     return (
         deduped.groupBy("event_type")

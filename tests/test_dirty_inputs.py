@@ -567,3 +567,23 @@ def test_graph_fastpath_survives_null_weights(spark):
         assert abs(local[v] - dist[v]) < 1e-9, v
     # A receives nothing (C and D are dangling) → reset mass only
     assert abs(local["A"] - 0.15) < 1e-9
+
+
+def test_keep_first_null_order_key_contract(spark):
+    """Same hazard class as the cap_per_group fix: Spark's bare asc
+    puts NULLs FIRST, so a NULL-ts row wins 'earliest' unless the
+    caller passes asc_nulls_last (the documented contract, and what
+    q36 now does — ANSI/DuckDB ASC is NULLS LAST)."""
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
+        keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "null-ts"), (1, 5, "real")], "k long, ts long, tag string"
+    )
+    bare = keep_first(df, ["k"], [F.col("ts")]).collect()[0]["tag"]
+    safe = keep_first(df, ["k"], [F.col("ts").asc_nulls_last()]).collect()[0]["tag"]
+    assert bare == "null-ts"  # Spark window semantics, documented
+    assert safe == "real"     # the oracle-parity ordering
