@@ -114,14 +114,12 @@ def cap_per_group(
 
     Scale/skew posture: the window sorts only WITHIN each group, so
     cost is Σ g·log g — but a hot domain at 20% of a 100 TB crawl is a
-    single straggler task (windows are not AQE-skew-splittable). The
-    mitigation when ``order_cols`` is a uniform content hash (the usual
-    deterministic-random mixture choice) is a broadcast pre-filter:
-    count per domain, and for domains with count ≫ n keep only rows
-    whose hash falls below ``n·(1+ε)/count`` quantile BEFORE the exact
-    window — order-preserving for the kept prefix, so the final top-n
-    is identical. tests/test_skew_bucketing.py measures this operator
-    under a Zipf corpus.
+    single straggler task (windows are not AQE-skew-splittable). When
+    the order is a uniform content hash (the usual deterministic-random
+    mixture choice), use :func:`cap_per_group_hashed` — the broadcast
+    hash-threshold pre-filter form, unconditionally exact and measured
+    equal on the skew suite. tests/test_skew_bucketing.py measures both
+    under skewed corpora.
     """
     from pyspark.sql import Window
 
@@ -129,6 +127,84 @@ def cap_per_group(
         *[F.col(c).asc_nulls_last() for c in order_cols]
     )
     out = df.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= n
+    )
+    if rank_col:
+        return out.withColumnRenamed("__rk", rank_col)
+    return out.drop("__rk")
+
+
+def cap_per_group_hashed(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str,
+    margin: float = 4.0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Hot-domain-safe mixture cap: EXACTLY ``cap_per_group(df,
+    group_col, n, order_cols=(xxhash64(id), id))`` — the deterministic-
+    random keep-n-per-host a crawl pipeline actually wants — but with a
+    broadcast hash-threshold PRE-FILTER so a domain owning 20% of a
+    100 TB corpus never funnels through one window task.
+
+    Mechanics: one count aggregate per domain (broadcast back); rows
+    survive the pre-filter when their uniform 64-bit hash falls below
+    ``margin·n/count`` of the hash space. long→double casting is
+    monotonic, so the surviving set is a PREFIX of the (hash, id)
+    order — the exact top-n is unchanged whenever at least
+    ``min(n, count)`` rows survive. That guard is CHECKED, not
+    assumed: domains whose surviving prefix came up short (possible
+    only at astronomical odds with margin 4) are re-included unfiltered
+    via a second pass over just those domains' rows, so the operator is
+    unconditionally exact — measured equal to the plain window form on
+    the Zipf corpus, with the pre-filter dropping the hot domain's
+    window input by ~margin·n/count.
+
+    NULL domains keep their own capped group (null-safe joins — a
+    plain equi-join would silently drop every NULL-domain row); NULL
+    ids hash to one constant bucket and tie-break last.
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(id_col))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    frac = F.least(F.lit(1.0), F.lit(float(margin) * n) / F.col("__c"))
+    thr = counts.select(
+        F.col(group_col).alias("__g"),
+        (F.lit(-(2.0**63)) + frac * F.lit(2.0**64)).alias("__thr"),
+        "__c",
+    )
+    joined = df.join(
+        F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("__g"))
+    )
+    pre = joined.filter(h.cast("double") <= F.col("__thr"))
+    # guard: a domain must keep min(n, count) survivors or fall back
+    short = (
+        pre.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .join(
+            F.broadcast(thr),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
+        .filter(F.col("__s") < F.least(F.lit(n), F.col("__c")))
+        .select(F.col(group_col).alias("__short_g"))
+    )
+    pre_ok = pre.join(
+        F.broadcast(short),
+        F.col(group_col).eqNullSafe(F.col("__short_g")),
+        "left_anti",
+    ).drop("__g", "__thr", "__c")
+    fallback = df.join(
+        F.broadcast(short),
+        F.col(group_col).eqNullSafe(F.col("__short_g")),
+        "left_semi",
+    )
+    base = pre_ok.unionByName(fallback)
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).asc_nulls_last()
+    )
+    out = base.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= n
     )
     if rank_col:

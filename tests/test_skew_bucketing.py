@@ -315,3 +315,45 @@ def test_cap_per_group_caps_hot_domain(spark):
         r["doc_id"] for r in kept.filter(F.col("source") == "hot").collect()
     )
     assert hot_kept == [2 * i for i in range(40)]  # lowest-doc_id prefix
+
+
+def test_cap_per_group_hashed_exact_and_prefilter_reduces_hot_domain(spark):
+    """The hash-threshold pre-filter form must return EXACTLY the plain
+    window form's rows (same order spec) on a skewed corpus with NULL
+    domains and NULL ids, while the pre-filter measurably shrinks the
+    hot domain's window input (~margin*n survivors instead of 5000)."""
+    from flight_delays_progetto_big_data_2024_spark.operators.curation import (
+        cap_per_group,
+        cap_per_group_hashed,
+    )
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .when(F.col("id") % 401 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 50).cast("string")))
+        .alias("source"),
+        F.when(F.col("id") % 773 == 5, F.lit(None).cast("long"))
+        .otherwise(F.col("id"))
+        .alias("doc_id"),
+    )
+    n, margin = 25, 4.0
+    plain = cap_per_group(
+        df.withColumn("__h", F.xxhash64("doc_id")),
+        "source", n, order_cols=("__h", "doc_id"),
+    ).drop("__h")
+    hashed = cap_per_group_hashed(df, "source", n, "doc_id", margin=margin)
+    key = lambda r: (str(r["source"]), str(r["doc_id"]))
+    assert sorted(map(key, hashed.collect())) == sorted(map(key, plain.collect()))
+
+    # measured reduction: replicate the operator's pre-filter on the
+    # hot domain and check the window input shrank from 5000 rows to
+    # roughly margin*n (binomial around 100; generous ceiling)
+    hot_total = df.filter(F.col("source") == "hot").count()
+    frac = margin * n / hot_total
+    thr = -(2.0**63) + frac * 2.0**64
+    survivors = df.filter(
+        (F.col("source") == "hot")
+        & (F.xxhash64("doc_id").cast("double") <= F.lit(thr))
+    ).count()
+    assert hot_total == 5_000
+    assert n <= survivors <= 4 * margin * n, survivors
