@@ -115,7 +115,18 @@ def max_concurrency(
     ``bucket`` (default: the calendar day of the event timestamp) drives
     the distributed prefix sum AND the output grain: one row per bucket
     with the peak concurrency observed at event points inside it.
+
+    Intervals with a NULL endpoint are dropped (the scd2 undated-change
+    rule): a NULL sweep event lands in the NULL bucket, which sorts
+    FIRST in the global order — an open interval's ``-1`` would then be
+    counted before its ``+1``, driving the running count negative and
+    deflating every bucket's peak (and a NULL start symmetrically
+    fabricates an always-open interval). An undefined extent cannot
+    contribute to a sweep count.
     """
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     deltas = intervals.select(
         F.col(start_col).alias("__ts"), F.lit(1).alias("__delta")
     ).unionByName(

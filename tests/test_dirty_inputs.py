@@ -587,3 +587,32 @@ def test_keep_first_null_order_key_contract(spark):
     safe = keep_first(df, ["k"], [F.col("ts").asc_nulls_last()]).collect()[0]["tag"]
     assert bare == "null-ts"  # Spark window semantics, documented
     assert safe == "real"     # the oracle-parity ordering
+
+
+def test_max_concurrency_drops_null_endpoint_intervals(spark):
+    """A NULL-end interval put its -1 sweep event in the NULL bucket,
+    which sorts FIRST globally — the -1 was counted before the +1,
+    dipping the running count negative and deflating peaks (a NULL
+    start symmetrically fabricated an always-open interval). Undefined
+    extents are dropped; the clean overlap still counts."""
+    import datetime as dt
+
+    from flight_delays_progetto_big_data_2024_spark.operators.ordered import (
+        max_concurrency,
+    )
+
+    T = dt.datetime(2024, 1, 1, 12)
+    H = dt.timedelta(hours=1)
+    df = spark.createDataFrame(
+        [
+            (T, T + 2 * H),          # clean
+            (T + H, T + 3 * H),      # overlaps the first -> peak 2
+            (T, None),               # NULL end: dropped
+            (None, T + H),           # NULL start: dropped
+        ],
+        "start_ts timestamp, end_ts timestamp",
+    )
+    rows = max_concurrency(df).collect()
+    assert [(str(r[0]), r["peak_concurrency"]) for r in rows] == [
+        ("2024-01-01", 2)
+    ]
