@@ -87,6 +87,14 @@ def range_join_buckets(
     lb = left.withColumn(
         "__bucket", (F.unix_timestamp(F.col(ts_col)) / width).cast("long")
     )
+    # empty/REVERSED intervals (end <= start) match nothing under the
+    # exact predicate, but Spark's `sequence` with stop < start counts
+    # DOWN — a corrupted interval reversed by years at small buckets
+    # explodes into millions of junk bucket rows before the filter can
+    # discard them. Drop them ahead of the explode (NULL bounds already
+    # drop themselves: sequence(NULL, ..) is NULL and explode emits
+    # nothing, matching theta-join NULL semantics).
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
         "__bucket",
         F.explode(

@@ -616,3 +616,38 @@ def test_max_concurrency_drops_null_endpoint_intervals(spark):
     assert [(str(r[0]), r["peak_concurrency"]) for r in rows] == [
         ("2024-01-01", 2)
     ]
+
+
+def test_range_join_buckets_survives_reversed_and_null_intervals(spark):
+    """A REVERSED interval (end < start) matches nothing under the
+    exact predicate, but Spark's sequence() counts DOWN when stop <
+    start — a corrupted interval reversed by a day at 1-second buckets
+    exploded into 86k junk rows per interval before the filter could
+    discard them. Reversed/empty intervals are now dropped before the
+    explode; NULL bounds and NULL event timestamps already drop
+    themselves (theta-join NULL semantics)."""
+    import datetime as dt
+
+    from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    T = dt.datetime(2024, 1, 1, 12)
+    H = dt.timedelta(hours=1)
+    left = spark.createDataFrame(
+        [(1, T), (2, T + H), (3, None)], "event_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("ok", T - H, T + 2 * H),
+            ("reversed", T + 24 * H, T),   # end < start: dropped pre-explode
+            ("empty", T, T),               # end == start: matches nothing
+            ("null_end", T, None),
+            ("null_start", None, T + 2 * H),
+        ],
+        "tag string, start timestamp, end timestamp",
+    )
+    got = {(r["event_id"], r["tag"])
+           for r in range_join_buckets(left, intervals,
+                                       bucket_seconds=1).collect()}
+    assert got == {(1, "ok"), (2, "ok")}
