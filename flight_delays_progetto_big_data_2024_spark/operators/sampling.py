@@ -141,6 +141,14 @@ def pack_sequences(
     driver loop) and is expressible in ANSI SQL for the oracle.
     """
     length = F.col(length_col) if isinstance(length_col, str) else length_col
+    # NULL / negative token counts are corrupt metadata and POISON
+    # other documents' bins: a NULL length makes its own bin NULL
+    # (silently unplaceable), and a negative length shifts every later
+    # running offset down — measured fabricating bin -1 for a CLEAN
+    # document that followed one corrupt row. Drop them (the scd2
+    # undated-change rule); zero-length docs are harmless and keep
+    # their slot.
+    df = df.filter(length.isNotNull() & (length >= 0))
     # stable integer shard from the first 4 md5 hex chars (engine-
     # portable: DuckDB computes the identical value)
     shard = (

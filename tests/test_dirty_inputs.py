@@ -651,3 +651,23 @@ def test_range_join_buckets_survives_reversed_and_null_intervals(spark):
            for r in range_join_buckets(left, intervals,
                                        bucket_seconds=1).collect()}
     assert got == {(1, "ok"), (2, "ok")}
+
+
+def test_pack_sequences_drops_corrupt_lengths(spark):
+    """A NULL token count made its own bin NULL (unplaceable), and a
+    NEGATIVE count shifted every later running offset down — measured
+    fabricating bin -1 for a CLEAN document that sorted after one
+    corrupt row. Corrupt lengths are dropped; zero-length docs keep
+    their slot and every surviving bin id is a well-defined >= 0."""
+    from flight_delays_progetto_big_data_2024_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    lens = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 0), (4, -5), (5, 8)],
+        "doc_id long, n_tokens int",
+    )
+    rows = pack_sequences(lens, 16, "n_tokens", n_shards=1).collect()
+    got = {r["doc_id"]: r["bin"] for r in rows}
+    assert set(got) == {1, 3, 5}          # corrupt 2 and 4 dropped
+    assert all(b is not None and b >= 0 for b in got.values()), got
