@@ -292,6 +292,17 @@ def connected_components(
     ``vertices`` with an ``id`` column to include them) are their own
     singleton components.
 
+    Default vertex set = every NON-NULL endpoint of the ORIGINAL edge
+    list — not of the symmetrized one: the ``u != v`` canonicalization
+    drops self-loops and NULL-partner edges, which silently erased a
+    vertex whose only edge was a self-loop or half-NULL (it appeared in
+    the input yet vanished from the output; pagerank/triangle_count
+    keep such endpoints as 0-mass vertices). Those vertices are
+    singletons here. NULL itself is NOT a vertex: a NULL label can
+    neither give nor receive in the min-propagation (join keys never
+    match NULL) and a NULL component id is meaningless — the one
+    deliberate divergence from pagerank's NULL-vertex bookkeeping.
+
     Min-label propagation: each round every vertex takes the minimum of
     its own label and its neighbors' labels; converged when a round
     changes nothing. Rounds needed = graph diameter — the right regime
@@ -311,7 +322,11 @@ def connected_components(
         .distinct()
         .persist()
     )
-    verts = (vertices or _vertices_from_edges(sym, "u", "v")).select("id").persist()
+    verts = (
+        vertices
+        if vertices is not None
+        else _vertices_from_edges(edges, src, dst).filter(F.col("id").isNotNull())
+    ).select("id").persist()
     labels = verts.withColumn("comp", F.col("id")).localCheckpoint(eager=False)
     for i in range(max_iter):
         nbr_min = (

@@ -671,3 +671,23 @@ def test_pack_sequences_drops_corrupt_lengths(spark):
     got = {r["doc_id"]: r["bin"] for r in rows}
     assert set(got) == {1, 3, 5}          # corrupt 2 and 4 dropped
     assert all(b is not None and b >= 0 for b in got.values()), got
+
+
+def test_connected_components_keeps_selfloop_and_halfnull_vertices(spark):
+    """A vertex whose ONLY edge was a self-loop or had a NULL partner
+    appeared in the input edge list yet VANISHED from the output (the
+    u != v canonicalization dropped it before the default vertex
+    derivation). Such vertices are singleton components; NULL itself is
+    not a vertex (a NULL component label is meaningless and NULL can
+    neither give nor receive in the min-propagation)."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", None), (None, "C"), ("D", "D"), ("E", "F")],
+        "src string, dst string",
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {"A": "A", "B": "A", "C": "C", "D": "D", "E": "E", "F": "E"}
