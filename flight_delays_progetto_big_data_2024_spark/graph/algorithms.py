@@ -498,8 +498,17 @@ def shortest_hops(
     collects. Frontiers persist for the round they're used and
     distances localCheckpoint so lineage stays O(1) per round rather
     than O(rounds²) at replay.
+
+    Half-NULL edges are dropped: a NULL src can never match a frontier
+    anyway, and a NULL dst made the traversal "reach" a phantom NULL
+    vertex ((NULL, 1) in the output) — NULL is not a vertex here, the
+    connected_components rule.
     """
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist()
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .persist()
+    )
     dist = source.select(F.col("id"), F.lit(0).alias("hops")).persist()
     frontier = dist.select("id")
     prev_frontier = None  # persisted frontier backing `frontier`
@@ -550,12 +559,26 @@ def cheapest_paths(
     so lineage stays O(1) per round. Early exit when a round improves
     nothing. INTEGER weights keep min-plus sums exact, so the result is
     engine-portable bit-for-bit (doubles would make path-sum ties
-    association-order dependent)."""
-    e = edges.select(
-        F.col(src).alias("__s"),
-        F.col(dst).alias("__d"),
-        F.col(weight_col).alias("__w"),
-    ).persist()
+    association-order dependent).
+
+    Half-NULL edges and NULL weights are dropped (shortest_hops /
+    connected_components rule: NULL is not a vertex, and an
+    undefined-cost edge cannot relax a path — a vertex reachable only
+    through one would otherwise surface with a meaningless NULL
+    tentative cost)."""
+    e = (
+        edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__d"),
+            F.col(weight_col).alias("__w"),
+        )
+        .filter(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & F.col("__w").isNotNull()
+        )
+        .persist()
+    )
     dist = source.select(
         F.col("id"), F.lit(0).cast("long").alias("cost")
     ).localCheckpoint(eager=True)

@@ -691,3 +691,32 @@ def test_connected_components_keeps_selfloop_and_halfnull_vertices(spark):
     got = {r["id"]: r["component"]
            for r in connected_components(edges).collect()}
     assert got == {"A": "A", "B": "A", "C": "C", "D": "D", "E": "E", "F": "E"}
+
+
+def test_traversals_drop_half_null_edges(spark):
+    """shortest_hops surfaced a phantom (NULL, 1) row when a frontier
+    vertex had a NULL-dst edge — BFS "reached" the NULL vertex.
+    Half-NULL edges (and NULL weights, for the weighted form) are
+    dropped: NULL is not a vertex, the connected_components rule."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        cheapest_paths,
+        shortest_hops,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", None), (None, "C"), ("B", "D")],
+        "src string, dst string",
+    )
+    srcdf = spark.createDataFrame([("A",)], "id string")
+    hops = {r["id"]: r["hops"] for r in shortest_hops(edges, srcdf).collect()}
+    assert hops == {"A": 0, "B": 1, "D": 2}
+
+    wedges = spark.createDataFrame(
+        [("A", "B", 1), ("B", None, 1), ("B", "C", None), ("A", "C", 7)],
+        "src string, dst string, w long",
+    )
+    costs = {r["id"]: r["cost"]
+             for r in cheapest_paths(wedges, srcdf).collect()}
+    # C only via the defined 7-cost edge; the NULL-weight edge relaxes
+    # nothing; no NULL vertex appears
+    assert costs == {"A": 0, "B": 1, "C": 7}
