@@ -83,8 +83,19 @@ def sessionize_stream(
         # timestamps into wrong sessions.
         chunks = [pdf[[ts_col, value_col]] for pdf in pdfs]
         rows = pd.concat(chunks) if chunks else pd.DataFrame(columns=[ts_col, value_col])
+        # NULL event times CAN reach the stateful function (the
+        # watermark does not filter them) and arrive as NaT, whose
+        # int64 view is min-int64 — one such event crashed the whole
+        # query with a datetime overflow when the session start was
+        # converted back. An event with no event-time belongs to no
+        # session (F.session_window drops it too). NULL values keep
+        # their row (the batch analog's count counts it) and
+        # contribute 0 to the total, matching F.sum's null-skip for
+        # every session that has at least one real value.
+        rows = rows[rows[ts_col].notna()]
         ts_us = _to_micros(rows[ts_col])
-        events = sorted(zip(ts_us, rows[value_col]))
+        vals = rows[value_col].fillna(0.0)
+        events = sorted(zip(ts_us, vals))
 
         # The open session from state joins the sorted stream as an
         # INTERVAL item, so a late-but-within-watermark event earlier

@@ -394,3 +394,62 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     assert rows[(1, 2)] == (3, 7.5)
     # update mode: untouched user 2 is NOT re-emitted in batch 2
     assert (2, 2) not in rows
+
+
+def test_sessionize_stream_survives_dirty_rows(spark, tmp_path):
+    """One NULL event-time CRASHED the whole streaming query: the
+    watermark does not filter NULL ts, it reached the stateful function
+    as NaT (int64 view = min-int64) and overflowed the datetime
+    conversion when the session start came back out. NULL ts now drops
+    the event (F.session_window's rule), a NULL value keeps its row
+    with 0 contribution (count counts it, sum skips it), and a NULL
+    key sessionizes as its own group — the batch analog's grouping."""
+    import glob
+    import shutil
+    import time as _time
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "dirty-stream-in")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def drop(name, rows, mtime):
+        staging = str(tmp_path / f"dirty-staging-{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = f"{src}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    drop("b1", [(1, _ts(10, 0), 1, 1.0), (2, None, 1, 5.0),
+                (3, _ts(10, 5), 1, None), (4, _ts(10, 0), None, 3.0)],
+         _time.time() - 20)
+    drop("b2", [(5, _ts(13, 0), 1, 4.0)], _time.time() - 10)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    collected = []
+    query = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="10 minutes")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "stream did not finish in 120s"
+
+    closed = {
+        (r["user_id"], r["session_start"], r["num_events"], r["total_value"])
+        for r in collected
+        if r["closed"]
+    }
+    # NULL-ts event gone; NULL-value event counted with 0 contribution
+    assert (1, _ts(10, 0), 2, 1.0) in closed
+    # NULL key sessionized on its own
+    assert (None, _ts(10, 0), 1, 3.0) in closed
