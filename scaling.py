@@ -48,6 +48,9 @@ EXTRA = [
     "q79_winnowing_fingerprints",
     "q114_cosine_histogram_sampled",
     "q156_exact_substring_containment",
+    # round-5 registrations: the two curation queries measure from birth
+    "q185_per_domain_mixture_cap",
+    "q186_url_canonical_dedup",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -97,7 +100,9 @@ EXPONENT_BOUNDS: dict[str, tuple[float, str]] = {
     # p*n^2 — still quadratic growth, 1/p smaller constant; the 100 TB
     # play is dropping p as n grows (documented in its plan)
     "q114_cosine_histogram_sampled": (2.4, "p*n^2 sampled pair space (constant-factor reduction at fixed p)"),
-    "q156_exact_substring_containment": (2.0, "sub-quadratic: fingerprint inverted index"),
+    "q156_exact_substring_containment": (2.0, "sub-quadratic: rarest-fingerprints probe + exact verify"),
+    "q185_per_domain_mixture_cap": (1.5, "linearithmic: one row_number window on the domain key"),
+    "q186_url_canonical_dedup": (1.5, "linear map + exact-dedup shuffle on canonical_url"),
 }
 
 
