@@ -154,12 +154,17 @@ def cap_per_group_hashed(
     monotonic, so the surviving set is a PREFIX of the (hash, id)
     order — the exact top-n is unchanged whenever at least
     ``min(n, count)`` rows survive. That guard is CHECKED, not
-    assumed: domains whose surviving prefix came up short (possible
-    only at astronomical odds with margin 4) are re-included unfiltered
-    via a second pass over just those domains' rows, so the operator is
-    unconditionally exact — measured equal to the plain window form on
-    the Zipf corpus, with the pre-filter dropping the hot domain's
-    window input by ~margin·n/count.
+    assumed: domains whose surviving prefix came up short are
+    re-included unfiltered via a second pass over just those domains'
+    rows, so the operator is unconditionally exact — measured equal to
+    the plain window form on the Zipf corpus, with the pre-filter
+    dropping the hot domain's window input by ~margin·n/count. The
+    short-domain set is derived from the COUNTS side (left join of
+    pre-filter survivor counts onto the per-domain counts, coalescing
+    absent groups to 0) — deriving it from the survivors side would
+    skip domains with ZERO survivors entirely, and for keep-1-per-host
+    (n=1, margin=4) P(zero survivors) ≈ e^-4 ≈ 1.8% per large domain:
+    a real, not astronomical, loss rate.
 
     NULL domains keep their own capped group (null-safe joins — a
     plain equi-join would silently drop every NULL-domain row); NULL
@@ -179,16 +184,22 @@ def cap_per_group_hashed(
         F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("__g"))
     )
     pre = joined.filter(h.cast("double") <= F.col("__thr"))
-    # guard: a domain must keep min(n, count) survivors or fall back
+    # guard: a domain must keep min(n, count) survivors or fall back.
+    # Derive `short` from the counts side: a domain whose pre-filter
+    # survivor set is EMPTY has no row in pre.groupBy at all, so it
+    # must enter via the left join's NULL → coalesce(0) path.
+    pre_counts = pre.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__s")
+    )
     short = (
-        pre.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__s"))
-        .join(
-            F.broadcast(thr),
-            F.col(group_col).eqNullSafe(F.col("__g")),
+        thr.join(
+            F.broadcast(pre_counts),
+            F.col("__g").eqNullSafe(F.col(group_col)),
+            "left",
         )
+        .withColumn("__s", F.coalesce(F.col("__s"), F.lit(0)))
         .filter(F.col("__s") < F.least(F.lit(n), F.col("__c")))
-        .select(F.col(group_col).alias("__short_g"))
+        .select(F.col("__g").alias("__short_g"))
     )
     pre_ok = pre.join(
         F.broadcast(short),

@@ -357,3 +357,52 @@ def test_cap_per_group_hashed_exact_and_prefilter_reduces_hot_domain(spark):
     ).count()
     assert hot_total == 5_000
     assert n <= survivors <= 4 * margin * n, survivors
+
+
+def test_cap_per_group_hashed_zero_survivor_group_falls_back(spark):
+    """Regression (round-6 advisor, curation.py): a domain whose rows
+    ALL hash above the pre-filter threshold has no row in the survivor
+    groupBy, so a survivors-side `short` derivation never saw it and
+    the domain vanished from the output. For keep-1-per-host (n=1,
+    margin=4) that is P ≈ e^-4 ≈ 1.8% per large domain — real loss.
+    The counts-side derivation must route it through the fallback."""
+    from flight_delays_progetto_big_data_2024_spark.operators.curation import (
+        cap_per_group_hashed,
+    )
+
+    # Deterministically pick 5 ids whose xxhash64 is POSITIVE (top half
+    # of the hash space). With n=1, margin=1, count=5 the threshold is
+    # -2^63 + (1/5)*2^64 = -0.6*2^63 < 0, so NONE of them survive the
+    # pre-filter: the zero-survivor case, constructed, not sampled.
+    pool = spark.range(200).select(
+        F.concat(F.lit("id"), F.col("id").cast("string")).alias("doc_id"),
+        F.xxhash64(F.concat(F.lit("id"), F.col("id").cast("string"))).alias("h"),
+    )
+    unlucky = [r["doc_id"] for r in pool.filter("h > 0").limit(5).collect()]
+    lucky = [r["doc_id"] for r in pool.filter("h < 0").limit(5).collect()]
+    assert len(unlucky) == 5 and len(lucky) == 5
+
+    rows = [("unlucky", d) for d in unlucky] + [("lucky", d) for d in lucky]
+    df = spark.createDataFrame(rows, "source string, doc_id string")
+    n, margin = 1, 1.0
+
+    # precondition: replicate the operator's pre-filter — the unlucky
+    # domain must have ZERO survivors or the test isn't testing the bug
+    thr = -(2.0**63) + (margin * n / 5.0) * 2.0**64
+    pre_unlucky = df.filter(
+        (F.col("source") == "unlucky")
+        & (F.xxhash64("doc_id").cast("double") <= F.lit(thr))
+    ).count()
+    assert pre_unlucky == 0, pre_unlucky
+
+    kept = cap_per_group_hashed(df, "source", n, "doc_id", margin=margin)
+    by_group = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_group == {"unlucky": 1, "lucky": 1}
+    # and the kept row is the exact window-form choice: min (hash, id)
+    want = min(unlucky, key=lambda d: (
+        pool.filter(F.col("doc_id") == d).collect()[0]["h"], d))
+    got = kept.filter(F.col("source") == "unlucky").collect()[0]["doc_id"]
+    assert got == want
