@@ -255,6 +255,22 @@ def _newest_green_round(records_dir: str | None = None) -> dict[str, int]:
     }
 
 
+#: Queries whose PLAN was materially rewritten after their newest green
+#: driver record: evidence from rounds <= the listed round is STALE (it
+#: certified the OLD plan), so the query is treated as unverified and
+#: re-enters the window immediately. Remove an entry once a newer green
+#: record lands. q156's r4 evidence predates the round-5 rarest-
+#: fingerprints probe rewrite (round-6 advisor: the 'identical output'
+#: claim needs committed driver evidence for the NEW plan). q186's r5
+#: evidence certified the old canonicalizer default that stripped bare
+#: ``ref`` — the round-6 default keeps it (content-addressing), so the
+#: dedup families can genuinely differ and the query must re-verify.
+PLAN_CHANGED_AFTER: dict[str, int] = {
+    "q156_exact_substring_containment": 5,
+    "q186_url_canonical_dedup": 5,
+}
+
+
 def _ordered() -> list[str]:
     head = VERIFY_FIRST + VERIFY_NEXT
     missing = [n for n in head if n not in registry.QUERIES]
@@ -263,7 +279,11 @@ def _ordered() -> list[str]:
     prio = {n: i for i, n in enumerate(head)}
     names = list(registry.QUERIES)
     reg_pos = {n: i for i, n in enumerate(names)}
-    newest_green = _newest_green_round()
+    newest_green = {
+        n: r
+        for n, r in _newest_green_round().items()
+        if r > PLAN_CHANGED_AFTER.get(n, -1)
+    }
     # unverified first (curated priority, then registration order);
     # verified tail ordered oldest-evidence-first so recheck windows
     # refresh driver records round-robin instead of re-pinning a prefix

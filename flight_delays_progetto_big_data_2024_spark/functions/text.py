@@ -258,16 +258,30 @@ def lang_id_sql(text_expr: str = "text") -> str:
 
 #: Query parameters a crawl canonicalizer strips: pure click-tracking,
 #: never content-addressing. Kept as one alternation so the Spark and
-#: DuckDB expressions can't drift.
-TRACKING_PARAMS = "utm_[a-zA-Z]+|gclid|fbclid|ref"
+#: DuckDB expressions can't drift. Bare ``ref`` is NOT in the default
+#: set: it is frequently content-addressing (VCS branch/tag refs,
+#: ``?ref=main``), so stripping it collapses genuinely distinct pages
+#: into one dedup family and discards real documents — opt in via
+#: :data:`TRACKING_PARAMS_AGGRESSIVE` for corpora where ``ref`` is
+#: known to be referral tracking.
+TRACKING_PARAMS = "utm_[a-zA-Z]+|gclid|fbclid"
+
+#: Opt-in superset for corpora where bare ``ref`` is known to be click
+#: tracking (e.g. social-referral logs), never content-addressing.
+TRACKING_PARAMS_AGGRESSIVE = TRACKING_PARAMS + "|ref"
 
 #: RE2-safe building blocks (NO lookaround: DuckDB is RE2, which has
 #: none — Java would accept it and the oracle would silently diverge).
 _SCHEME_HOST_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
-_TRACK_RE = f"[?&](?:{TRACKING_PARAMS})=[^&#]*"
 
 
-def canonicalize_url(col: str | Column) -> Column:
+def _track_re(tracking_params: str) -> str:
+    return f"[?&](?:{tracking_params})=[^&#]*"
+
+
+def canonicalize_url(
+    col: str | Column, tracking_params: str = TRACKING_PARAMS
+) -> Column:
     """Canonical form of a crawl URL for URL-level dedup — the
     cheapest, highest-precision near-dup pass of a web-crawl curation
     pipeline (exact dedup on ``canonicalize_url(url)`` collapses the
@@ -279,9 +293,10 @@ def canonicalize_url(col: str | Column) -> Column:
     1. lowercase the scheme and host (path stays case-sensitive)
     2. strip ``:80`` (http) / ``:443`` (https) default ports
     3. drop the ``#fragment``
-    4. strip tracking query params (``utm_*``, ``gclid``, ``fbclid``,
-       ``ref``), then repair separators (``?&`` → ``?``, dangling
-       ``?``/``&``)
+    4. strip tracking query params (``utm_*``, ``gclid``, ``fbclid``
+       by default; pass ``tracking_params=TRACKING_PARAMS_AGGRESSIVE``
+       to also strip bare ``ref``), then repair separators (``?&`` →
+       ``?``, dangling ``?``/``&``)
     5. collapse a trailing-slash run before end-of-path or ``?``
 
     NULL stays NULL (an absent URL is not the same key as any real
@@ -297,7 +312,7 @@ def canonicalize_url(col: str | Column) -> Column:
         head.startswith("https://"), F.regexp_replace(head, ":443$", "")
     ).otherwise(F.regexp_replace(head, ":80$", ""))
     rest = F.regexp_replace(rest, "#.*$", "")          # fragment
-    rest = F.regexp_replace(rest, _TRACK_RE, "")       # tracking params
+    rest = F.regexp_replace(rest, _track_re(tracking_params), "")
     rest = F.regexp_replace(rest, r"\?&", "?")         # ?&a=1 -> ?a=1
     rest = F.regexp_replace(rest, "&&+", "&")
     # '?track=x&real=y' loses its '?' with the tracking param — the
@@ -311,7 +326,9 @@ def canonicalize_url(col: str | Column) -> Column:
     )
 
 
-def canonicalize_url_sql(url_expr: str = "url") -> str:
+def canonicalize_url_sql(
+    url_expr: str = "url", tracking_params: str = TRACKING_PARAMS
+) -> str:
     """DuckDB-equivalent expression for :func:`canonicalize_url` — the
     same RE2 patterns applied in the same order ('g' flag everywhere:
     DuckDB's regexp_replace is first-match by default where Spark's is
@@ -325,7 +342,7 @@ def canonicalize_url_sql(url_expr: str = "url") -> str:
     rest = f"substr({url_expr}, length({sh}) + 1)"
     for pat, rep in (
         ("#.*$", ""),
-        (_TRACK_RE.replace("'", "''"), ""),
+        (_track_re(tracking_params).replace("'", "''"), ""),
         (r"\?&", "?"),
         ("&&+", "&"),
         # backreference syntax differs: Java replacement is $1,

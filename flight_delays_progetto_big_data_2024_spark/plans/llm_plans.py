@@ -705,6 +705,10 @@ def q63_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, length, bkt,
                ('0x' || bkt)::BIGINT % 8 AS shard
         FROM d
+        -- mirrors pack_sequences' corrupt-metadata drop: NULL/negative
+        -- lengths are filtered on the Spark side, so the oracle must
+        -- not keep a NULL-bin group on dirty corpora (round-6 advisor)
+        WHERE length IS NOT NULL AND length >= 0
     ),
     w AS (
         SELECT shard, length,

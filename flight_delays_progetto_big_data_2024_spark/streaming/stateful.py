@@ -30,8 +30,9 @@ OUTPUT_SCHEMA = (
     "num_events bigint, total_value double, closed boolean"
 )
 
-#: (session_start_us, last_event_us, num_events, total_value)
-STATE_SCHEMA = "start bigint, last bigint, n bigint, total double"
+#: (session_start_us, last_event_us, num_events, total_value,
+#:  non_null_value_count)
+STATE_SCHEMA = "start bigint, last bigint, n bigint, total double, nn bigint"
 
 _US_PER_MS = 1_000
 
@@ -40,15 +41,35 @@ def _to_micros(ts: pd.Series) -> pd.Series:
     return pd.to_datetime(ts).astype("datetime64[ns]").astype("int64") // 1_000
 
 
-def _row(user_id: int, start_us: int, last_us: int, n: int, total: float, closed: bool) -> dict:
+def _row(
+    user_id: int,
+    start_us: int,
+    last_us: int,
+    n: int,
+    total: float,
+    nn: int,
+    closed: bool,
+) -> dict:
+    # nn == 0 → every value in the session was NULL → F.sum semantics
+    # say the total is NULL, not 0.0 (the batch analog's behavior; a
+    # fillna-only implementation emitted 0.0 here — round-6 advisor)
     return {
         "user_id": user_id,
         "session_start": pd.to_datetime(start_us, unit="us"),
         "session_end": pd.to_datetime(last_us, unit="us"),
         "num_events": n,
-        "total_value": round(total, 6),
+        "total_value": None if nn == 0 else round(total, 6),
         "closed": closed,
     }
+
+
+def _emit(rows: list[dict]) -> pd.DataFrame:
+    out = pd.DataFrame(rows)
+    # a plain float64 column renders None as NaN, which Arrow ships to
+    # Spark as double-NaN, NOT as NULL; the nullable Float64 extension
+    # array round-trips a true NULL
+    out["total_value"] = out["total_value"].astype("Float64")
+    return out
 
 
 def sessionize_stream(
@@ -73,9 +94,9 @@ def sessionize_stream(
         (user_id,) = key
 
         if state.hasTimedOut:
-            start, last, n, total = state.get
+            start, last, n, total, nn = state.get
             state.remove()
-            yield pd.DataFrame([_row(user_id, start, last, n, total, True)])
+            yield _emit([_row(user_id, start, last, n, total, nn, True)])
             return
 
         # Collect ALL Arrow chunks before sorting: a key's rows can span
@@ -90,37 +111,43 @@ def sessionize_stream(
         # converted back. An event with no event-time belongs to no
         # session (F.session_window drops it too). NULL values keep
         # their row (the batch analog's count counts it) and
-        # contribute 0 to the total, matching F.sum's null-skip for
-        # every session that has at least one real value.
+        # contribute 0 to the total; the per-session NON-NULL value
+        # count travels in state so a session whose values are ALL
+        # NULL emits a NULL total — exactly F.sum's skip-all
+        # semantics, not a fabricated 0.0.
         rows = rows[rows[ts_col].notna()]
         ts_us = _to_micros(rows[ts_col])
+        notnull = rows[value_col].notna()
         vals = rows[value_col].fillna(0.0)
-        events = sorted(zip(ts_us, vals))
+        events = sorted(zip(ts_us, vals, notnull))
 
         # The open session from state joins the sorted stream as an
         # INTERVAL item, so a late-but-within-watermark event earlier
         # than the session start either forms its own (immediately
         # closed) earlier session or extends the session backward —
         # instead of being silently folded in with a wrong start.
-        items = [(int(t), int(t), 1, float(v)) for t, v in events]
+        items = [
+            (int(t), int(t), 1, float(v), int(k)) for t, v, k in events
+        ]
         if state.exists:
             items.append(state.get)
             items.sort(key=lambda it: (it[0], it[1]))
 
         out: list[dict] = []
         current = None
-        for start, last, n, total in items:
+        for start, last, n, total, nn in items:
             if current is None:
-                current = (start, last, n, total)
+                current = (start, last, n, total, nn)
             elif start - current[1] > gap_us:
                 out.append(_row(user_id, *current, True))
-                current = (start, last, n, total)
+                current = (start, last, n, total, nn)
             else:
                 current = (
                     current[0],
                     max(last, current[1]),
                     current[2] + n,
                     current[3] + total,
+                    current[4] + nn,
                 )
 
         if current is not None:
@@ -130,7 +157,7 @@ def sessionize_stream(
             state.setTimeoutTimestamp((current[1] + gap_us) // _US_PER_MS)
             out.append(_row(user_id, *current, False))
         if out:
-            yield pd.DataFrame(out)
+            yield _emit(out)
 
     return (
         events.withWatermark(ts_col, watermark)

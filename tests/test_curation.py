@@ -125,10 +125,10 @@ def test_canonicalize_url_leading_tracking_param_keeps_separator(spark):
     )
 
     urls = [
-        "https://h.com/p?ref=nav&x=2",
+        "https://h.com/p?gclid=nav&x=2",
         "https://h.com/p?utm_source=a&b=1&utm_medium=c",
         "https://h.com/p?gclid=1&fbclid=2",
-        "https://h.com/p?a=1&ref=x&b=2",
+        "https://h.com/p?a=1&fbclid=x&b=2",
     ]
     df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
                                "i long, url string")
@@ -145,6 +145,63 @@ def test_canonicalize_url_leading_tracking_param_keeps_separator(spark):
         [urls],
     ).fetchall())
     assert got == oracle
+
+
+def test_canonicalize_url_ref_is_content_addressing_by_default(spark):
+    """Bare ``ref`` is frequently content-addressing (?ref=main on a
+    VCS host names a DIFFERENT page than ?ref=v2), so the DEFAULT
+    canonicalizer must NOT strip it — collapsing those into one dedup
+    family discards real documents (round-6 advisor). The aggressive
+    opt-in set strips it for corpora where ref is known referral
+    tracking; both modes stay DuckDB-parity-pinned."""
+    import duckdb
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        TRACKING_PARAMS_AGGRESSIVE,
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    urls = [
+        "https://git.host/repo/file?ref=main",
+        "https://git.host/repo/file?ref=v2.0",
+        "https://h.com/p?ref=nav&x=2",
+        "https://h.com/p?a=1&ref=x&b=2",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    default = {r["i"]: r["c"]
+               for r in df.select("i", canonicalize_url("url").alias("c"))
+               .collect()}
+    # default: ref preserved — the two VCS refs stay DISTINCT keys
+    assert default[0] == "https://git.host/repo/file?ref=main"
+    assert default[1] == "https://git.host/repo/file?ref=v2.0"
+    assert default[0] != default[1]
+    assert default[2] == "https://h.com/p?ref=nav&x=2"
+    assert default[3] == "https://h.com/p?a=1&ref=x&b=2"
+
+    aggr = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i",
+            canonicalize_url("url", TRACKING_PARAMS_AGGRESSIVE).alias("c"),
+        ).collect()
+    }
+    assert aggr[0] == aggr[1] == "https://git.host/repo/file"
+    assert aggr[2] == "https://h.com/p?x=2"
+    assert aggr[3] == "https://h.com/p?a=1&b=2"
+
+    con = duckdb.connect()
+    for got, sql in (
+        (default, canonicalize_url_sql("url")),
+        (aggr, canonicalize_url_sql("url", TRACKING_PARAMS_AGGRESSIVE)),
+    ):
+        oracle = dict(con.execute(
+            f"SELECT i, {sql} FROM (SELECT "
+            f"unnest(range({len(urls)})) AS i, unnest($1::VARCHAR[]) AS url)",
+            [urls],
+        ).fetchall())
+        assert got == oracle
 
 
 def test_cap_per_group_null_order_values_sort_last(spark):

@@ -720,3 +720,33 @@ def test_traversals_drop_half_null_edges(spark):
     # C only via the defined 7-cost edge; the NULL-weight edge relaxes
     # nothing; no NULL vertex appears
     assert costs == {"A": 0, "B": 1, "C": 7}
+
+
+def test_q64_oracle_parity_on_null_text_corpus(spark, tmp_path):
+    """q64's Spark plan drops NULL token counts (pack_sequences corrupt-
+    metadata rule); the DuckDB oracle must mirror that filter or a dirty
+    corpus diverges on a NULL-bin group the Spark side never emits
+    (round-6 advisor). Full registered-query vs registered-oracle parity
+    over a corpus WITH a NULL-text and an empty-text document."""
+    import duckdb
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import assert_pandas_parity
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(990001, None, None, None, None), (990002, "", None, None, 0)],
+        base.schema,
+    )
+    sf = str(tmp_path)
+    base.unionByName(extra).write.parquet(f"{sf}/documents.parquet")
+
+    name = "q64_sequence_packing_stats"
+    got = entry.queries()[name](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()[name]).fetchdf()
+    assert_pandas_parity(got, want)

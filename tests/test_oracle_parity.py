@@ -108,7 +108,13 @@ def test_rotation_puts_unverified_queries_first():
     records exist (not any particular round's contents)."""
     import __spark_entry__ as e
 
-    ver = e._driver_verified()
+    newest = e._newest_green_round()
+    # evidence certifying a since-rewritten plan is stale, not green
+    ver = {
+        n
+        for n in e._driver_verified()
+        if newest[n] > e.PLAN_CHANGED_AFTER.get(n, -1)
+    }
     order = list(e.queries())
     n_unv = sum(1 for n in order if n not in ver)
     assert all(n not in ver for n in order[:n_unv])
@@ -120,9 +126,28 @@ def test_rotation_puts_unverified_queries_first():
     # the verified tail refreshes stalest evidence first: newest-green
     # round numbers must be non-decreasing down the tail (round-3 judge
     # item — without this, recheck windows re-pin the same prefix)
-    newest = e._newest_green_round()
     ages = [newest[n] for n in order[n_unv:]]
     assert ages == sorted(ages)
+
+
+def test_plan_change_invalidates_stale_evidence():
+    """A query listed in PLAN_CHANGED_AFTER with evidence no newer than
+    the listed round re-enters the verification window as if unverified
+    (round-6 advisor: q156's r4 green record certified the pre-rewrite
+    plan, so the rewrite's 'identical output' claim had no committed
+    driver evidence). Once a newer green record lands, the entry stops
+    mattering — asserted against live records so this self-retires."""
+    import __spark_entry__ as e
+
+    newest = e._newest_green_round()
+    order = list(e.queries())
+    for name, stale_round in e.PLAN_CHANGED_AFTER.items():
+        assert name in order
+        if newest.get(name, 0) <= stale_round:
+            assert order.index(name) < 50, (
+                f"{name} plan changed after r{stale_round} but is outside "
+                f"the driver's 50-query window"
+            )
 
 
 def test_newest_green_round_tracks_latest_record(tmp_path):

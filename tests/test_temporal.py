@@ -425,7 +425,8 @@ def test_sessionize_stream_survives_dirty_rows(spark, tmp_path):
         os.utime(dest, (mtime, mtime))
 
     drop("b1", [(1, _ts(10, 0), 1, 1.0), (2, None, 1, 5.0),
-                (3, _ts(10, 5), 1, None), (4, _ts(10, 0), None, 3.0)],
+                (3, _ts(10, 5), 1, None), (4, _ts(10, 0), None, 3.0),
+                (6, _ts(10, 0), 7, None), (7, _ts(10, 2), 7, None)],
          _time.time() - 20)
     drop("b2", [(5, _ts(13, 0), 1, 4.0)], _time.time() - 10)
 
@@ -453,3 +454,6 @@ def test_sessionize_stream_survives_dirty_rows(spark, tmp_path):
     assert (1, _ts(10, 0), 2, 1.0) in closed
     # NULL key sessionized on its own
     assert (None, _ts(10, 0), 1, 3.0) in closed
+    # a session whose values are ALL NULL emits a NULL total (F.sum's
+    # skip-all semantics), not a fabricated 0.0 — round-6 advisor
+    assert (7, _ts(10, 0), 2, None) in closed

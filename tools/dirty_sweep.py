@@ -1,0 +1,188 @@
+"""Wave-5 dirty-corpus parity sweep (ad-hoc evidence tool, not CI).
+
+Builds a COPY of a testdata SF directory with adversarial rows planted
+in every table (NULL keys, NULL measures, NaN doubles, empty strings,
+negative counts, empty embedding arrays), then runs EVERY SQL-backed
+registered query (``__spark_entry__.queries()``) on the dirty copy in
+both engines — the Spark plan and its own DuckDB oracle — and reports
+every crash and every value divergence.
+
+The clean-corpus driver sweep can never see these defects: the driver
+testdata has no NULLs. Prior waves (rounds 3-5) probed operators one
+family at a time; this sweep closes the gap by probing the FULL
+registered surface mechanically. Findings get pinned as regression
+tests in tests/test_dirty_inputs.py (the wave-1..4 pattern).
+
+Run ALONE (Spark local[32]):  python tools/dirty_sweep.py [--only q65,q66]
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC_SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Planted rows per table: same schema, adversarial values. IDs live far
+# outside the clean key ranges so they join to nothing real; the point
+# is NULL/NaN/degenerate handling, where the two engines can disagree.
+NAN = float("nan")
+TS0 = pd.Timestamp("1997-06-15 12:00:00")
+DIRTY: dict[str, list[dict]] = {
+    "region": [
+        {"r_regionkey": None, "r_name": None},
+    ],
+    "nation": [
+        {"n_nationkey": None, "n_name": None, "n_regionkey": None},
+        {"n_nationkey": 990001, "n_name": "", "n_regionkey": None},
+    ],
+    "customer": [
+        {"c_custkey": None, "c_name": None, "c_nationkey": None,
+         "c_acctbal": None, "c_mktsegment": None},
+        {"c_custkey": 990002, "c_name": "", "c_nationkey": None,
+         "c_acctbal": NAN, "c_mktsegment": ""},
+    ],
+    "supplier": [
+        {"s_suppkey": None, "s_name": None, "s_nationkey": None,
+         "s_acctbal": None},
+        {"s_suppkey": 990003, "s_name": "", "s_nationkey": None,
+         "s_acctbal": -0.0},
+    ],
+    "part": [
+        {"p_partkey": None, "p_name": None, "p_brand": None,
+         "p_type": None, "p_size": None, "p_retailprice": None},
+        {"p_partkey": 990004, "p_name": "", "p_brand": "",
+         "p_type": "", "p_size": -1, "p_retailprice": NAN},
+    ],
+    "orders": [
+        {"o_orderkey": None, "o_custkey": None, "o_orderstatus": None,
+         "o_totalprice": None, "o_orderdate": None,
+         "o_orderpriority": None},
+        {"o_orderkey": 990005, "o_custkey": None, "o_orderstatus": "",
+         "o_totalprice": NAN, "o_orderdate": TS0, "o_orderpriority": ""},
+    ],
+    "lineitem": [
+        {"l_orderkey": None, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": None, "l_quantity": None,
+         "l_extendedprice": None, "l_discount": None, "l_tax": None,
+         "l_returnflag": None, "l_linestatus": None, "l_shipdate": None},
+        {"l_orderkey": 990006, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 1, "l_quantity": -1.0,
+         "l_extendedprice": NAN, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "", "l_linestatus": "", "l_shipdate": TS0},
+    ],
+    "events": [
+        {"event_id": None, "ts": None, "user_id": None,
+         "event_type": None, "value": None, "props": None},
+        {"event_id": 990007, "ts": TS0, "user_id": None,
+         "event_type": "", "value": NAN, "props": ""},
+    ],
+    "documents": [
+        {"doc_id": None, "text": None, "lang": None, "source": None,
+         "n_chars": None},
+        {"doc_id": 990008, "text": "", "lang": "", "source": "",
+         "n_chars": -1},
+        {"doc_id": 990009, "text": "   \n\t  ", "lang": "xx",
+         "source": "dirty://", "n_chars": 0},
+    ],
+    "embeddings": [
+        {"vec_id": None, "embedding": None, "label": None},
+        {"vec_id": 990010, "embedding": [], "label": None},
+    ],
+}
+
+
+def build_dirty(dst: Path) -> None:
+    for t in TABLES:
+        src = Path(SRC_SF) / f"{t}.parquet"
+        base = pd.read_parquet(src)
+        extra = pd.DataFrame(DIRTY[t])
+        out = pd.concat([base, extra], ignore_index=True)
+        # preserve the clean dtypes (NULL/NaN planting must not widen
+        # int64 -> float64: Spark would then read a different schema)
+        for c in base.columns:
+            if base[c].dtype != out[c].dtype:
+                try:
+                    out[c] = out[c].astype(base[c].dtype)
+                except (TypeError, ValueError):
+                    # int col with NULL -> nullable Int64, parquet keeps
+                    # the physical int type
+                    if str(base[c].dtype).startswith("int"):
+                        out[c] = out[c].astype("Int64")
+        out.to_parquet(dst / f"{t}.parquet", index=False)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="comma-separated qNN prefixes")
+    ap.add_argument("--skip-slow", action="store_true")
+    args = ap.parse_args()
+    only = [s for s in args.only.split(",") if s]
+
+    tmp = Path(tempfile.mkdtemp(prefix="dirty_sf_"))
+    try:
+        build_dirty(tmp)
+        import __spark_entry__ as entry
+        from flight_delays_progetto_big_data_2024_spark.session import get_spark
+        from tests.oracle_utils import assert_pandas_parity
+
+        spark = get_spark("dirty-sweep")
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{tmp}/{t}.parquet')"
+            )
+        qs, osql = entry.queries(), entry.oracle_sql()
+        crash, mism, ok, skipped = [], [], [], []
+        for name, fn in qs.items():
+            if only and not any(name.startswith(p) for p in only):
+                continue
+            if name not in osql:
+                skipped.append(name)
+                continue
+            try:
+                got = fn(spark, str(tmp)).toPandas()
+            except Exception as ex:
+                crash.append((name, "spark", repr(ex)[:300]))
+                print(f"{name}: SPARK-CRASH {repr(ex)[:200]}", flush=True)
+                continue
+            try:
+                want = con.execute(osql[name]).fetchdf()
+            except Exception as ex:
+                crash.append((name, "duckdb", repr(ex)[:300]))
+                print(f"{name}: ORACLE-CRASH {repr(ex)[:200]}", flush=True)
+                continue
+            try:
+                assert_pandas_parity(got, want)
+                ok.append(name)
+                print(f"{name}: MATCH rows={len(got)}", flush=True)
+            except AssertionError as ex:
+                mism.append((name, str(ex)[:400]))
+                print(f"{name}: MISMATCH {str(ex)[:250]}", flush=True)
+        print("\n==== SUMMARY ====")
+        print(f"match={len(ok)} mismatch={len(mism)} crash={len(crash)} "
+              f"rows-only-skipped={len(skipped)}")
+        for name, eng, ex in crash:
+            print(f"CRASH {name} [{eng}]: {ex}")
+        for name, ex in mism:
+            print(f"MISMATCH {name}: {ex}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
