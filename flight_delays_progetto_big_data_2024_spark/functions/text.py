@@ -61,11 +61,20 @@ def word_shingles_of(toks: Column, k: int = 3) -> Column:
     Use this form in hot paths: when the tokenizer expression is embedded
     here instead, the interpreted higher-order evaluator re-tokenizes the
     text once PER SHINGLE (transform lambdas re-evaluate their operand
-    subtree per element — ~50× redundant work on typical docs)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+    subtree per element — ~50× redundant work on typical docs).
+
+    ZERO tokens yield ZERO shingles: an empty/whitespace-only document
+    has no content to compare, so it pairs with nothing (the fabricated
+    ``''`` shingle the unguarded form produced made every empty doc a
+    perfect J=1 near-dup of every other empty doc — and DuckDB's list
+    comprehension over an empty list yields ``[]``, so the engines
+    diverged on dirty corpora; wave-5 sweep finding)."""
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
         )
     )
 

@@ -283,7 +283,9 @@ def jaccard_pairs_prefix(
     return (
         cands.join(da, "id_a")
         .join(db, "id_b")
-        .withColumn("jaccard", F.round(inter / union, scale))
+        # try_divide: an undefined J (0/0 on empty shingle sets) must
+        # not ANSI-abort the whole query on one dirty candidate
+        .withColumn("jaccard", F.round(F.try_divide(inter, union), scale))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -417,12 +419,17 @@ def _lsh_candidates_from_docs(
     # map-side. The higher-order array_min(transform(...)) form is
     # interpreted and re-walks the array once per hash — see
     # simhash_signatures for the same rewrite and the reason the
-    # expressions are SQL strings. explode_outer keeps empty/null
-    # shingle docs: their mins are all null, matching array_min's
-    # null on empty input.
+    # expressions are SQL strings. Plain explode (not explode_outer):
+    # a doc with NO shingles is outside the near-dup domain — it can
+    # never reach J ≥ t for t > 0. explode_outer kept such docs with
+    # all-NULL minhash signatures, and the banding join then BUCKETED
+    # the NULL signatures together, pairing every empty document with
+    # every other empty document (wave-5 dirty-corpus finding: two
+    # empty docs surfaced as a J=0/0 candidate and ANSI-aborted the
+    # exact-verify division).
     hs = docs.selectExpr(
         "id",
-        f"explode_outer(transform(shingles, s -> pmod(xxhash64(s),"
+        f"explode(transform(shingles, s -> pmod(xxhash64(s),"
         f" {_MINHASH_PRIME}))) AS h",
     )
     sigs = hs.groupBy("id").agg(
@@ -486,7 +493,9 @@ def minhash_near_dups(
     return (
         cands.join(da, "id_a")
         .join(db, "id_b")
-        .withColumn("jaccard", F.round(inter / union, scale))
+        # try_divide: an undefined J (0/0 on empty shingle sets) must
+        # not ANSI-abort the whole query on one dirty candidate
+        .withColumn("jaccard", F.round(F.try_divide(inter, union), scale))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

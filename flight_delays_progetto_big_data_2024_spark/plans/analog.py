@@ -790,7 +790,13 @@ def q50_churned_day1_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                count(*) AS num_orders
-        FROM orders GROUP BY 1
+        FROM orders
+        -- an undated order has no place on the timeline (and Spark
+        -- windows order NULLS FIRST where DuckDB orders NULLS LAST, so
+        -- a NULL month would shift every running total differently in
+        -- the two engines — wave-5 dirty-corpus finding)
+        WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
     )
     SELECT strftime(month, '%Y-%m') AS month,
            num_orders,
@@ -809,7 +815,9 @@ def q51_monthly_order_running_total(spark: SparkSession, sf_dir: str) -> DataFra
 
     cat = Catalog(spark, sf_dir)
     monthly = (
-        cat.orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        # undated orders have no month — drop at the scan (see oracle)
+        cat.orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(F.count("*").alias("num_orders"))
     )
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)

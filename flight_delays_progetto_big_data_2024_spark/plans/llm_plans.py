@@ -236,10 +236,20 @@ def q29_cardinality_profile_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: Mirror of similarity._prep's defined-cosine subspace: NULL vectors
+#: and vectors with NULL elements are dropped BEFORE the dot product
+#: (DuckDB list_inner_product hard-errors on NULL elements where Spark
+#: aggregate() yields NULL), then zero/NaN/Inf norms are dropped —
+#: isfinite is load-bearing because DuckDB, like Spark, orders NaN
+#: above every double, so ``nrm > 0`` alone would keep NaN norms.
 _EMB_PREP_SQL = """
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-    FROM embeddings
+    SELECT vec_id, v, nrm FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ) WHERE isfinite(nrm) AND nrm > 0
 """
 
 
@@ -1702,7 +1712,12 @@ def q98_training_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_tokens").cast("long").alias("src_tokens"),
             F.round(share, 6).alias("mixture_share"),
             F.round(budget * share).cast("long").alias("target_tokens"),
-            F.round(budget * share / F.col("src_tokens"), 4).alias("epochs_needed"),
+            # try_divide: a source whose surviving docs carry zero
+            # tokens has UNDEFINED epochs (DuckDB x/0 -> NULL; ANSI
+            # Spark would abort the whole plan on one dirty source)
+            F.round(F.try_divide(budget * share, F.col("src_tokens")), 4).alias(
+                "epochs_needed"
+            ),
         )
         .orderBy("source")
     )
@@ -3463,8 +3478,12 @@ def q165_near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             "jaccard",
             ed.cast("long").alias("edit_distance"),
+            # try_divide: two docs that BOTH normalize to '' have an
+            # undefined ratio (0/0) — DuckDB yields NULL, ANSI Spark
+            # would abort the query on one dirty pair
             F.round(
-                ed / F.greatest(F.length("nm_a"), F.length("nm_b")), 6
+                F.try_divide(ed, F.greatest(F.length("nm_a"), F.length("nm_b"))),
+                6,
             ).alias("edit_ratio"),
         )
         .orderBy("id_a", "id_b")
@@ -3479,6 +3498,10 @@ def q165_near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
                ln((('0x' || substr(md5(doc_id::VARCHAR || '#es'), 1, 15))::BIGINT
                    + 1.0) / 1152921504606846977.0) / n_chars AS es_key
         FROM documents
+        -- ES sampling is defined for POSITIVE weights only (mirrors
+        -- the Spark-side filter; NULLS-LAST vs -FIRST would otherwise
+        -- diverge the top-k on dirty metadata)
+        WHERE n_chars > 0
     ),
     picked AS (
         SELECT * FROM keyed
@@ -3514,7 +3537,11 @@ def q166_weighted_sample_without_replacement(
         )
         + F.lit(1.0)
     ) / F.lit(1152921504606846977.0)
-    keyed = cat.documents.select(
+    # weight domain: ES sampling is defined for POSITIVE weights only —
+    # NULL / zero / negative n_chars rows are outside the draw (the
+    # sampling.py weighted-sample rule); zero would ANSI-abort the
+    # whole query on one corrupt metadata row
+    keyed = cat.documents.filter(F.col("n_chars") > 0).select(
         "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
     )
     picked = keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(50)
@@ -3713,9 +3740,13 @@ def q173_alpha_smoothed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("raw_share"),
             F.round(F.col("w") / F.col("tot_w"), 6).alias("alpha_share"),
+            # try_divide: a zero-token source's boost is 0/0 —
+            # undefined (DuckDB NULL; ANSI Spark would abort the plan)
             F.round(
-                (F.col("w") / F.col("tot_w"))
-                / (F.col("n_tokens") / F.col("tot_tokens")),
+                F.try_divide(
+                    F.col("w") / F.col("tot_w"),
+                    F.col("n_tokens") / F.col("tot_tokens"),
+                ),
                 4,
             ).alias("boost"),
         )
@@ -4086,6 +4117,12 @@ def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM emb_all
+        -- NULL lists / NULL elements must drop BEFORE the product:
+        -- DuckDB's vectorized list_inner_product hard-errors on them
+        -- (Spark's aggregate() yields NULL → dropped in 'defined'
+        -- anyway, so the metrics are unchanged on every corpus)
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     defined AS (
         SELECT * FROM prep

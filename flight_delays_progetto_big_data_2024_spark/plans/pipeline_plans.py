@@ -73,6 +73,9 @@ def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS num_events,
            round(avg(value), 6) AS avg_value
     FROM events
+    -- F.window assigns NO window to a NULL event time; the oracle must
+    -- not emit a NULL bucket (wave-5 dirty-corpus finding)
+    WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts)
     ORDER BY window_start
     """,
@@ -93,6 +96,7 @@ def q39_tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS num_events,
            round(avg(value), 6) AS avg_value
     FROM events
+    WHERE ts IS NOT NULL  -- F.window drops NULL event times
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY window_start, event_type
     """,

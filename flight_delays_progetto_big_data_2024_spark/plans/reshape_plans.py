@@ -118,7 +118,12 @@ def q66_returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH daily AS (
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS num_events
-        FROM events GROUP BY day
+        FROM events
+        -- no timestamp, no day: Spark windows order NULLS FIRST where
+        -- DuckDB orders NULLS LAST, so a NULL day would shift the
+        -- whole lag chain differently (wave-5 finding)
+        WHERE ts IS NOT NULL
+        GROUP BY day
     )
     SELECT day, num_events,
            num_events - lag(num_events) OVER (ORDER BY day) AS delta,
@@ -135,9 +140,11 @@ def q67_daily_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume. The aggregation, where the data is big, stays fully
     parallel."""
     cat = Catalog(spark, sf_dir)
-    daily = cat.events.groupBy(
-        F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).alias("num_events"))
+    daily = (
+        cat.events.filter(F.col("ts").isNotNull())  # no ts, no day
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("num_events"))
+    )
     w = Window.orderBy("day")
     prev = F.lag("num_events").over(w)
     return (
@@ -157,6 +164,10 @@ def q67_daily_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_totalprice,
                ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
         FROM orders
+        -- an undefined price cannot be ranked: NULL sorts FIRST in
+        -- Spark windows / LAST in DuckDB, and NaN sorts above every
+        -- real value in both — either would shift all decile bounds
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
     )
     SELECT decile, count(*) AS num_orders,
            round(min(o_totalprice), 2) AS min_price,
@@ -172,9 +183,9 @@ def q68_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring (at 100TB: approxQuantile range bounds instead)."""
     cat = Catalog(spark, sf_dir)
     w = Window.orderBy("o_totalprice", "o_orderkey")
-    tiled = cat.orders.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
-    )
+    tiled = cat.orders.filter(  # undefined prices cannot be ranked
+        F.col("o_totalprice").isNotNull() & ~F.isnan("o_totalprice")
+    ).select("o_totalprice", F.ntile(10).over(w).alias("decile"))
     return (
         tiled.groupBy("decile")
         .agg(

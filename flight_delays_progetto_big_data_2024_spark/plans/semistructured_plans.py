@@ -18,11 +18,19 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 @register(
     "q46_event_props_json",
     sql="""
+    -- json_valid guard: DuckDB's ->> hard-errors on malformed/empty
+    -- props where Spark's get_json_object yields NULL (wave-5 finding)
+    WITH j AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(props->>'k' AS INTEGER) END AS k
+        FROM events
+    )
     SELECT event_type,
-           count(TRY_CAST(props->>'k' AS INTEGER)) AS n_with_k,
-           round(avg(TRY_CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
-           max(TRY_CAST(props->>'k' AS INTEGER)) AS max_k
-    FROM events
+           count(k) AS n_with_k,
+           round(avg(k), 6) AS avg_k,
+           max(k) AS max_k
+    FROM j
     GROUP BY event_type
     ORDER BY event_type
     """,

@@ -39,6 +39,9 @@ from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
                          OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        -- F.session_window assigns NO session to a NULL event time
+        -- (wave-5 dirty-corpus finding)
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     numbered AS (
@@ -76,6 +79,7 @@ def q41_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT value, date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS ws
         FROM events, unnest([0, 1]) AS t(i)
+        WHERE ts IS NOT NULL  -- F.window drops NULL event times
     )
     GROUP BY ws
     ORDER BY window_start
@@ -141,9 +145,19 @@ def q43_purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_SQL = """
     WITH n AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        FROM embeddings
+        -- similarity._prep mirror: defined-cosine subspace only. The
+        -- inner WHERE runs before the dot product (DuckDB's vectorized
+        -- list_inner_product hard-errors when a chunk carries a NULL
+        -- list); isfinite then drops zero/NaN/Inf norms, matching the
+        -- Spark-side filter exactly (wave-5 dirty-corpus finding).
+        SELECT vec_id, v, nrm FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        ) WHERE isfinite(nrm) AND nrm > 0
     ),
     cent AS (
         SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16
@@ -416,8 +430,14 @@ def q90_daily_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
                count(*) AS n_orders,
-               sum(o_totalprice) AS day_value
-        FROM orders GROUP BY day
+               -- NaN -> NULL: a corrupt price must not poison the
+               -- trailing window (sum/avg skip NULL identically in
+               -- both engines; NaN propagation differs across frames)
+               sum(CASE WHEN isnan(o_totalprice) THEN NULL
+                        ELSE o_totalprice END) AS day_value
+        FROM orders
+        WHERE o_orderdate IS NOT NULL  -- undated orders have no day
+        GROUP BY day
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, n_orders,
            CAST(sum(n_orders) OVER w AS BIGINT) AS trailing_7d_orders,
@@ -437,11 +457,17 @@ def q91_trailing_week_order_volume(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql.window import Window
 
     cat = Catalog(spark, sf_dir)
-    daily = cat.orders.groupBy(
-        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").alias("day_value"),
+    daily = (
+        cat.orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # NaN -> NULL so the corrupt measurement skips the window
+            # aggregate instead of poisoning 7 days of trailing avg
+            F.sum(
+                F.when(~F.isnan("o_totalprice"), F.col("o_totalprice"))
+            ).alias("day_value"),
+        )
     )
     # RANGE frame needs a numeric/date ordering expression: days since
     # epoch makes the 6-preceding bound mean "6 calendar days"
@@ -469,6 +495,9 @@ def q91_trailing_week_order_volume(spark: SparkSession, sf_dir: str) -> DataFram
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev_type
         FROM events
+        -- no timestamp, no sequence position (Spark orders NULL ts
+        -- FIRST, DuckDB LAST — the transition direction would differ)
+        WHERE ts IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type,
            count(*) AS n_transitions,
@@ -488,13 +517,17 @@ def q92_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cat = Catalog(spark, sf_dir)
-    seq = cat.events.select(
-        "user_id",
-        "event_type",
-        F.lag("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("prev_type"),
-    ).filter(F.col("prev_type").isNotNull())
+    seq = (
+        cat.events.filter(F.col("ts").isNotNull())  # no ts, no position
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
     counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
@@ -742,6 +775,7 @@ def q118_corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         nth_value(value, 2) OVER w AS second_fill,
         count(*) OVER w AS volume
     FROM events
+    WHERE ts IS NOT NULL  -- no event time, no bucket (F.window's rule)
     WINDOW w AS (
         PARTITION BY date_trunc('hour', ts)
         ORDER BY ts, event_id
@@ -760,7 +794,8 @@ def q119_hourly_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     window output to one row per bucket."""
     from pyspark.sql.window import Window
 
-    events = Catalog(spark, sf_dir).events
+    # no event time, no bucket — mirrors the F.window family (q39-q42)
+    events = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     h = F.date_trunc("hour", F.col("ts"))
     w = (
         Window.partitionBy(h)
@@ -784,9 +819,19 @@ def q119_hourly_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXACT_TOPK_SQL = """
     WITH n AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        FROM embeddings
+        -- similarity._prep mirror: defined-cosine subspace only. The
+        -- inner WHERE runs before the dot product (DuckDB's vectorized
+        -- list_inner_product hard-errors when a chunk carries a NULL
+        -- list); isfinite then drops zero/NaN/Inf norms, matching the
+        -- Spark-side filter exactly (wave-5 dirty-corpus finding).
+        SELECT vec_id, v, nrm FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        ) WHERE isfinite(nrm) AND nrm > 0
     ),
     q AS (SELECT * FROM n WHERE vec_id < 5),
     scored AS (
