@@ -242,7 +242,13 @@ def q143_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(value, 0.50), 6) AS p50_exact,
            TRUE AS p50_within_bound,
            TRUE AS p95_within_bound
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM events
+    -- percentiles are defined over real measurements only: NULL joins
+    -- drop the NULL-type group asymmetrically on the Spark side, and
+    -- NaN sorts above every value in both engines but interpolates
+    -- differently (wave-5 finding)
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY event_type ORDER BY event_type
     """,
 )
 def q144_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,15 +270,25 @@ def q144_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame
     VALUE quantiles would false-alarm whenever ε·n < 1 element.)"""
     cat = Catalog(spark, sf_dir)
     eps = 1e-4  # rank tolerance = 1/accuracy
-    appx = cat.events.groupBy("event_type").agg(
+    # measurement domain: see the oracle comment — and the broadcast
+    # re-join below is an INNER equi-join, which would silently drop a
+    # NULL event_type group the GROUP BY had kept
+    events = cat.events.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    appx = events.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("__a50"),
         F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("__a95"),
         F.count(F.lit(1)).alias("__n"),
     )
-    joined = cat.events.select("event_type", "value").join(
-        F.broadcast(appx), "event_type"
-    )
+    # eqNullSafe: a NULL event_type is still a GROUP BY group in both
+    # engines, and a plain inner equi-join would silently drop it here
+    # (still plans BroadcastHashJoin)
+    joined = events.select("event_type", "value").join(
+        F.broadcast(appx.withColumnRenamed("event_type", "__et")),
+        F.col("event_type").eqNullSafe(F.col("__et")),
+    ).drop("__et")
     ranked = joined.groupBy("event_type").agg(
         F.any_value("p50_exact").alias("p50_exact"),
         F.any_value("__n").alias("n"),
@@ -343,7 +359,11 @@ def q145_sliding_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cuts AS (
         SELECT unnest(range(0, 101)) AS g,
                round(unnest(qs), 6) AS cut
-        FROM (SELECT quantile_cont(value, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS qs FROM events)
+        FROM (SELECT quantile_cont(value, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS qs FROM events
+          -- defined measurements only: a NULL value ranks FIRST in
+          -- Spark windows and LAST in DuckDB; NaN poisons quantile
+          -- interpolation differently (wave-5 finding)
+          WHERE value IS NOT NULL AND NOT isnan(value))
     ),
     r AS (
         SELECT event_type, value,
@@ -351,6 +371,7 @@ def q145_sliding_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS rk,
                (count(*) OVER (PARTITION BY event_type) - 1) AS nm1
         FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
     ),
     i AS (
         SELECT event_type,
@@ -384,9 +405,13 @@ def q146_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles from the same integer division on both sides), and
     cutpoints round at 1e-6 before interpolating."""
     cat = Catalog(spark, sf_dir)
+    # defined measurements only (see oracle comment)
+    events = cat.events.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     fracs = [g / 100.0 for g in range(101)]
     cuts = (
-        cat.events.agg(
+        events.agg(
             F.percentile("value", F.array([F.lit(x) for x in fracs])).alias("cs")
         )
         .select(F.posexplode("cs").alias("g", "cut"))
@@ -394,7 +419,7 @@ def q146_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("value")
     wn = Window.partitionBy("event_type")
-    r = cat.events.select(
+    r = events.select(
         "event_type",
         (F.rank().over(w) - 1).alias("rk"),
         (F.count(F.lit(1)).over(wn) - 1).alias("nm1"),
@@ -522,6 +547,9 @@ def q150_funnel_chain_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
                          OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        -- no event time, no sequence position (q41/q92 rule; Spark
+        -- orders NULL ts FIRST, DuckDB LAST)
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
@@ -557,7 +585,7 @@ def q151_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    marked = cat.events.select(
+    marked = cat.events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
         "event_id",
@@ -946,6 +974,9 @@ def q169_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        -- no event time, no sequence position (q41/q92 rule; Spark
+        -- orders NULL ts FIRST, DuckDB LAST)
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
@@ -977,7 +1008,7 @@ def q171_session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
     cat = Catalog(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    marked = cat.events.select(
+    marked = cat.events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
         "event_id",

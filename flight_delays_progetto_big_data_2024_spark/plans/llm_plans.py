@@ -245,7 +245,14 @@ def q29_cardinality_profile_approx(spark: SparkSession, sf_dir: str) -> DataFram
 _EMB_PREP_SQL = """
     SELECT vec_id, v, nrm FROM (
         SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+               -- norm via transform+sum, NOT list_dot_product: DuckDB's
+               -- vectorized list_inner_product evaluates over the whole
+               -- chunk and hard-errors on a NULL list in a row the WHERE
+               -- already deselected; the lambda form is NULL-safe under
+               -- any evaluation order (and bitwise-identical on valid
+               -- rows — same left-to-right accumulation)
+               sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                    x -> x * x), 'sum')) AS nrm
         FROM embeddings
         WHERE embedding IS NOT NULL
           AND len(list_filter(embedding, x -> x IS NULL)) = 0
@@ -2085,7 +2092,13 @@ def q108_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH per_cust AS (
         SELECT o_custkey, sum(o_totalprice) AS revenue
-        FROM orders GROUP BY o_custkey
+        FROM orders
+        -- NULL is not a customer; and a customer whose revenue is
+        -- undefined cannot be ranked (Spark ranks NULLs FIRST, DuckDB
+        -- LAST — every index i would shift differently)
+        WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+        HAVING sum(o_totalprice) IS NOT NULL
     ),
     ranked AS (
         SELECT revenue,
@@ -2113,8 +2126,12 @@ def q109_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cat = Catalog(spark, sf_dir)
-    per_cust = cat.orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("revenue")
+    per_cust = (
+        # NULL is not a customer; undefined revenue cannot be ranked
+        cat.orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .filter(F.col("revenue").isNotNull())
     )
     w = Window.orderBy("revenue", "o_custkey")
     ranked = per_cust.select(
@@ -2905,6 +2922,12 @@ def q128_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS id_contained, b.doc_id AS id_container
     FROM n a JOIN n b
       ON a.doc_id <> b.doc_id AND position(a.nm IN b.nm) > 0
+    -- the operator's domain: containment is defined for docs with at
+    -- least one full winnowing window (k+w-1 = 8 normalized chars).
+    -- Without this the brute force declares the EMPTY normalized text
+    -- "contained" in every document (position('' IN x) = 1) — 1000
+    -- phantom pairs per empty doc on a dirty corpus (wave-5 finding)
+    WHERE length(a.nm) >= 8
     ORDER BY id_contained, id_container
     """,
 )
@@ -2957,9 +2980,18 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
     # cheap groupBy (medians 6.2 / 5.0 / 6.2s at sf0.1)
     cat = Catalog(spark, sf_dir)
     fp = winnowing_fingerprints(cat.documents).persist()
+    nm = cat.documents.select("doc_id", normalize_text("text").alias("nm"))
+    # containment domain: the CONTAINED doc needs >= k+w-1 = 8
+    # normalized chars (one full winnowing window). Shorter docs carry
+    # only the whole-text-hash fallback fingerprint, which vacuously
+    # matches any byte-identical short doc — on a dirty corpus every
+    # empty doc "contained" every other empty doc (wave-5 finding; the
+    # oracle pins the same domain with length(a.nm) >= 8).
+    eligible = nm.filter(F.length("nm") >= 8).select("doc_id")
     dfreq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
     probe = (
-        fp.join(dfreq, "fingerprint")
+        fp.join(eligible, "doc_id")
+        .join(dfreq, "fingerprint")
         .withColumn(
             "rk",
             F.row_number().over(
@@ -2972,8 +3004,10 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
     # how many probe hits a true container must show: min(|fp|, k),
     # derived from the PERSISTED postings with a plain groupBy (a
     # window-derived count would re-execute the rank pass)
-    need = fp.groupBy("doc_id").agg(
-        F.least(F.count(F.lit(1)), F.lit(n_probe)).alias("need")
+    need = (
+        fp.join(eligible, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(n_probe)).alias("need"))
     )
     cands = (
         probe.join(
@@ -2987,7 +3021,6 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("got") == F.col("need"))
         .select("id_contained", "id_container")
     )
-    nm = cat.documents.select("doc_id", normalize_text("text").alias("nm"))
     verified = cands.join(
         nm.select(F.col("doc_id").alias("id_contained"), F.col("nm").alias("nm_in")),
         "id_contained",
@@ -3775,6 +3808,10 @@ def q173_alpha_smoothed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      / len(text)
                                 ELSE 0.0 END), 6) END AS quality
         FROM documents
+        -- a doc with NO text has no length or quality to rank: NULL
+        -- n_toks sorts FIRST in Spark windows, LAST in DuckDB, which
+        -- would shift every quintile boundary (wave-5 finding)
+        WHERE text IS NOT NULL
     ),
     tiled AS (
         SELECT ntile(5) OVER (ORDER BY n_toks, doc_id) AS len_q,
@@ -3796,7 +3833,7 @@ def q175_length_quality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cat = Catalog(spark, sf_dir)
-    q = cat.documents.select(
+    q = cat.documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(tokens("text")).alias("n_toks"),
         quality_score("text").alias("quality"),
@@ -4115,7 +4152,14 @@ def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFra
     ),
     prep AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+               -- norm via transform+sum, NOT list_dot_product: DuckDB's
+               -- vectorized list_inner_product evaluates over the whole
+               -- chunk and hard-errors on a NULL list in a row the WHERE
+               -- already deselected; the lambda form is NULL-safe under
+               -- any evaluation order (and bitwise-identical on valid
+               -- rows — same left-to-right accumulation)
+               sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                    x -> x * x), 'sum')) AS nrm
         FROM emb_all
         -- NULL lists / NULL elements must drop BEFORE the product:
         -- DuckDB's vectorized list_inner_product hard-errors on them

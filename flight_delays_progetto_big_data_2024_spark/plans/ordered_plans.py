@@ -168,6 +168,13 @@ def q130_daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              CAST(ts AS DATE))) AS mask,
                count(*) AS n_events
         FROM events
+        -- the bitmap's domain is day offsets 0..62 (bit 63 stays clear:
+        -- DuckDB's signed shift traps on it) — an event outside the
+        -- window, or with no timestamp, is outside the bitmap; a
+        -- negative offset hard-errors DuckDB's shift and silently
+        -- wraps mod 64 in Java (wave-5 finding)
+        WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              BETWEEN 0 AND 62
         GROUP BY user_id
     )
     SELECT bit_count(mask)::BIGINT AS active_days,
@@ -189,7 +196,11 @@ def q131_user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     day_idx = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
     masks = (
+        # bitmap domain = day offsets 0..62 (see oracle comment): a
+        # negative offset silently wraps mod 64 in Java shiftleft —
+        # garbage bits, not an error — and bit 63 is the DuckDB trap
         cat.events.select("user_id", day_idx.alias("__d"))
+        .filter(F.col("__d").between(0, 62))
         .groupBy("user_id")
         .agg(
             F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __d)")).alias("mask"),
@@ -256,10 +267,21 @@ def q132_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q136_winsorized_price_stats",
     sql="""
-    WITH bounds AS (
+    WITH li AS (
+        -- NaN is not a measurement: it sorts above every real value in
+        -- both engines but poisons quantile interpolation and the
+        -- greatest/least clamp differently (wave-5 finding). NULLs stay:
+        -- both engines skip them consistently in avg/percentile.
+        -- coalesce: keep NULL prices (both engines' avg/percentile
+        -- skip them) — Spark isnan(NULL)=false keeps them, DuckDB
+        -- NOT isnan(NULL)=NULL would drop them
+        SELECT * FROM lineitem
+        WHERE coalesce(NOT isnan(l_extendedprice), TRUE)
+    ),
+    bounds AS (
         SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
                quantile_cont(l_extendedprice, 0.99) AS hi
-        FROM lineitem
+        FROM li
     )
     SELECT l_linestatus,
            round(avg(l_extendedprice), 4) AS avg_raw,
@@ -269,7 +291,7 @@ def q132_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_clipped_low,
            sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)::BIGINT
                AS n_clipped_high
-    FROM lineitem, bounds
+    FROM li, bounds
     GROUP BY l_linestatus ORDER BY l_linestatus
     """,
 )
@@ -281,7 +303,8 @@ def q136_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx`` into winsorize_bounds (same shape, sketch
     merge instead of exact sort)."""
     cat = Catalog(spark, sf_dir)
-    with_bounds = winsorize_bounds(cat.lineitem, "l_extendedprice", 0.01, 0.99)
+    li = cat.lineitem.filter(~F.isnan("l_extendedprice"))  # see oracle
+    with_bounds = winsorize_bounds(li, "l_extendedprice", 0.01, 0.99)
     price = F.col("l_extendedprice")
     return (
         with_bounds.groupBy("l_linestatus")

@@ -52,6 +52,11 @@ def q37_multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFram
                octet_length(encode(text)) % 10 + 1 AS nf,
                least(3, octet_length(encode(text)) % 10 + 1) AS take
         FROM documents
+        -- the decode stage skips absent containers (NULL payload); the
+        -- oracle must too — DuckDB's least() IGNORES the NULL frame
+        -- count and would fabricate 3 NULL-indexed frames per corrupt
+        -- doc (wave-5 finding)
+        WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(j * nf // take AS INTEGER) AS frame_idx,

@@ -152,7 +152,14 @@ _IVF_SQL = """
         -- Spark-side filter exactly (wave-5 dirty-corpus finding).
         SELECT vec_id, v, nrm FROM (
             SELECT vec_id, embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   -- norm via transform+sum, NOT list_dot_product: DuckDB's
+               -- vectorized list_inner_product evaluates over the whole
+               -- chunk and hard-errors on a NULL list in a row the WHERE
+               -- already deselected; the lambda form is NULL-safe under
+               -- any evaluation order (and bitwise-identical on valid
+               -- rows — same left-to-right accumulation)
+               sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                    x -> x * x), 'sum')) AS nrm
             FROM embeddings
             WHERE embedding IS NOT NULL
               AND len(embedding) > 0
@@ -826,7 +833,14 @@ _EXACT_TOPK_SQL = """
         -- Spark-side filter exactly (wave-5 dirty-corpus finding).
         SELECT vec_id, v, nrm FROM (
             SELECT vec_id, embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   -- norm via transform+sum, NOT list_dot_product: DuckDB's
+               -- vectorized list_inner_product evaluates over the whole
+               -- chunk and hard-errors on a NULL list in a row the WHERE
+               -- already deselected; the lambda form is NULL-safe under
+               -- any evaluation order (and bitwise-identical on valid
+               -- rows — same left-to-right accumulation)
+               sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                    x -> x * x), 'sum')) AS nrm
             FROM embeddings
             WHERE embedding IS NOT NULL
               AND len(embedding) > 0

@@ -1,0 +1,97 @@
+"""Wave-5 regression pins: registered query vs registered oracle on a
+DIRTY corpus (NULL keys / NULL measures / REAL NaN doubles / empty and
+whitespace text / NULL and empty embeddings planted into sf0.001).
+
+The driver's correctness gate runs on clean testdata, so none of the
+wave-5 defect classes (ANSI divide-by-zero aborts, fabricated ''
+shingles, NULL-signature LSH buckets, DuckDB list_inner_product
+hard-errors, NULLS FIRST-vs-LAST window shifts, NaN clamp/quantile
+poisoning, vacuous whole-text-hash containment) can regress there —
+this suite re-runs the full engine-parity comparison on the corpus
+that exposed them. The planting harness is tools/dirty_sweep.py (the
+same one the ad-hoc full sweep uses; it writes NaN through DuckDB SQL
+literals because pandas->parquet silently rewrites NaN as NULL).
+
+One query per fixed root cause, plus the robustness umbrella q184.
+"""
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from tests.oracle_utils import assert_pandas_parity
+from tools.dirty_sweep import DIRTY, TABLES, build_dirty
+
+#: query -> the wave-5 defect class it pins
+PINNED = {
+    "q98_training_mixture_plan": "ANSI div0 abort -> try_divide (zero-token source)",
+    "q165_near_dup_edit_distances": "ANSI div0 abort (two empty normalized docs)",
+    "q166_weighted_sample_without_replacement": "ES weight domain n_chars > 0",
+    "q173_alpha_smoothed_mixture": "ANSI div0 abort (0/0 boost)",
+    "q32_ngram_jaccard_pairs": "fabricated '' shingle for zero-token docs",
+    "q33_minhash_lsh_near_dups": "NULL minhash signatures bucketed together",
+    "q30_embedding_topk_cosine": "DuckDB list_inner_product NULL-list hard-error",
+    "q44_embedding_ivf_topk": "raw IVF oracle scan of dirty embeddings",
+    "q114_cosine_histogram_sampled": "chunk-order-sensitive norm evaluation",
+    "q39_tumbling_hourly_events": "oracle NULL time bucket F.window never creates",
+    "q41_user_session_windows": "NULL ts in gaps-and-islands session split",
+    "q46_event_props_json": "DuckDB ->> hard-error on malformed JSON",
+    "q51_monthly_order_running_total": "NULLS FIRST/LAST running-total shift",
+    "q68_order_price_deciles": "NULL/NaN price shifts every ntile boundary",
+    "q92_event_type_transitions": "NULL-ts transition direction flip",
+    "q109_customer_revenue_gini": "NULL revenue rank shift (FIRST vs LAST)",
+    "q119_hourly_event_ohlc": "batch OHLC NULL bucket vs F.window family",
+    "q131_user_activity_bitmap": "negative day offset: DuckDB trap / Java mod-64 wrap",
+    "q136_winsorized_price_stats": "NaN through quantile + greatest/least clamp",
+    "q144_approx_percentile_bounds": "NULL-key inner join dropped a GROUP BY group",
+    "q146_quantile_normalization": "NaN/NULL rank + quantile interpolation",
+    "q156_exact_substring_containment": "empty doc 'contained' in everything",
+    "q171_session_depth_conversion": "NULL-ts session split",
+    "q175_length_quality_heatmap": "NULL text quintile shift",
+    "q38_multimodal_frame_sample": "DuckDB least() ignores NULL frame count",
+    "q184_dirty_corpus_robustness": "dirty-robustness umbrella on a dirtier corpus",
+}
+
+
+@pytest.fixture(scope="module")
+def dirty_env():
+    tmp = tempfile.mkdtemp(prefix="dirty_parity_")
+    build_dirty(__import__("pathlib").Path(tmp))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{tmp}/{t}.parquet')"
+        )
+    yield tmp, con
+    con.close()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_planted_nan_survives_parquet(dirty_env):
+    """The harness contract: NaN probes must reach the engines AS NaN.
+    pandas->parquet rewrites NaN to NULL (nan_as_null), which silently
+    un-plants the probe — the reason wave 5's first pass missed the
+    NaN defects in q136/q146."""
+    tmp, con = dirty_env
+    n = con.execute(
+        "SELECT count(*) FROM orders WHERE isnan(o_totalprice)"
+    ).fetchone()[0]
+    assert n == 1
+    assert any(
+        isinstance(v, float) and v != v
+        for row in DIRTY["orders"]
+        for v in row.values()
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_dirty_corpus_engine_parity(spark, dirty_env, name):
+    tmp, con = dirty_env
+    got = entry.queries()[name](spark, tmp).toPandas()
+    want = con.execute(entry.oracle_sql()[name]).fetchdf()
+    assert_pandas_parity(got, want)

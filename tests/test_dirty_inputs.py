@@ -47,11 +47,13 @@ def test_dedup_exact_folds_degenerate_texts(dirty):
 
 
 def test_pair_operators_survive_dirty_rows(dirty):
-    # empty-normalized docs ARE mutually identical -> the (3,4) pair is
-    # correct; the NULL doc must appear in no pair at all
+    # a zero-token doc has NO shingles and therefore pairs with NOTHING
+    # — not even another empty doc (wave-5 rule: the fabricated ''
+    # shingle made every empty doc a J=1 dup of every other empty doc,
+    # and DuckDB's comprehension never produced it); the NULL doc must
+    # appear in no pair at all
     assert {(r["id_a"], r["id_b"]) for r in jaccard_pairs(dirty).collect()} == {
         (1, 6),
-        (3, 4),
     }
     mh = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(dirty).collect()}
     assert (1, 6) in mh and not any(2 in p for p in mh)

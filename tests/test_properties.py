@@ -139,9 +139,10 @@ def test_jaccard_pairs_matches_bruteforce(spark, docs, k):
 
     def shingles(t):
         toks = t.split()
+        if not toks:  # zero tokens -> zero shingles (wave-5 rule)
+            return set()
         if len(toks) <= k:
-            span = " ".join(toks)
-            return {span}
+            return {" ".join(toks)}
         return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
     expected = {}

@@ -105,24 +105,45 @@ DIRTY: dict[str, list[dict]] = {
 }
 
 
+def _sql_lit(v, typ: str) -> str:
+    """DuckDB literal for a planted value. NaN must go through a SQL
+    literal: pandas->parquet silently rewrites float NaN as NULL
+    (nan_as_null), which un-plants the NaN probes entirely."""
+    if v is None:
+        return f"NULL::{typ}"
+    if isinstance(v, float) and math.isnan(v):
+        return f"'NaN'::{typ}"
+    if isinstance(v, float) and str(v) == "-0.0":
+        return f"(-0.0)::{typ}"
+    if isinstance(v, pd.Timestamp):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, list):
+        inner = ", ".join(str(x) for x in v)
+        return f"[{inner}]::{typ}"
+    return f"{v}::{typ}"
+
+
 def build_dirty(dst: Path) -> None:
+    con = duckdb.connect()
     for t in TABLES:
         src = Path(SRC_SF) / f"{t}.parquet"
-        base = pd.read_parquet(src)
-        extra = pd.DataFrame(DIRTY[t])
-        out = pd.concat([base, extra], ignore_index=True)
-        # preserve the clean dtypes (NULL/NaN planting must not widen
-        # int64 -> float64: Spark would then read a different schema)
-        for c in base.columns:
-            if base[c].dtype != out[c].dtype:
-                try:
-                    out[c] = out[c].astype(base[c].dtype)
-                except (TypeError, ValueError):
-                    # int col with NULL -> nullable Int64, parquet keeps
-                    # the physical int type
-                    if str(base[c].dtype).startswith("int"):
-                        out[c] = out[c].astype("Int64")
-        out.to_parquet(dst / f"{t}.parquet", index=False)
+        schema = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}')"
+        ).fetchall()
+        cols = [c[0] for c in schema]
+        types = {c[0]: c[1] for c in schema}
+        rows_sql = " UNION ALL ".join(
+            "SELECT " + ", ".join(
+                f"{_sql_lit(row.get(c), types[c])} AS {c}" for c in cols
+            )
+            for row in DIRTY[t]
+        )
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') UNION ALL "
+            f"{rows_sql}) TO '{dst / (t + '.parquet')}' (FORMAT parquet)"
+        )
 
 
 def main() -> None:
