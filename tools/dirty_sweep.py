@@ -40,7 +40,10 @@ TABLES = [
 # outside the clean key ranges so they join to nothing real; the point
 # is NULL/NaN/degenerate handling, where the two engines can disagree.
 NAN = float("nan")
+INF = float("inf")
 TS0 = pd.Timestamp("1997-06-15 12:00:00")
+#: in-corpus-range timestamp so Inf probes flow through every window
+TS1 = pd.Timestamp("2024-01-05 09:00:00")
 DIRTY: dict[str, list[dict]] = {
     "region": [
         {"r_regionkey": None, "r_name": None},
@@ -54,6 +57,8 @@ DIRTY: dict[str, list[dict]] = {
          "c_acctbal": None, "c_mktsegment": None},
         {"c_custkey": 990002, "c_name": "", "c_nationkey": None,
          "c_acctbal": NAN, "c_mktsegment": ""},
+        {"c_custkey": 990014, "c_name": "inf", "c_nationkey": None,
+         "c_acctbal": -INF, "c_mktsegment": "BUILDING"},
     ],
     "supplier": [
         {"s_suppkey": None, "s_name": None, "s_nationkey": None,
@@ -73,6 +78,9 @@ DIRTY: dict[str, list[dict]] = {
          "o_orderpriority": None},
         {"o_orderkey": 990005, "o_custkey": None, "o_orderstatus": "",
          "o_totalprice": NAN, "o_orderdate": TS0, "o_orderpriority": ""},
+        {"o_orderkey": 990011, "o_custkey": 990011, "o_orderstatus": "O",
+         "o_totalprice": INF, "o_orderdate": TS1,
+         "o_orderpriority": "1-URGENT"},
     ],
     "lineitem": [
         {"l_orderkey": None, "l_partkey": None, "l_suppkey": None,
@@ -83,12 +91,18 @@ DIRTY: dict[str, list[dict]] = {
          "l_linenumber": 1, "l_quantity": -1.0,
          "l_extendedprice": NAN, "l_discount": 0.0, "l_tax": 0.0,
          "l_returnflag": "", "l_linestatus": "", "l_shipdate": TS0},
+        {"l_orderkey": 990012, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 1, "l_quantity": 1.0,
+         "l_extendedprice": INF, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": TS1},
     ],
     "events": [
         {"event_id": None, "ts": None, "user_id": None,
          "event_type": None, "value": None, "props": None},
         {"event_id": 990007, "ts": TS0, "user_id": None,
          "event_type": "", "value": NAN, "props": ""},
+        {"event_id": 990013, "ts": TS1, "user_id": 990013,
+         "event_type": "view", "value": INF, "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
@@ -101,18 +115,21 @@ DIRTY: dict[str, list[dict]] = {
     "embeddings": [
         {"vec_id": None, "embedding": None, "label": None},
         {"vec_id": 990010, "embedding": [], "label": None},
+        {"vec_id": 990015, "embedding": [0.25] * 63 + [INF], "label": 3},
     ],
 }
 
 
 def _sql_lit(v, typ: str) -> str:
-    """DuckDB literal for a planted value. NaN must go through a SQL
-    literal: pandas->parquet silently rewrites float NaN as NULL
+    """DuckDB literal for a planted value. NaN/Inf must go through SQL
+    literals: pandas->parquet silently rewrites float NaN as NULL
     (nan_as_null), which un-plants the NaN probes entirely."""
     if v is None:
         return f"NULL::{typ}"
     if isinstance(v, float) and math.isnan(v):
         return f"'NaN'::{typ}"
+    if isinstance(v, float) and math.isinf(v):
+        return f"'{'-' if v < 0 else ''}Infinity'::{typ}"
     if isinstance(v, float) and str(v) == "-0.0":
         return f"(-0.0)::{typ}"
     if isinstance(v, pd.Timestamp):
@@ -120,7 +137,8 @@ def _sql_lit(v, typ: str) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, list):
-        inner = ", ".join(str(x) for x in v)
+        elem = typ[:-2] if typ.endswith("[]") else "DOUBLE"
+        inner = ", ".join(_sql_lit(float(x), elem) for x in v)
         return f"[{inner}]::{typ}"
     return f"{v}::{typ}"
 
