@@ -754,6 +754,17 @@ def pq_encode(
     extra grouping key."""
     from functools import reduce
 
+    # whole-vector domain, BEFORE slicing: kmeans_lloyd filters each
+    # SLICE's norm, so a vector with one non-finite element would keep
+    # its finite subspaces and produce a partial (meaningless) code
+    # word — a corrupt vector is outside the PQ domain entirely
+    # (wave-5 Inf-probe finding)
+    full = as_double_array(vec_col)
+    df = df.filter(
+        l2_norm(full).isNotNull()
+        & ~F.isnan(l2_norm(full))
+        & (l2_norm(full) < F.lit(float("inf")))
+    )
     parts = []
     for s in range(m):
         sliced = df.select(

@@ -1416,6 +1416,11 @@ def q79_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
                generate_subscripts(embedding, 1) AS pos
         FROM embeddings
+        -- kmeans_lloyd's vector domain (wave-5 Inf-probe finding)
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND isfinite(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum'))
     ),
     c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM e WHERE vec_id < 8),
     a1 AS (
@@ -1797,15 +1802,22 @@ def q100_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q101_zscore_normalization",
     sql="""
-    WITH stats AS (
+    WITH ev AS (
+        -- z-scores are defined over real measurements only: one Inf
+        -- value makes DuckDB's stddev_samp raise OUT OF RANGE where
+        -- Spark yields NaN (wave-5 Inf-probe finding)
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND isfinite(value)
+    ),
+    stats AS (
         SELECT event_type,
                avg(value) AS mu,
                stddev_samp(value) AS sigma
-        FROM events GROUP BY event_type
+        FROM ev GROUP BY event_type
     ),
     normed AS (
         SELECT e.event_type, (e.value - s.mu) / s.sigma AS z
-        FROM events e JOIN stats s USING (event_type)
+        FROM ev e JOIN stats s USING (event_type)
     )
     SELECT event_type,
            count(*) AS n,
@@ -1828,10 +1840,16 @@ def q101_zscore_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerically equal, but byte-distinguishable by a value hash. The
     explicit +0.0 normalizes negative zero to +0.0 on both sides."""
     cat = Catalog(spark, sf_dir)
-    stats = cat.events.groupBy("event_type").agg(
+    # defined measurements only (see oracle comment)
+    ev = cat.events.filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(float("inf")))
+    )
+    stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    normed = cat.events.join(F.broadcast(stats), "event_type").select(
+    normed = ev.join(F.broadcast(stats), "event_type").select(
         "event_type", ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z")
     )
     return (

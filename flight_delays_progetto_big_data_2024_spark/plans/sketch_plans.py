@@ -547,6 +547,13 @@ def q148_linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
                generate_subscripts(embedding, 1) AS pos,
                unnest(embedding::DOUBLE[]) AS val
         FROM embeddings
+        -- PQ/k-means vector domain (mirrors kmeans_lloyd/pq_encode):
+        -- a vector with a NULL or non-finite element is outside the
+        -- quantization domain entirely (wave-5 Inf-probe finding)
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND isfinite(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum'))
     ),
     c0 AS (SELECT vec_id AS cid, sub, pos, val AS cval FROM e WHERE vec_id < 8),
     a1 AS (
@@ -623,6 +630,13 @@ def q152_pq_codebook_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                generate_subscripts(embedding, 1) AS pos,
                unnest(embedding::DOUBLE[]) AS val
         FROM embeddings
+        -- PQ/k-means vector domain (mirrors kmeans_lloyd/pq_encode):
+        -- a vector with a NULL or non-finite element is outside the
+        -- quantization domain entirely (wave-5 Inf-probe finding)
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND isfinite(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum'))
     ),
     c0 AS (SELECT vec_id AS cid, sub, pos, val AS cval FROM e WHERE vec_id < 8),
     a1 AS (
@@ -827,6 +841,13 @@ def _pq_cte(p: str, src: str) -> str:
                generate_subscripts(embedding, 1) AS pos,
                unnest(embedding::DOUBLE[]) AS val
         FROM embeddings
+        -- PQ/k-means vector domain (mirrors kmeans_lloyd/pq_encode):
+        -- a vector with a NULL or non-finite element is outside the
+        -- quantization domain entirely (wave-5 Inf-probe finding)
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND isfinite(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum'))
     ),
     cent AS (SELECT vec_id AS cell, pos, val AS cval FROM e WHERE vec_id < 16),
     cnorm AS (SELECT cell, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY cell),

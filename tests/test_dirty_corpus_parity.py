@@ -54,6 +54,9 @@ PINNED = {
     "q175_length_quality_heatmap": "NULL text quintile shift",
     "q38_multimodal_frame_sample": "DuckDB least() ignores NULL frame count",
     "q184_dirty_corpus_robustness": "dirty-robustness umbrella on a dirtier corpus",
+    "q101_zscore_normalization": "Inf: DuckDB stddev_samp OUT OF RANGE vs Spark NaN",
+    "q80_kmeans_clusters": "Inf vector poisons oracle centroids (Spark drops it)",
+    "q152_pq_codebook_quality": "Inf element: partial PQ code word vs whole-vector domain",
 }
 
 
