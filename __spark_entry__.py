@@ -268,6 +268,9 @@ def _newest_green_round(records_dir: str | None = None) -> dict[str, int]:
 PLAN_CHANGED_AFTER: dict[str, int] = {
     "q156_exact_substring_containment": 5,
     "q186_url_canonical_dedup": 5,
+    # r4 evidence predates the round-6 events-family extension (the
+    # wave-5 timeline/measurement domain rules added four metrics)
+    "q184_dirty_corpus_robustness": 5,
 }
 
 

@@ -4203,6 +4203,34 @@ def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFra
                 PARTITION BY query_id ORDER BY cosine DESC, candidate_id
             ) AS rnk FROM scored
         ) WHERE rnk <= 5
+    ),
+    ev_all AS (
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        UNION ALL
+        SELECT * FROM (VALUES
+            (9000000001, NULL::TIMESTAMP, NULL, NULL, NULL::DOUBLE),
+            (9000000002, NULL::TIMESTAMP, 42, 'view', 7.5::DOUBLE),
+            (9000000003, TIMESTAMP '2024-01-05 09:00:00', 42, 'view',
+             'NaN'::DOUBLE),
+            (9000000004, TIMESTAMP '2024-01-06 09:00:00', 42, 'view',
+             'Infinity'::DOUBLE)
+        ) AS t(event_id, ts, user_id, event_type, value)
+    ),
+    ev_m AS (
+        -- timeline domain: an event without a timestamp joins no
+        -- window (ev_timed counts non-null ts). measurement domain:
+        -- NaN/Inf are not measurements (isfinite filter) but a
+        -- NULL-ts event still measures — the two domains are
+        -- independent (wave-5 rules, pinned under the driver hash)
+        SELECT count(*)::DOUBLE AS ev_total,
+               count(ts)::DOUBLE AS ev_timed,
+               round(stddev_samp(value) FILTER (
+                   WHERE event_type = 'view' AND value IS NOT NULL
+                     AND isfinite(value)), 6) + 0.0 AS view_sigma,
+               round(sum(value) FILTER (
+                   WHERE event_type = 'view' AND value IS NOT NULL
+                     AND isfinite(value)), 6) + 0.0 AS view_value_sum
+        FROM ev_all
     )
     SELECT metric, value FROM (
         SELECT 'docs_total' AS metric, count(*)::DOUBLE AS value FROM docs_all
@@ -4214,6 +4242,10 @@ def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFra
         UNION ALL SELECT 'emb_defined', count(*)::DOUBLE FROM defined
         UNION ALL SELECT 'topk_id_sum', sum(candidate_id)::DOUBLE FROM topk
         UNION ALL SELECT 'topk_cos_sum', round(sum(cosine), 6) + 0.0 FROM topk
+        UNION ALL SELECT 'ev_total', ev_total FROM ev_m
+        UNION ALL SELECT 'ev_timed', ev_timed FROM ev_m
+        UNION ALL SELECT 'view_sigma', view_sigma FROM ev_m
+        UNION ALL SELECT 'view_value_sum', view_value_sum FROM ev_m
     ) ORDER BY metric
     """,
 )
@@ -4295,6 +4327,43 @@ def q184_dirty_corpus_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("cosine"), 6) + F.lit(0.0)).alias("topk_cos_sum"),
     )
 
+    import datetime as _dt
+
+    # events family (round-6 wave-5 rules under the driver hash): the
+    # timeline domain (NULL ts joins no window) and the measurement
+    # domain (NaN/Inf are not measurements) are INDEPENDENT — the
+    # NULL-ts event still contributes its finite value
+    planted_ev = spark.createDataFrame(
+        [
+            (9000000001, None, None, None, None, None),
+            (9000000002, None, 42, "view", 7.5, None),
+            (9000000003, _dt.datetime(2024, 1, 5, 9), 42, "view",
+             float("nan"), None),
+            (9000000004, _dt.datetime(2024, 1, 6, 9), 42, "view",
+             float("inf"), None),
+        ],
+        schema=cat.events.schema,
+    )
+    ev_all = cat.events.unionByName(planted_ev)
+    finite_view = (
+        (F.col("event_type") == "view")
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(float("inf")))
+    )
+    ev_m = ev_all.agg(
+        F.count(F.lit(1)).cast("double").alias("ev_total"),
+        F.count("ts").cast("double").alias("ev_timed"),
+        (
+            F.round(F.stddev_samp(F.when(finite_view, F.col("value"))), 6)
+            + F.lit(0.0)
+        ).alias("view_sigma"),
+        (
+            F.round(F.sum(F.when(finite_view, F.col("value"))), 6)
+            + F.lit(0.0)
+        ).alias("view_value_sum"),
+    )
+
     def melt(df: DataFrame) -> DataFrame:
         pairs = ", ".join(f"'{c}', `{c}`" for c in df.columns)
         return df.selectExpr(
@@ -4306,6 +4375,7 @@ def q184_dirty_corpus_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(melt(emb_m))
         .unionByName(melt(defined_m))
         .unionByName(melt(topk_m))
+        .unionByName(melt(ev_m))
         .orderBy("metric")
     )
 
