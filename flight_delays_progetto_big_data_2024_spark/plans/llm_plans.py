@@ -2997,19 +2997,23 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
     # extra selectivity returns; k=2 cuts candidates ~8x for one
     # cheap groupBy (medians 6.2 / 5.0 / 6.2s at sf0.1)
     cat = Catalog(spark, sf_dir)
-    fp = winnowing_fingerprints(cat.documents).persist()
-    nm = cat.documents.select("doc_id", normalize_text("text").alias("nm"))
     # containment domain: the CONTAINED doc needs >= k+w-1 = 8
     # normalized chars (one full winnowing window). Shorter docs carry
     # only the whole-text-hash fallback fingerprint, which vacuously
     # matches any byte-identical short doc — on a dirty corpus every
     # empty doc "contained" every other empty doc (wave-5 finding; the
-    # oracle pins the same domain with length(a.nm) >= 8).
-    eligible = nm.filter(F.length("nm") >= 8).select("doc_id")
+    # oracle pins the same domain with length(a.nm) >= 8). The length
+    # RIDES the fingerprint relation via extra_cols — a filter on the
+    # persisted postings, not a join against a second corpus scan.
+    docs_nl = cat.documents.withColumn(
+        "__nmlen", F.length(normalize_text("text"))
+    )
+    fp = winnowing_fingerprints(docs_nl, extra_cols=("__nmlen",)).persist()
+    nm = cat.documents.select("doc_id", normalize_text("text").alias("nm"))
     dfreq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
+    fp_elig = fp.filter(F.col("__nmlen") >= 8)
     probe = (
-        fp.join(eligible, "doc_id")
-        .join(dfreq, "fingerprint")
+        fp_elig.join(dfreq, "fingerprint")
         .withColumn(
             "rk",
             F.row_number().over(
@@ -3022,10 +3026,8 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
     # how many probe hits a true container must show: min(|fp|, k),
     # derived from the PERSISTED postings with a plain groupBy (a
     # window-derived count would re-execute the rank pass)
-    need = (
-        fp.join(eligible, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.least(F.count(F.lit(1)), F.lit(n_probe)).alias("need"))
+    need = fp_elig.groupBy("doc_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(n_probe)).alias("need")
     )
     cands = (
         probe.join(

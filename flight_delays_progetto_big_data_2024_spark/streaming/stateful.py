@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -159,6 +160,18 @@ def sessionize_stream(
         if out:
             yield _emit(out)
 
+    # NaN -> NULL BEFORE the stateful function: the Arrow->pandas
+    # bridge renders BOTH SQL NULL and double NaN as float64 NaN, so
+    # the stateful code cannot tell a missing value from a corrupt one
+    # — making "NaN is not a measurement" (the wave-5 rule) the DEFINED
+    # streaming semantics keeps the conflation from silently deciding.
+    # (The batch analog's F.sum propagates NaN; a session fed NaN is
+    # the one documented stream/batch difference, chosen over emitting
+    # a value that depends on pandas dtype internals.)
+    events = events.withColumn(
+        value_col,
+        F.when(~F.isnan(F.col(value_col)), F.col(value_col)),
+    )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(key_col)

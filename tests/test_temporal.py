@@ -426,7 +426,8 @@ def test_sessionize_stream_survives_dirty_rows(spark, tmp_path):
 
     drop("b1", [(1, _ts(10, 0), 1, 1.0), (2, None, 1, 5.0),
                 (3, _ts(10, 5), 1, None), (4, _ts(10, 0), None, 3.0),
-                (6, _ts(10, 0), 7, None), (7, _ts(10, 2), 7, None)],
+                (6, _ts(10, 0), 7, None), (7, _ts(10, 2), 7, None),
+                (8, _ts(10, 1), 1, float("nan"))],
          _time.time() - 20)
     drop("b2", [(5, _ts(13, 0), 1, 4.0)], _time.time() - 10)
 
@@ -450,8 +451,12 @@ def test_sessionize_stream_survives_dirty_rows(spark, tmp_path):
         for r in collected
         if r["closed"]
     }
-    # NULL-ts event gone; NULL-value event counted with 0 contribution
-    assert (1, _ts(10, 0), 2, 1.0) in closed
+    # NULL-ts event gone; NULL-value event counted with 0 contribution;
+    # NaN value normalized to NULL before the stateful fn (the Arrow ->
+    # pandas bridge conflates NULL and NaN, so "NaN is not a
+    # measurement" is the DEFINED streaming semantics) — the session
+    # keeps the row but its total stays 1.0, never NaN
+    assert (1, _ts(10, 0), 3, 1.0) in closed
     # NULL key sessionized on its own
     assert (None, _ts(10, 0), 1, 3.0) in closed
     # a session whose values are ALL NULL emits a NULL total (F.sum's
