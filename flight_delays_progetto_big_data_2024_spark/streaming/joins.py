@@ -83,6 +83,13 @@ def _stream_interval_join(
     watermark: str,
     how: str,
 ) -> DataFrame:
+    # NULL event times never pass the range condition, and — worse — a
+    # NULL-ts LEFT row in the outer form can never be proven unmatched
+    # (the watermark comparison against left_ts + delay is NULL), so it
+    # would sit in the join state FOREVER: an unbounded state leak on a
+    # dirty stream. No event time, no interval (the F.window rule).
+    left = left.filter(F.col(left_ts).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
     l, r = left.withWatermark(left_ts, watermark), right.withWatermark(
         right_ts, watermark
     )
@@ -105,8 +112,13 @@ def stream_dedup(
     is the dedup CONTRACT: a duplicate older than the watermark can be
     re-emitted — size it to the transport's redelivery window, not to
     the data's full history."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(keys)
+    # NULL event times are dropped first: a row with no timestamp has
+    # no watermark horizon, so its dedup state could never be evicted —
+    # the same unbounded-state hazard as the interval join.
+    return (
+        stream.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
     )
 
 

@@ -422,6 +422,9 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         (2, "2024-01-01 10:05:00", 2.0),
         (1, "2024-01-01 10:20:00", 99.0),  # redelivery of event 1
         (3, "2024-01-01 11:00:00", 3.0),
+        (4, None, 4.0),  # no event time -> no watermark horizon: its
+        # dedup state could never evict, so the row is dropped (wave-5
+        # unbounded-state rule)
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts_s string, value double"
@@ -443,8 +446,62 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         r["event_id"]: r["value"]
         for r in spark.sql("SELECT * FROM dedup_test").collect()
     }
-    assert set(got) == {1, 2, 3}
+    assert set(got) == {1, 2, 3}  # NULL-ts event 4 dropped at the scan
     assert got[1] == 1.0  # first delivery won, redelivery dropped
+
+
+def test_stream_interval_join_outer_survives_null_ts(spark, tmp_path):
+    """A NULL-ts LEFT row in the outer interval join can never be
+    proven unmatched (watermark vs left_ts + delay is NULL), so it
+    would pin join state forever — the operator drops it at the scan.
+    The query must finish and emit exactly the timed rows."""
+    from flight_delays_progetto_big_data_2024_spark.streaming.joins import (
+        stream_interval_join_outer,
+    )
+
+    src = tmp_path / "ssjo_src"
+    src.mkdir()
+    lrows = [
+        (1, "2024-01-01 10:00:00"),
+        (2, None),            # NULL-ts left row: dropped, not retained
+        (3, "2024-01-01 12:00:00"),
+    ]
+    rrows = [
+        (1, "2024-01-01 10:30:00", 7.0),
+        (3, None, 9.0),       # NULL-ts right row: matches nothing
+    ]
+    ldf = spark.createDataFrame(
+        lrows, "user_id long, lts_s string"
+    ).selectExpr("user_id", "cast(lts_s as timestamp) as lts")
+    rdf = spark.createDataFrame(
+        rrows, "user_id long, rts_s string, value double"
+    ).selectExpr("user_id", "cast(rts_s as timestamp) as rts", "value")
+    ldf.coalesce(1).write.parquet(str(src / "l"))
+    rdf.coalesce(1).write.parquet(str(src / "r"))
+
+    ls = spark.readStream.schema(ldf.schema).parquet(str(src / "l"))
+    rs = spark.readStream.schema(rdf.schema).parquet(str(src / "r"))
+    out = stream_interval_join_outer(
+        ls, rs, key="user_id", left_ts="lts", right_ts="rts",
+        max_delay="1 hour", watermark="1 minute",
+    )
+    q = (
+        out.select("user_id", "value")
+        .writeStream.format("memory")
+        .queryName("ssjo_null_ts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["value"])
+        for r in spark.sql("SELECT * FROM ssjo_null_ts").collect()
+    }
+    # user 1 matched; user 3's only candidate had no ts (unmatched ->
+    # NULL value after its watermark passes); user 2 dropped entirely
+    assert (1, 7.0) in got
+    assert not any(u == 2 for u, _ in got)
 
 
 def test_decode_image_payloads_real_bytes(spark):
