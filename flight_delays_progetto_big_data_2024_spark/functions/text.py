@@ -14,10 +14,33 @@ from pyspark.sql import functions as F
 from flight_delays_progetto_big_data_2024_spark.functions.coerce import _c
 
 
+#: ASCII case-fold alphabet for :func:`ascii_lower`. Unicode lower()
+#: is NOT engine-portable: Java folds U+0130 (dotted capital I) to
+#: ``i`` + combining dot and applies the context-aware final-sigma rule
+#: (Σ -> ς at word end), while DuckDB's utf8proc uses the simple 1:1
+#: mapping (``i``, ``σ``) — one Turkish or Greek document and every
+#: fingerprint/shingle hash diverges (round-6 unicode probe).
+#: ``translate`` with an explicit alphabet is identical by
+#: construction in both engines; non-ASCII case pairs stay distinct,
+#: the standard determinism-over-recall trade for dedup keys.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: str | Column) -> Column:
+    """Engine-portable ASCII-only case fold (see ``_ASCII_UPPER``)."""
+    return F.translate(_c(col), _ASCII_UPPER, _ASCII_LOWER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_lower`."""
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
 def normalize_text(col: str | Column) -> Column:
-    """Lowercase, collapse whitespace runs, trim — the canonical form for
-    fingerprinting/dedup."""
-    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    """ASCII-case-fold, collapse whitespace runs, trim — the canonical
+    form for fingerprinting/dedup (portable fold: see ascii_lower)."""
+    return F.trim(F.regexp_replace(ascii_lower(col), r"\s+", " "))
 
 
 def fingerprint(col: str | Column) -> Column:
@@ -316,7 +339,9 @@ def canonicalize_url(
     url = _c(col)
     scheme_host = F.regexp_extract(url, _SCHEME_HOST_RE, 1)
     rest = url.substr(F.length(scheme_host) + 1, F.lit(2**30))
-    head = F.lower(scheme_host)
+    # host/scheme case-insensitivity is ASCII by RFC (IDNs travel as
+    # punycode) — the portable fold applies here too
+    head = ascii_lower(scheme_host)
     head = F.when(
         head.startswith("https://"), F.regexp_replace(head, ":443$", "")
     ).otherwise(F.regexp_replace(head, ":80$", ""))
@@ -344,9 +369,9 @@ def canonicalize_url_sql(
     global)."""
     sh = f"regexp_extract({url_expr}, '{_SCHEME_HOST_RE}', 1)"
     head = (
-        f"CASE WHEN starts_with(lower({sh}), 'https://') "
-        f"THEN regexp_replace(lower({sh}), ':443$', '', 'g') "
-        f"ELSE regexp_replace(lower({sh}), ':80$', '', 'g') END"
+        f"CASE WHEN starts_with({ascii_lower_sql(sh)}, 'https://') "
+        f"THEN regexp_replace({ascii_lower_sql(sh)}, ':443$', '', 'g') "
+        f"ELSE regexp_replace({ascii_lower_sql(sh)}, ':80$', '', 'g') END"
     )
     rest = f"substr({url_expr}, length({sh}) + 1)"
     for pat, rep in (

@@ -229,7 +229,15 @@ def chunk_documents_udtf(spark):
     @udtf(returnType="chunk_idx int, n_chunk_tokens int", useArrow=True)
     class ChunkDoc:
         def eval(self, text: str, chunk_size: int, stride: int):
-            toks = [t for t in (text or "").split() if t]
+            import re
+
+            # ASCII \s+ split, NOT str.split(): Python's bare split()
+            # treats UNICODE whitespace (NBSP, ideographic space) as
+            # separators, but the repo's tokens() contract — Spark
+            # split('\\s+') and DuckDB RE2 alike — is ASCII-only, so a
+            # single NBSP made the UDTF's token count disagree with
+            # every other operator (round-6 unicode probe)
+            toks = [t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t]
             n = len(toks)
             if n == 0:
                 return

@@ -62,7 +62,9 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 
 #: DuckDB needs the 'g' flag for global regexp_replace (Spark replaces
 #: all occurrences by default).
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+#: portable ASCII fold — mirrors functions.text.ascii_lower (Unicode
+#: lower() diverges between Java and utf8proc; round-6 probe)
+_NORM_SQL = "trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))"
 #: empty tokens filtered, mirroring functions.text.tokens (split of
 #: empty text must yield an EMPTY list, not [''])
 _TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
@@ -1956,7 +1958,7 @@ def q102_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
     v2 AS (
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 0
-                    THEN md5(trim(regexp_replace(lower(text || ' rev2'),
+                    THEN md5(trim(regexp_replace(translate(text || ' rev2', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                                  '\\s+', ' ', 'g')))
                     ELSE md5({_NORM_SQL}) END AS h
         FROM documents WHERE doc_id % 10 <> 0

@@ -111,6 +111,16 @@ DIRTY: dict[str, list[dict]] = {
          "n_chars": -1},
         {"doc_id": 990009, "text": "   \n\t  ", "lang": "xx",
          "source": "dirty://", "n_chars": 0},
+        # unicode case-folding / width probes: dotted capital I, sharp
+        # s (and capital sharp s), final sigma, ligature, astral-plane
+        # letters + emoji, combining mark, NBSP and zero-width space
+        {"doc_id": 990016,
+         "text": ("\u0130stanbul STRASSE stra\u00dfe \u1e9e "
+                  "\u03a3\u0399\u03a3\u03a5\u03a6\u039f\u03a3 "
+                  "ef\ufb03cient \U0001d4bd\U0001d4ee\U0001d4f5 "
+                  "\U0001f30d\U0001f30d caf\u00e9 cafe\u0301 "
+                  "a\u00a0b c\u200bd"),
+         "lang": "xx", "source": "unicode", "n_chars": 60},
     ],
     "embeddings": [
         {"vec_id": None, "embedding": None, "label": None},
