@@ -266,11 +266,30 @@ def _newest_green_round(records_dir: str | None = None) -> dict[str, int]:
 #: ``ref`` — the round-6 default keeps it (content-addressing), so the
 #: dedup families can genuinely differ and the query must re-verify.
 PLAN_CHANGED_AFTER: dict[str, int] = {
-    "q156_exact_substring_containment": 5,
-    "q186_url_canonical_dedup": 5,
-    # r4 evidence predates the round-6 events-family extension (the
-    # wave-5 timeline/measurement domain rules added four metrics)
-    "q184_dirty_corpus_robustness": 5,
+    # round-7 advisor fixes: word_shingles_of now coalesces NULL token
+    # arrays to zero shingles (the [NULL]-shingle phantom-pair defect)
+    # and char_shingles_of gained the same zero/NULL-content guard
+    # (fabricated [''] shingle, mirrored into _CHAR_SHINGLES_SQL).
+    # Every query whose plan embeds either expression must re-verify;
+    # clean-testdata results are value-identical, but evidence <= r6
+    # certified the OLD expressions. (q156/q186/q184 got fresh r6
+    # green records and left this dict.)
+    "q32_ngram_jaccard_pairs": 6,
+    "q33_minhash_lsh_near_dups": 6,
+    "q34_simhash_near_dups": 6,
+    "q54_char_shingle_jaccard": 6,
+    "q56_benchmark_decontamination": 6,
+    "q58_near_dup_clusters": 6,
+    "q121_dup_rate_by_source": 6,
+    "q123_cluster_safe_split": 6,
+    "q126_minhash_calibration": 6,
+    "q127_corpus_health_report": 6,
+    "q139_incremental_ingest_dedup": 6,
+    "q147_bloom_decontamination": 6,
+    "q159_full_curation_pipeline": 6,
+    "q165_near_dup_edit_distances": 6,
+    "q170_jaccard_pair_histogram": 6,
+    "q183_dup_cluster_quality_spread": 6,
 }
 
 

@@ -80,13 +80,18 @@ def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fold: str = "ascii",
 ) -> DataFrame:
     """Exact dedup on normalized-text fingerprint: one row per distinct
     text with the minimum id as representative + the duplicate count.
     (``dropDuplicates`` keeps an ARBITRARY row — min-id keep is
-    deterministic, which the oracle comparison requires.)"""
+    deterministic, which the oracle comparison requires.)
+
+    ``fold`` selects the case-fold recall/portability trade for the
+    dedup key (functions.text.FOLDS); the "ascii" default keeps every
+    committed driver hash unchanged."""
     return (
-        df.withColumn("text_hash", fingerprint(text_col))
+        df.withColumn("text_hash", fingerprint(text_col, fold))
         .groupBy("text_hash")
         .agg(
             F.min(id_col).alias(id_col),

@@ -226,18 +226,21 @@ def chunk_documents_udtf(spark):
     """
     from pyspark.sql.functions import udtf
 
+    import re
+
     @udtf(returnType="chunk_idx int, n_chunk_tokens int", useArrow=True)
     class ChunkDoc:
-        def eval(self, text: str, chunk_size: int, stride: int):
-            import re
+        # ASCII \s+ split, NOT str.split(): Python's bare split()
+        # treats UNICODE whitespace (NBSP, ideographic space) as
+        # separators, but the repo's tokens() contract — Spark
+        # split('\\s+') and DuckDB RE2 alike — is ASCII-only, so a
+        # single NBSP made the UDTF's token count disagree with
+        # every other operator (round-6 unicode probe). Compiled ONCE
+        # at class scope: eval() is the per-row hot path.
+        _WS = re.compile(r"\s+", re.ASCII)
 
-            # ASCII \s+ split, NOT str.split(): Python's bare split()
-            # treats UNICODE whitespace (NBSP, ideographic space) as
-            # separators, but the repo's tokens() contract — Spark
-            # split('\\s+') and DuckDB RE2 alike — is ASCII-only, so a
-            # single NBSP made the UDTF's token count disagree with
-            # every other operator (round-6 unicode probe)
-            toks = [t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t]
+        def eval(self, text: str, chunk_size: int, stride: int):
+            toks = [t for t in self._WS.split(text or "") if t]
             n = len(toks)
             if n == 0:
                 return

@@ -349,11 +349,16 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB slice n[i:j] is 1-based inclusive, so a k-char shingle at i is
 #: n[i:i+k-1]; both engines clamp at the string end, so texts shorter
-#: than k yield the whole text as their single shingle.
+#: than k yield the whole text as their single shingle. The CASE guard
+#: mirrors char_shingles_of's zero/NULL-content rule (no content = no
+#: shingles): the unguarded comprehension fabricated a [''] shingle for
+#: empty text — round-7 advisor finding.
 _CHAR_SHINGLES_SQL = f"""
     SELECT doc_id,
-           list_distinct([n[i:i+4]
-                          for i in generate_series(1, greatest(len(n)-4, 1))]) AS s
+           CASE WHEN coalesce(len(n), 0) = 0 THEN []::VARCHAR[]
+                ELSE list_distinct([n[i:i+4]
+                          for i in generate_series(1, greatest(len(n)-4, 1))])
+           END AS s
     FROM (SELECT doc_id, {_NORM_SQL} AS n FROM documents)
 """
 

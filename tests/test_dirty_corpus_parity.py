@@ -34,6 +34,7 @@ PINNED = {
     "q173_alpha_smoothed_mixture": "ANSI div0 abort (0/0 boost)",
     "q32_ngram_jaccard_pairs": "fabricated '' shingle for zero-token docs",
     "q33_minhash_lsh_near_dups": "NULL minhash signatures bucketed together",
+    "q54_char_shingle_jaccard": "char-family ['']/[NULL] shingles: empty/NULL docs phantom-paired (r7)",
     "q30_embedding_topk_cosine": "DuckDB list_inner_product NULL-list hard-error",
     "q44_embedding_ivf_topk": "raw IVF oracle scan of dirty embeddings",
     "q114_cosine_histogram_sampled": "chunk-order-sensitive norm evaluation",

@@ -84,6 +84,56 @@ def test_fingerprints_and_scores_skip_degenerates(dirty):
             assert 0.0 <= r["q"] <= 1.0
 
 
+def test_no_phantom_pairs_among_null_and_empty_docs(spark):
+    """Round-7 advisor pin: TWO NULL-text docs and TWO empty docs, word
+    AND char families. The word-shingle guard tested ``size(toks) == 0``,
+    which is NULL (not true) for a NULL token array — the otherwise
+    branch fabricated a ``[NULL]`` shingle, and xxhash64/array_intersect
+    treat NULL as a matching value, so every NULL-text pair was a
+    phantom J=1.0 near-dup (the oracle's list_intersect skips NULLs and
+    emits none). char_shingles additionally fabricated ``['']`` for
+    empty text in BOTH engines — parity green, output wrong. No-content
+    docs must pair with NOTHING, in every family."""
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        char_shingles,
+        char_shingles_of,
+        normalize_text,
+        word_shingles_of,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "s"),
+            (2, None, "s"),
+            (3, "", "s"),
+            (4, "  \t ", "s"),
+            (5, "shared text payload alpha beta gamma", "s"),
+            (6, "shared text payload alpha beta gamma", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # expression level: NULL/empty content -> EMPTY array, never [NULL]/['']
+    rows = docs.select(
+        "doc_id",
+        word_shingles_of(tokens("text")).alias("ws"),
+        char_shingles_of(normalize_text("text")).alias("cs"),
+    ).collect()
+    for r in rows:
+        if r["doc_id"] <= 4:
+            assert r["ws"] == [] and r["cs"] == [], r
+        else:
+            assert r["ws"] and r["cs"], r
+    # operator level: only the real duplicate pair survives, both families
+    for shingle_fn, kw in ((None, {}), (char_shingles, {"k": 5, "threshold": 0.75})):
+        kwargs = dict(kw, shingle_fn=shingle_fn) if shingle_fn else kw
+        got = {
+            (r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, **kwargs).collect()
+        }
+        assert got == {(5, 6)}, (shingle_fn, got)
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(docs).collect()}
+    assert mh == {(5, 6)}, mh
+
+
 def test_operators_accept_empty_relations(spark):
     """A pushed-down filter can legitimately leave a relation empty at
     scale; the dedup/similarity family must return empty results (not

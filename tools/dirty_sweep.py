@@ -111,6 +111,15 @@ DIRTY: dict[str, list[dict]] = {
          "n_chars": -1},
         {"doc_id": 990009, "text": "   \n\t  ", "lang": "xx",
          "source": "dirty://", "n_chars": 0},
+        # TWO NULL-text docs with REAL ids: one NULL-text row alone can
+        # never exercise the near-dup PAIRING path, which is where the
+        # round-7 [NULL]-shingle defect lived (two NULL-text docs were
+        # phantom J=1.0 near-dups in Spark while the oracle emitted no
+        # pair — xxhash64/array_intersect treat NULL as a value)
+        {"doc_id": 990017, "text": None, "lang": "xx",
+         "source": "dirty://", "n_chars": None},
+        {"doc_id": 990018, "text": None, "lang": None,
+         "source": "dirty://", "n_chars": 0},
         # unicode case-folding / width probes: dotted capital I, sharp
         # s (and capital sharp s), final sigma, ligature, astral-plane
         # letters + emoji, combining mark, NBSP and zero-width space
@@ -174,12 +183,54 @@ def build_dirty(dst: Path) -> None:
         )
 
 
+def _manifest_lit(v) -> str:
+    """Canonical string form of a planted value for the manifest digest
+    (repr is stable for None/int/str/list; NaN/Inf and Timestamps need
+    explicit spelling so the digest is platform-independent)."""
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, float) and math.isinf(v):
+        return "-Inf" if v < 0 else "Inf"
+    if isinstance(v, pd.Timestamp):
+        return f"TS({v})"
+    if isinstance(v, list):
+        return "[" + ",".join(_manifest_lit(x) for x in v) + "]"
+    return repr(v)
+
+
+def manifest_digest() -> str:
+    """Deterministic digest of the planted-row manifest. The committed
+    DIRTY_SWEEP_r*.json artifact records this; the staleness gate
+    (tests/test_dirty_sweep_evidence.py) recomputes it, so any edit to
+    the DIRTY rows invalidates old sweep evidence and forces a re-run —
+    the same committed-evidence-must-match-current-inputs pattern as
+    the scaling gate."""
+    import hashlib
+
+    canon = ";".join(
+        f"{t}:" + "|".join(
+            ",".join(f"{c}={_manifest_lit(row[c])}" for c in sorted(row))
+            for row in DIRTY[t]
+        )
+        for t in TABLES
+    )
+    return hashlib.md5(canon.encode()).hexdigest()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="", help="comma-separated qNN prefixes")
     ap.add_argument("--skip-slow", action="store_true")
+    ap.add_argument(
+        "--out",
+        default="",
+        help="write a DIRTY_SWEEP_r*.json evidence artifact (full sweeps "
+        "only — refused with --only, a partial sweep is not evidence)",
+    )
     args = ap.parse_args()
     only = [s for s in args.only.split(",") if s]
+    if args.out and only:
+        ap.error("--out requires a FULL sweep (drop --only)")
 
     tmp = Path(tempfile.mkdtemp(prefix="dirty_sf_"))
     try:
@@ -229,6 +280,30 @@ def main() -> None:
             print(f"CRASH {name} [{eng}]: {ex}")
         for name, ex in mism:
             print(f"MISMATCH {name}: {ex}")
+        if args.out:
+            import json
+
+            record = {
+                "sf": SRC_SF,
+                "manifest_digest": manifest_digest(),
+                "planted_rows": {t: len(DIRTY[t]) for t in TABLES},
+                "totals": {
+                    "match": len(ok),
+                    "mismatch": len(mism),
+                    "crash": len(crash),
+                    "rows_only_skipped": len(skipped),
+                },
+                "queries": {
+                    **{n: {"status": "match"} for n in ok},
+                    **{n: {"status": "mismatch", "detail": ex}
+                       for n, ex in mism},
+                    **{n: {"status": "crash", "engine": eng, "detail": ex}
+                       for n, eng, ex in crash},
+                    **{n: {"status": "rows_only_skipped"} for n in skipped},
+                },
+            }
+            Path(args.out).write_text(json.dumps(record, indent=1) + "\n")
+            print(f"wrote {args.out}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
