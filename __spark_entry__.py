@@ -274,6 +274,13 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # clean-testdata results are value-identical, but evidence <= r6
     # certified the OLD expressions. (q156/q186/q184 got fresh r6
     # green records and left this dict.)
+    # round-7 dirty-sweep fixes on the extended NULL-text corpus:
+    # q74 drops unmeasured quality before ranking (both engines),
+    # q79's oracle stops fabricating [NULL] fingerprints for NULL docs,
+    # q103 classifies snapshot presence by markers and drops NULL keys
+    "q74_quality_percentile_curation": 6,
+    "q79_winnowing_fingerprints": 6,
+    "q103_corpus_snapshot_diff": 6,
     "q32_ngram_jaccard_pairs": 6,
     "q33_minhash_lsh_near_dups": 6,
     "q34_simhash_near_dups": 6,

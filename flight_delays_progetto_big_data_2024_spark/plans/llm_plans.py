@@ -1098,11 +1098,14 @@ def q73_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     ),
     ranked AS (
+        -- unmeasured quality (NULL text) can't be ranked: one NULL row
+        -- per lang shifts every percent_rank, and Spark orders NULLS
+        -- FIRST where DuckDB orders NULLS LAST (round-7 dirty sweep)
         SELECT lang, quality,
                percent_rank() OVER (
                    PARTITION BY lang ORDER BY quality, doc_id
                ) AS prk
-        FROM scored
+        FROM scored WHERE quality IS NOT NULL
     )
     SELECT lang,
            count(*) AS n_kept,
@@ -1128,7 +1131,7 @@ def q74_quality_percentile_curation(spark: SparkSession, sf_dir: str) -> DataFra
     cat = Catalog(spark, sf_dir)
     scored = cat.documents.select(
         "doc_id", "lang", quality_score("text").alias("quality")
-    )
+    ).filter(F.col("quality").isNotNull())  # unmeasured can't be ranked
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     kept = scored.withColumn("prk", F.percent_rank().over(w)).filter(
         F.col("prk") >= 0.25
@@ -1360,7 +1363,14 @@ def q78_bpe_ish_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q79_winnowing_fingerprints",
     sql=f"""
-    WITH base AS (SELECT doc_id, source, {_NORM_SQL} AS nm FROM documents),
+    WITH base AS (
+        -- NULL text has no grams and therefore no fingerprints: the
+        -- engine's winnow pass drops such docs entirely, so the oracle
+        -- must not count them in n_docs (round-7 dirty sweep: the
+        -- unguarded form fabricated a [NULL] fingerprint per NULL doc)
+        SELECT doc_id, source, {_NORM_SQL} AS nm FROM documents
+        WHERE {_NORM_SQL} IS NOT NULL
+    ),
     g AS (
         SELECT doc_id, source,
                CASE WHEN len(nm) >= 5
@@ -1959,14 +1969,18 @@ def q102_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "q103_corpus_snapshot_diff",
     sql=f"""
-    WITH v1 AS (SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents),
+    -- NULL is not a key: an unkeyed doc can't be matched across
+    -- snapshots, and a USING-join leaves BOTH sides' key NULL for it,
+    -- double-counting it as added AND removed (round-7 dirty sweep)
+    WITH v1 AS (SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents
+                WHERE doc_id IS NOT NULL),
     v2 AS (
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 0
                     THEN md5(trim(regexp_replace(translate(text || ' rev2', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                                  '\\s+', ' ', 'g')))
                     ELSE md5({_NORM_SQL}) END AS h
-        FROM documents WHERE doc_id % 10 <> 0
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id IS NOT NULL
     )
     SELECT CAST(sum(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS added,
@@ -1989,9 +2003,23 @@ def q103_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup; v2 is simulated deterministically (every 10th doc dropped,
     every 7th edited) so the oracle replays it exactly."""
     cat = Catalog(spark, sf_dir)
-    v1 = cat.documents.select("doc_id", fingerprint("text").alias("h"))
+    # explicit presence markers: a NULL-TEXT doc has a NULL fingerprint
+    # (md5(NULL)), so "h IS NULL" conflated 'row absent from this
+    # snapshot' with 'row present with unreadable content' and counted
+    # every NULL-text doc as added AND removed (round-7 dirty sweep);
+    # the oracle classifies by side-key nullness, which markers mirror.
+    # A NULL-h doc present in BOTH snapshots lands in NO bucket: its
+    # content can't be compared, the same rule in both engines (NULL
+    # <> NULL and NULL = NULL are both unknown). NULL doc_ids are
+    # dropped at the scan — NULL is not a key, a row no join can match
+    # is in neither snapshot's key space.
+    v1 = cat.documents.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", fingerprint("text").alias("h"), F.lit(1).alias("__in_v1")
+    )
     v2 = (
-        cat.documents.filter(F.col("doc_id") % 10 != 0)
+        cat.documents.filter(
+            (F.col("doc_id") % 10 != 0) & F.col("doc_id").isNotNull()
+        )
         .select(
             "doc_id",
             F.when(
@@ -2000,15 +2028,17 @@ def q103_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(fingerprint("text"))
             .alias("h"),
+            F.lit(1).alias("__in_v2"),
         )
     )
     j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
     ah, bh = F.col("a.h"), F.col("b.h")
+    in1, in2 = F.col("a.__in_v1"), F.col("b.__in_v2")
     return j.agg(
-        F.sum(F.when(ah.isNull(), 1).otherwise(0)).cast("long").alias("added"),
-        F.sum(F.when(bh.isNull(), 1).otherwise(0)).cast("long").alias("removed"),
+        F.sum(F.when(in1.isNull(), 1).otherwise(0)).cast("long").alias("added"),
+        F.sum(F.when(in2.isNull(), 1).otherwise(0)).cast("long").alias("removed"),
         F.sum(
-            F.when(ah.isNotNull() & bh.isNotNull() & (ah != bh), 1).otherwise(0)
+            F.when(in1.isNotNull() & in2.isNotNull() & (ah != bh), 1).otherwise(0)
         ).cast("long").alias("changed"),
         F.sum(F.when(ah == bh, 1).otherwise(0)).cast("long").alias("unchanged"),
     )

@@ -221,28 +221,44 @@ class RunningTotalsProcessor(StatefulProcessor):
     """
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
-        self._agg = handle.getValueState("agg", "n bigint, total double, batches bigint")
+        self._agg = handle.getValueState(
+            "agg", "n bigint, total double, batches bigint, nn bigint"
+        )
 
     def handleInputRows(self, key, rows, timerValues):
+        """NULL contract (round-7, mirroring the batch analog
+        ``groupBy(key).agg(count(*), sum(value))`` and the sessionize
+        fix): a NULL key is its OWN group, emitted with a NULL user_id
+        — ``int(None)`` crashed the whole query on one dirty row; a
+        NULL/NaN value counts toward ``n`` but not the total (the
+        Arrow→pandas bridge conflates NULL and NaN, so "NaN is not a
+        measurement" is the defined semantics); a key whose EVERY value
+        is NULL has a NULL total (``F.sum`` over nothing), carried by a
+        non-null-count in state and a nullable Float64 column — a bare
+        float64 would re-conflate the NULL with NaN on the way out."""
         import pandas as pd
 
-        n, total, batches = 0, 0.0, 0
+        n, total, batches, nn = 0, 0.0, 0, 0
         if self._agg.exists():
-            n, total, batches = self._agg.get()
-        add_n, add_total = 0, 0.0
+            n, total, batches, nn = self._agg.get()
         for pdf in rows:
-            add_n += len(pdf)
-            add_total += float(pdf["value"].sum())
-        n += add_n
-        total += add_total
+            n += len(pdf)
+            vals = pd.to_numeric(pdf["value"], errors="coerce")
+            nn += int(vals.notna().sum())
+            s = vals.sum(skipna=True)
+            total += float(0.0 if pd.isna(s) else s)
         batches += 1
-        self._agg.update((n, total, batches))
+        self._agg.update((n, total, batches, nn))
         (user_id,) = key
         yield pd.DataFrame(
             {
-                "user_id": [int(user_id)],
+                "user_id": pd.array(
+                    [None if user_id is None else int(user_id)], dtype="Int64"
+                ),
                 "n": [n],
-                "total": [round(total, 6)],
+                "total": pd.array(
+                    [None if nn == 0 else round(total, 6)], dtype="Float64"
+                ),
                 "batches": [batches],
             }
         )
