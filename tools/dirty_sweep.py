@@ -135,6 +135,13 @@ DIRTY: dict[str, list[dict]] = {
         {"vec_id": None, "embedding": None, "label": None},
         {"vec_id": 990010, "embedding": [], "label": None},
         {"vec_id": 990015, "embedding": [0.25] * 63 + [INF], "label": 3},
+        # TWO of each degenerate kind with REAL ids (round-7 principle:
+        # one degenerate row can never exercise the PAIRING path —
+        # two NULL/empty/non-finite vectors must not become cosine-1
+        # neighbors, semantic-dup pairs, or shared k-means/PQ cells)
+        {"vec_id": 990019, "embedding": None, "label": 1},
+        {"vec_id": 990020, "embedding": [], "label": 2},
+        {"vec_id": 990021, "embedding": [0.5] * 63 + [NAN], "label": 3},
     ],
 }
 
