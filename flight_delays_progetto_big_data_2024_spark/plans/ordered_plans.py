@@ -80,17 +80,22 @@ def q129_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q130_daily_peak_concurrency",
     sql="""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_session
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        -- event_id tiebreaker: with tied (user_id, ts) rows a ts-only
+        -- sort can order the ties differently in this window vs the
+        -- running-sum window below (unstable parallel sorts), landing
+        -- the new_session=1 flag mid-tie and splitting a session
+        -- (round-7 tie-probe finding on q41's twin decomposition)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
         SELECT user_id, ts,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING
                ) AS session_id
         FROM marked
@@ -128,11 +133,17 @@ def q130_daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (F.session_window's window end is last+gap, not the last event, so
     # the generic operator isn't reused here); both windows are
     # partitioned by user — no global funnel.
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) total order: the flag window and the running-sum
+    # window are TWO window evaluations — under tied (user_id, ts) rows
+    # an unstable sort may permute the ties between them, landing the
+    # new_session=1 flag mid-tie and splitting one session in two
+    # (round-7 tie-probe finding; nondeterministic under executor load)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = cat.events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (

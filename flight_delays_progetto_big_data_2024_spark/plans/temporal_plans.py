@@ -34,7 +34,7 @@ from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
     "q41_user_session_windows",
     sql="""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_session
@@ -42,12 +42,19 @@ from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
         -- F.session_window assigns NO session to a NULL event time
         -- (wave-5 dirty-corpus finding)
         WHERE ts IS NOT NULL
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        -- event_id tiebreaker: the two-window decomposition is only
+        -- sort-stable under a TOTAL order — with tied (user_id, ts)
+        -- rows, a ts-only sort may order the ties differently in the
+        -- flag window vs the running-sum window (parallel sorts are
+        -- unstable), landing the new_session=1 flag mid-tie and
+        -- splitting one session in two (round-7 tie-probe finding;
+        -- flaked under load, 825 vs 826 sessions)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
         SELECT user_id, ts, value,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING
                ) AS session_id
         FROM marked

@@ -802,3 +802,61 @@ def test_q64_oracle_parity_on_null_text_corpus(spark, tmp_path):
     )
     want = con.execute(entry.oracle_sql()[name]).fetchdf()
     assert_pandas_parity(got, want)
+
+
+def test_session_queries_stable_under_tied_timestamps(spark, tmp_path):
+    """Tied (user_id, ts) events must not split sessions: the q41/q130
+    gaps-and-islands oracles decompose sessionization into a flag window
+    plus a running-sum window, and with a ts-only sort the two window
+    evaluations may order tied rows DIFFERENTLY (parallel sorts are
+    unstable) — the new_session=1 flag lands mid-tie and one session
+    becomes two. Round-7 tie-probe finding: flaked under load as an
+    825-vs-826 session count; fixed by the (ts, event_id) total order in
+    BOTH windows of BOTH engines. This corpus plants a 3-way tie on a
+    real user, a 2-way tie on another, and a 2-way tie among NULL users
+    so every tied-flag path is exercised deterministically."""
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import assert_pandas_parity
+
+    base_ts = pd.Timestamp("2024-01-05 09:00:00")
+    rows = [  # (event_id, minutes, user_id, event_type, value)
+        (991000, 400, 991002, "", 2.5),
+        (991001, 90, 991001, "view", 1.0),
+        (991002, 90, 991001, "click", 2.0),
+        (991003, 90, 991001, "purchase", 3.0),
+        (991004, 0, None, "view", -1.0),
+        (991005, 0, None, "", -1.0),
+        (991006, 400, 991002, None, None),
+        (991009, 90, None, None, -1.0),
+    ]
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    extra = spark.createDataFrame(
+        [
+            (eid, (base_ts + pd.Timedelta(minutes=m)).to_pydatetime(),
+             uid, etype, val, "{}")
+            for eid, m, uid, etype, val in rows
+        ],
+        events.schema,
+    )
+    sf = str(tmp_path)
+    events.unionByName(extra).write.parquet(f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    try:
+        for name in (
+            "q41_user_session_windows",
+            "q130_daily_peak_concurrency",
+            "q171_session_depth_conversion",
+        ):
+            got = entry.queries()[name](spark, sf).toPandas()
+            want = con.execute(entry.oracle_sql()[name]).fetchdf()
+            assert_pandas_parity(got, want)
+    finally:
+        con.close()
