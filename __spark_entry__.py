@@ -285,6 +285,15 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # identical, but evidence <= r6 certified the ts-only decomposition.
     "q41_user_session_windows": 6,
     "q130_daily_peak_concurrency": 6,
+    # round-7 tie/positive-control sweep fixes: q70/q129 oracles gained
+    # the scd2 undated-change mirror (NULL-ts view rows fabricated a
+    # trailing version DuckDB-side), q130 drops undated rows at the
+    # scan in both engines, q163 gained the zero-norm cosine guard
+    # (antipodal pair cancels a half-centroid to exactly zero -> ANSI
+    # divide-by-zero abort where DuckDB said NaN).
+    "q70_user_value_scd2": 6,
+    "q129_scd2_snapshot_asof": 6,
+    "q163_label_centroid_drift": 6,
     "q74_quality_percentile_curation": 6,
     "q79_winnowing_fingerprints": 6,
     "q103_corpus_snapshot_diff": 6,

@@ -3420,7 +3420,12 @@ def q161_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.label
     )
     SELECT label, n_dims::BIGINT AS n_dims,
-           round(dot / (na * nb), 6) AS centroid_cosine
+           -- zero-norm guard (cohesion rule): a half whose centroid is
+           -- the zero vector has NO direction — cosine is undefined
+           -- (NULL), not an ANSI divide-by-zero abort. Reachable: an
+           -- antipodal pair alone in one half cancels exactly.
+           round(CASE WHEN na * nb <> 0 THEN dot / (na * nb) END, 6)
+               AS centroid_cosine
     FROM dots ORDER BY label
     """,
 )
@@ -3452,17 +3457,21 @@ def q163_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cent.filter(F.col("half") == 1).select(
         "label", "pos", F.col("c").alias("cb")
     )
+    # zero-norm guard (cohesion rule): a zero-vector centroid has no
+    # direction — cosine is NULL, not an ANSI divide-by-zero abort.
+    # NaN norms (non-finite components) flow through unchanged: NaN
+    # compares <> 0 under both engines' total orders, and NaN/NaN is
+    # the matching DuckDB result.
+    den = F.sqrt(F.sum(F.col("ca") * F.col("ca"))) * F.sqrt(
+        F.sum(F.col("cb") * F.col("cb"))
+    )
     return (
         a.join(b, ["label", "pos"])
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_dims"),
             F.round(
-                F.sum(F.col("ca") * F.col("cb"))
-                / (
-                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
-                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
-                ),
+                F.when(den != 0, F.sum(F.col("ca") * F.col("cb")) / den),
                 6,
             ).alias("centroid_cosine"),
         )

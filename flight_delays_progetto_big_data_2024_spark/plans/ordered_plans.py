@@ -38,7 +38,9 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
                row_number() OVER w AS version,
                ts AS valid_from,
                lead(ts) OVER w AS valid_to
-        FROM events WHERE event_type = 'view'
+        -- undated changes are dropped (scd2_from_changes contract;
+        -- q70's round-7 NULL-ts pair finding — mirrored here too)
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, version,
@@ -85,6 +87,11 @@ def q129_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        -- undated rows have no timeline place (q41 rule): a user with
+        -- ONLY NULL-ts events otherwise yields a NULL-endpoint session
+        -- here that Spark's max_concurrency drops — one phantom
+        -- NULL-day row (round-7 NULL-ts pair finding)
+        WHERE ts IS NOT NULL
         -- event_id tiebreaker: with tied (user_id, ts) rows a ts-only
         -- sort can order the ties differently in this window vs the
         -- running-sum window below (unstable parallel sorts), landing
@@ -140,7 +147,10 @@ def q130_daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-7 tie-probe finding; nondeterministic under executor load)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    marked = cat.events.select(
+    # undated rows have no timeline place (q41 rule) — dropped at the
+    # scan in BOTH engines rather than relying on min/max NULL-skipping
+    # plus max_concurrency's NULL-endpoint drop to coincide
+    marked = cat.events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
         "event_id",

@@ -328,7 +328,11 @@ def q69_promo_window_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER w AS version,
                ts AS valid_from,
                lead(ts) OVER w AS valid_to
-        FROM events WHERE event_type = 'view'
+        -- undated changes are dropped (scd2_from_changes contract):
+        -- without this mirror, a NULL-ts change sorts LAST here
+        -- (DuckDB) and fabricates an extra trailing version the Spark
+        -- side never builds (round-7 NULL-ts pair finding)
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT version,

@@ -58,6 +58,11 @@ PINNED = {
     "q101_zscore_normalization": "Inf: DuckDB stddev_samp OUT OF RANGE vs Spark NaN",
     "q80_kmeans_clusters": "Inf vector poisons oracle centroids (Spark drops it)",
     "q152_pq_codebook_quality": "Inf element: partial PQ code word vs whole-vector domain",
+    # round-7 tie / NULL-ts-pair / positive-control finds
+    "q70_user_value_scd2": "NULL-ts view change fabricated a trailing version (oracle lacked the undated-change mirror)",
+    "q130_daily_peak_concurrency": "all-undated user: phantom NULL-day session row oracle-side; tied-ts session splits",
+    "q163_label_centroid_drift": "antipodal pair cancels a half-centroid to zero: ANSI div0 abort vs DuckDB NaN",
+    "q58_near_dup_clusters": "positive control: planted dup pair + unicode 3-clique must cluster identically",
 }
 
 
@@ -99,3 +104,24 @@ def test_dirty_corpus_engine_parity(spark, dirty_env, name):
     got = entry.queries()[name](spark, tmp).toPandas()
     want = con.execute(entry.oracle_sql()[name]).fetchdf()
     assert_pandas_parity(got, want)
+
+
+def test_positive_control_pairs_surface(spark, dirty_env):
+    """Parity alone is vacuous if BOTH engines drop the planted
+    duplicates — this asserts the round-7 positive controls actually
+    travel the pairing path: the ASCII dup pair and the byte-identical
+    unicode 3-clique must appear as J=1.0 exact-Jaccard pairs, and the
+    one-token-changed variant must stay below 1.0."""
+    tmp, _ = dirty_env
+    got = entry.queries()["q32_ngram_jaccard_pairs"](spark, tmp).toPandas()
+    pairs = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])
+    }
+    assert pairs.get((990030, 990031)) == 1.0
+    for a, b in ((990016, 990032), (990016, 990033), (990032, 990033)):
+        assert pairs.get((a, b)) == 1.0
+    near = pairs.get((990030, 990034))
+    if near is not None:  # one changed token: J<1 by construction
+        assert near < 1.0
+    assert pairs.get((990031, 990034), near) == near

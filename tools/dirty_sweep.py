@@ -103,6 +103,26 @@ DIRTY: dict[str, list[dict]] = {
          "event_type": "", "value": NAN, "props": ""},
         {"event_id": 990013, "ts": TS1, "user_id": 990013,
          "event_type": "view", "value": INF, "props": "{}"},
+        # round-7 tie probes: tied (user_id, ts) rows are the input
+        # class where a ts-only window sort is nondeterministic — the
+        # q41/q130 gaps-and-islands decompositions split one session
+        # into two under load before the (ts, event_id) total-order
+        # fix. A 3-way same-user tie exercises flag+running-sum,
+        # sequence (lag/lead), and rank paths; the cluster also ties
+        # with 990013 ACROSS users for global sweep-line windows.
+        {"event_id": 990022, "ts": TS1, "user_id": 990022,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 990023, "ts": TS1, "user_id": 990022,
+         "event_type": "click", "value": 2.0, "props": "{}"},
+        {"event_id": 990024, "ts": TS1, "user_id": 990022,
+         "event_type": "purchase", "value": 3.0, "props": "{}"},
+        # two undated events for the SAME user — the pairing form of
+        # "undated rows have no timeline place": they must not order,
+        # session, or interval-pair with each other
+        {"event_id": 990025, "ts": None, "user_id": 990025,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 990026, "ts": None, "user_id": 990025,
+         "event_type": "click", "value": 2.0, "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
@@ -130,6 +150,45 @@ DIRTY: dict[str, list[dict]] = {
                   "\U0001f30d\U0001f30d caf\u00e9 cafe\u0301 "
                   "a\u00a0b c\u200bd"),
          "lang": "xx", "source": "unicode", "n_chars": 60},
+        # round-7 POSITIVE controls: planted TRUE duplicate pairs. The
+        # negative controls only prove degenerate rows stay OUT of the
+        # pairing paths; these prove real pairs come THROUGH them
+        # identically in both engines (exact dedup keep-first, J=1.0
+        # near-dups, cluster membership). Vocabulary is the corpus
+        # pool, so the planted shingles share df mass with real docs
+        # and travel the inverted-index/prefix-filter paths at
+        # realistic selectivity. 990034 differs from the pair by ONE
+        # middle token (J ~ 0.6 on 3-word shingles) to exercise
+        # below-threshold scoring without fabricating a near-dup.
+        {"doc_id": 990030,
+         "text": "spark window merge join filter table scan batch "
+                 "stream data key order sort",
+         "lang": "en", "source": "web", "n_chars": 77},
+        {"doc_id": 990031,
+         "text": "spark window merge join filter table scan batch "
+                 "stream data key order sort",
+         "lang": "en", "source": "dirty://", "n_chars": 77},
+        {"doc_id": 990034,
+         "text": "spark window merge join vector table scan batch "
+                 "stream data key order sort",
+         "lang": "en", "source": "web", "n_chars": 77},
+        # identical twins of the 990016 unicode probe -> a 3-clique:
+        # hashing/case-folding parity must hold on the PAIRING path
+        # for non-ASCII bytes, not just per-row
+        {"doc_id": 990032,
+         "text": ("\u0130stanbul STRASSE stra\u00dfe \u1e9e "
+                  "\u03a3\u0399\u03a3\u03a5\u03a6\u039f\u03a3 "
+                  "ef\ufb03cient \U0001d4bd\U0001d4ee\U0001d4f5 "
+                  "\U0001f30d\U0001f30d caf\u00e9 cafe\u0301 "
+                  "a\u00a0b c\u200bd"),
+         "lang": "xx", "source": "unicode", "n_chars": 60},
+        {"doc_id": 990033,
+         "text": ("\u0130stanbul STRASSE stra\u00dfe \u1e9e "
+                  "\u03a3\u0399\u03a3\u03a5\u03a6\u039f\u03a3 "
+                  "ef\ufb03cient \U0001d4bd\U0001d4ee\U0001d4f5 "
+                  "\U0001f30d\U0001f30d caf\u00e9 cafe\u0301 "
+                  "a\u00a0b c\u200bd"),
+         "lang": "xx", "source": "unicode", "n_chars": 60},
     ],
     "embeddings": [
         {"vec_id": None, "embedding": None, "label": None},
@@ -142,6 +201,21 @@ DIRTY: dict[str, list[dict]] = {
         {"vec_id": 990019, "embedding": None, "label": 1},
         {"vec_id": 990020, "embedding": [], "label": 2},
         {"vec_id": 990021, "embedding": [0.5] * 63 + [NAN], "label": 3},
+        # round-7 POSITIVE controls: an identical pair (cosine exactly
+        # 1.0 — the >= threshold boundary) and its antipodal twin
+        # (cosine exactly -1.0). Components are exact binary quarters,
+        # so dot products and norms are bit-identical in both engines
+        # regardless of summation order; the pair must surface in
+        # every cosine/semantic-dup/ANN family identically.
+        {"vec_id": 990030,
+         "embedding": [((i % 7) + 1) / 4.0 for i in range(64)],
+         "label": 1},
+        {"vec_id": 990031,
+         "embedding": [((i % 7) + 1) / 4.0 for i in range(64)],
+         "label": 2},
+        {"vec_id": 990032,
+         "embedding": [-((i % 7) + 1) / 4.0 for i in range(64)],
+         "label": 1},
     ],
 }
 
