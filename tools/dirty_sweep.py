@@ -308,6 +308,16 @@ def main() -> None:
         help="write a DIRTY_SWEEP_r*.json evidence artifact (full sweeps "
         "only — refused with --only, a partial sweep is not evidence)",
     )
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="run under the hostile partition layout (shuffle.partitions"
+        "=7, 64 KB input splits, AQE off — test_partition_invariance's "
+        "regime). Composes the three adversarial axes: dirty values x "
+        "tied sort keys x unstable partitioning; tie-order defects like "
+        "the q41/q130 session split only manifest under layouts that "
+        "actually permute ties.",
+    )
     args = ap.parse_args()
     only = [s for s in args.only.split(",") if s]
     if args.out and only:
@@ -321,6 +331,10 @@ def main() -> None:
         from tests.oracle_utils import assert_pandas_parity
 
         spark = get_spark("dirty-sweep")
+        if args.hostile:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         con = duckdb.connect()
         for t in TABLES:
             con.execute(
@@ -366,6 +380,7 @@ def main() -> None:
 
             record = {
                 "sf": SRC_SF,
+                "hostile_layout": bool(args.hostile),
                 "manifest_digest": manifest_digest(),
                 "planted_rows": {t: len(DIRTY[t]) for t in TABLES},
                 "totals": {
