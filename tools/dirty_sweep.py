@@ -123,6 +123,26 @@ DIRTY: dict[str, list[dict]] = {
          "event_type": "view", "value": 1.0, "props": "{}"},
         {"event_id": 990026, "ts": None, "user_id": 990025,
          "event_type": "click", "value": 2.0, "props": "{}"},
+        # session-gap boundary trio: a gap of EXACTLY 2h merges (the
+        # contract is strictly-greater), 2h + 1 microsecond splits.
+        # Probes the double-cast-seconds arithmetic (Spark plans)
+        # against microsecond-integer INTERVAL comparison (DuckDB) at
+        # the representability edge.
+        {"event_id": 990027, "ts": TS1, "user_id": 990027,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 990028,
+         "ts": TS1 + pd.Timedelta(hours=2), "user_id": 990027,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 990029,
+         "ts": TS1 + pd.Timedelta(hours=4, microseconds=1),
+         "user_id": 990027, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        # negative zero as the ONLY measurement of its (user, type)
+        # group: the driver's value hash distinguishes IEEE -0.0 from
+        # +0.0, so any rounded aggregate landing on this group must
+        # normalize the zero sign in BOTH engines (the q101 rule)
+        {"event_id": 990030, "ts": TS1, "user_id": 990030,
+         "event_type": "error", "value": -0.0, "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
