@@ -127,15 +127,33 @@ def max_concurrency(
     intervals = intervals.filter(
         F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
     )
+    # ONE pass over the (possibly expensive) interval relation: explode
+    # each interval into its +1/-1 sweep events in the same projection.
+    # The union formulation scanned `intervals` twice — when the input
+    # is itself a windowed computation (q130's sessionization), that
+    # recomputes the whole upstream per branch at scale.
     deltas = intervals.select(
-        F.col(start_col).alias("__ts"), F.lit(1).alias("__delta")
-    ).unionByName(
-        intervals.select(F.col(end_col).alias("__ts"), F.lit(-1).alias("__delta"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("__ts"), F.lit(1).alias("__delta")
+                ),
+                F.struct(
+                    F.col(end_col).alias("__ts"), F.lit(-1).alias("__delta")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.__ts", "__e.__delta")
     b = F.to_date("__ts") if bucket is None else bucket
     deltas = deltas.withColumn(bucket_name, b)
     # order -delta ascending == delta descending (starts first at ties)
     deltas = deltas.withColumn("__negdelta", -F.col("__delta"))
+    # bucketed_running_sum references its input twice (bucket totals +
+    # the decorated join); deltas is tiny (2 rows per interval, already
+    # reduced by the upstream aggregation) — persist it so the upstream
+    # pipeline runs exactly once however many times the prefix-sum
+    # decomposition fans out.
+    deltas = deltas.persist()
     running = bucketed_running_sum(
         deltas,
         order_cols=["__ts", "__negdelta"],
