@@ -382,9 +382,16 @@ def kmeans_lloyd(
             & (F.col("__nrm") < F.lit(float("inf")))
         )
     )
+    # persist the exploded relation: every iteration references it
+    # TWICE (assignment join + centroid update), so an unpersisted
+    # lineage re-scans and re-explodes the source 2x per iteration —
+    # the dominant cost at corpus scale (q180's plan showed 112 file
+    # scans across its two PQ trainings before this). This is the
+    # MLlib convention: cache the training input, iterate over the
+    # cache. Centroids stay tiny and recompute freely.
     e = clean.select(
         F.col(id_col), F.posexplode("__v").alias("pos", "val")
-    )
+    ).persist()
     cent = e.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"), "pos", F.col("val").alias("cval")
     )
@@ -760,11 +767,15 @@ def pq_encode(
     # word — a corrupt vector is outside the PQ domain entirely
     # (wave-5 Inf-probe finding)
     full = as_double_array(vec_col)
+    # persist the domain-filtered vectors: all m subspace slices read
+    # the same relation — unpersisted, each slice re-derives the whole
+    # upstream (for residual inputs that is the entire coarse-assign
+    # pipeline, m times over)
     df = df.filter(
         l2_norm(full).isNotNull()
         & ~F.isnan(l2_norm(full))
         & (l2_norm(full) < F.lit(float("inf")))
-    )
+    ).persist()
     parts = []
     for s in range(m):
         sliced = df.select(
