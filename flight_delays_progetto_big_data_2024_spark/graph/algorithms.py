@@ -41,6 +41,13 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-vertex (in_degree, out_degree) over the directed edge set —
     GraphFrames' inDegrees/outDegrees as one aggregation each
     (reference graphframes_flights.py:37-41; SURVEY.md G2)."""
+    # the edge relation is referenced three times (in-degree aggregate,
+    # out-degree aggregate, vertex derivation) — when it is itself a
+    # computed graph (the fact-table join-aggregate behind
+    # _nation_edges), an unpersisted lineage replays that upstream per
+    # reference; cache it once (caller owns the lifetime —
+    # session.release_caches)
+    edges = edges.persist()
     in_deg = edges.groupBy(F.col(dst).alias("id")).agg(
         F.count("*").alias("in_degree")
     )
