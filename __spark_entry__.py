@@ -266,53 +266,25 @@ def _newest_green_round(records_dir: str | None = None) -> dict[str, int]:
 #: ``ref`` — the round-6 default keeps it (content-addressing), so the
 #: dedup families can genuinely differ and the query must re-verify.
 PLAN_CHANGED_AFTER: dict[str, int] = {
-    # round-7 advisor fixes: word_shingles_of now coalesces NULL token
-    # arrays to zero shingles (the [NULL]-shingle phantom-pair defect)
-    # and char_shingles_of gained the same zero/NULL-content guard
-    # (fabricated [''] shingle, mirrored into _CHAR_SHINGLES_SQL).
-    # Every query whose plan embeds either expression must re-verify;
-    # clean-testdata results are value-identical, but evidence <= r6
-    # certified the OLD expressions. (q156/q186/q184 got fresh r6
-    # green records and left this dict.)
-    # round-7 dirty-sweep fixes on the extended NULL-text corpus:
-    # q74 drops unmeasured quality before ranking (both engines),
-    # q79's oracle stops fabricating [NULL] fingerprints for NULL docs,
-    # q103 classifies snapshot presence by markers and drops NULL keys
-    # round-7 tie-probe fix: q41/q130's gaps-and-islands windows gained
-    # the (ts, event_id) total order (ts-only sorts split sessions
-    # nondeterministically on tied timestamps — flaked 825 vs 826 under
-    # load); clean testdata has no (user_id, ts) ties so values are
-    # identical, but evidence <= r6 certified the ts-only decomposition.
-    "q41_user_session_windows": 6,
-    "q130_daily_peak_concurrency": 6,
-    # round-7 tie/positive-control sweep fixes: q70/q129 oracles gained
-    # the scd2 undated-change mirror (NULL-ts view rows fabricated a
-    # trailing version DuckDB-side), q130 drops undated rows at the
-    # scan in both engines, q163 gained the zero-norm cosine guard
-    # (antipodal pair cancels a half-centroid to exactly zero -> ANSI
-    # divide-by-zero abort where DuckDB said NaN).
-    "q70_user_value_scd2": 6,
-    "q129_scd2_snapshot_asof": 6,
-    "q163_label_centroid_drift": 6,
-    "q74_quality_percentile_curation": 6,
-    "q79_winnowing_fingerprints": 6,
-    "q103_corpus_snapshot_diff": 6,
-    "q32_ngram_jaccard_pairs": 6,
-    "q33_minhash_lsh_near_dups": 6,
-    "q34_simhash_near_dups": 6,
-    "q54_char_shingle_jaccard": 6,
-    "q56_benchmark_decontamination": 6,
-    "q58_near_dup_clusters": 6,
-    "q121_dup_rate_by_source": 6,
-    "q123_cluster_safe_split": 6,
-    "q126_minhash_calibration": 6,
-    "q127_corpus_health_report": 6,
-    "q139_incremental_ingest_dedup": 6,
-    "q147_bloom_decontamination": 6,
-    "q159_full_curation_pipeline": 6,
-    "q165_near_dup_edit_distances": 6,
-    "q170_jaccard_pair_histogram": 6,
-    "q183_dup_cluster_quality_spread": 6,
+    # round-8 advisor fix: word_shingles_of's zero/NULL-token guard was
+    # rewritten mode-independently (``toks.isNull() | (size(toks)==0)``
+    # instead of ``coalesce(size(toks),0)==0``, which silently broke
+    # under spark.sql.ansi.enabled=false where size(NULL) is -1). The
+    # session now also pins ANSI on, so values are identical on every
+    # corpus — but evidence <= r7 certified the OLD guard expression.
+    # The 8 queries below are exactly those whose analyzed plan embeds
+    # the word-shingle subtree (mechanical scan of all 184 plans for
+    # the ``array_join(slice(`` signature, round 8). All 24 round-7
+    # entries re-verified green in CORRECTNESS_r07.json and left the
+    # dict.
+    "q32_ngram_jaccard_pairs": 7,
+    "q33_minhash_lsh_near_dups": 7,
+    "q56_benchmark_decontamination": 7,
+    "q126_minhash_calibration": 7,
+    "q139_incremental_ingest_dedup": 7,
+    "q147_bloom_decontamination": 7,
+    "q165_near_dup_edit_distances": 7,
+    "q170_jaccard_pair_histogram": 7,
 }
 
 

@@ -164,9 +164,16 @@ def word_shingles_of(toks: Column, k: int = 3) -> Column:
     matching value, so any two NULL-text docs became phantom J=1.0
     near-dups (O(n²) pairs on dirty corpora) while DuckDB's
     ``list_intersect`` skips NULLs and emitted none (round-7 advisor
-    finding)."""
+    finding).
+
+    The guard is ANSI-mode-independent: ``isNull`` catches the NULL
+    array before ``size`` is consulted, so it holds whether
+    ``size(NULL)`` is NULL (ANSI, the Spark 4 default — also pinned in
+    ``session.get_spark``) or the legacy ``-1`` (``sizeOfNull`` with
+    ``spark.sql.ansi.enabled=false``), where a ``coalesce(size(x), 0)``
+    form would see ``-1 != 0`` and fall through (round-8 advisor)."""
     return F.when(
-        F.coalesce(F.size(toks), F.lit(0)) == 0, F.array().cast("array<string>")
+        toks.isNull() | (F.size(toks) == 0), F.array().cast("array<string>")
     ).otherwise(
         F.array_distinct(
             F.transform(

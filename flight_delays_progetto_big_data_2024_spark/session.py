@@ -39,6 +39,12 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
+        # ANSI is the Spark 4 default, but several NULL-domain guards
+        # (e.g. functions.text shingle guards) and every oracle-parity
+        # hash were certified under ANSI semantics — pin it so a
+        # cluster-level spark.sql.ansi.enabled=false override cannot
+        # silently swap sizeOfNull/cast/divide behavior underneath them.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -221,8 +221,21 @@ class RunningTotalsProcessor(StatefulProcessor):
     """
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
+        # State-schema evolution (round-8 advisor): the running tuple
+        # widened from 3 fields to 4 when the non-null count ``nn`` was
+        # added (round-7 NULL contract). Re-declaring the ORIGINAL
+        # ``agg`` variable with the wider schema would make any
+        # pre-change checkpoint fail at state binding (schema
+        # incompatibility) — so the widened tuple lives under a NEW
+        # state name, and the legacy 3-field variable is kept readable
+        # for one-touch migration in ``handleInputRows`` (seeding
+        # ``nn = n``, the pre-change always-emit semantics). Fresh
+        # checkpoints simply never populate the legacy variable.
         self._agg = handle.getValueState(
-            "agg", "n bigint, total double, batches bigint, nn bigint"
+            "agg2", "n bigint, total double, batches bigint, nn bigint"
+        )
+        self._legacy = handle.getValueState(
+            "agg", "n bigint, total double, batches bigint"
         )
 
     def handleInputRows(self, key, rows, timerValues):
@@ -241,6 +254,14 @@ class RunningTotalsProcessor(StatefulProcessor):
         n, total, batches, nn = 0, 0.0, 0, 0
         if self._agg.exists():
             n, total, batches, nn = self._agg.get()
+        elif self._legacy.exists():
+            # pre-``nn`` checkpoint: migrate on first touch. The old
+            # processor emitted a (possibly 0.0) total unconditionally,
+            # i.e. it behaved as if every counted value were a
+            # measurement — ``nn = n`` preserves that for carried keys.
+            n, total, batches = self._legacy.get()
+            nn = n
+            self._legacy.clear()
         for pdf in rows:
             n += len(pdf)
             vals = pd.to_numeric(pdf["value"], errors="coerce")

@@ -11,6 +11,13 @@ does for growth exponents:
   re-run;
 - its query set must cover the CURRENT registered SQL-backed surface —
   registering a query without sweeping it is a coverage regression.
+
+Round-8 advisor: the gate is parametrized over BOTH artifact families —
+the clean-layout sweep AND the hostile-layout sweep
+(DIRTY_SWEEP_HOSTILE_r*.json, produced by ``dirty_sweep.py --hostile``:
+shuffle.partitions=7 + 64 KB splits + AQE off + tie clusters). The r7
+gate globbed only the clean pattern, so the committed HOSTILE artifact
+(cited in README as evidence) could silently rot.
 """
 
 import glob
@@ -18,16 +25,25 @@ import json
 import os
 import re
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: (glob pattern, expected `hostile_layout` flag inside the artifact)
+ARTIFACT_FAMILIES = [
+    ("DIRTY_SWEEP_r*.json", False),
+    ("DIRTY_SWEEP_HOSTILE_r*.json", True),
+]
+_IDS = ["clean", "hostile"]
 
-def _newest_artifact():
-    paths = glob.glob(os.path.join(REPO, "DIRTY_SWEEP_r*.json"))
+
+def _newest_artifact(pattern):
+    paths = glob.glob(os.path.join(REPO, pattern))
     assert paths, (
-        "no DIRTY_SWEEP_r*.json committed — run "
-        "`python tools/dirty_sweep.py --out DIRTY_SWEEP_r<N>.json` (alone, "
-        "~8 min) and commit the result; the 182/182 dirty-parity claim "
-        "needs committed evidence"
+        f"no {pattern} committed — run `python tools/dirty_sweep.py "
+        f"{'--hostile ' if 'HOSTILE' in pattern else ''}--out <artifact>` "
+        "(alone, ~8 min) and commit the result; the 182/182 dirty-parity "
+        "claim needs committed evidence"
     )
     def rnd(p):
         return int(re.search(r"_r(\d+)\.json$", p).group(1))
@@ -36,8 +52,12 @@ def _newest_artifact():
         return path, json.load(fh)
 
 
-def test_committed_sweep_is_clean():
-    path, rec = _newest_artifact()
+@pytest.mark.parametrize("pattern,hostile", ARTIFACT_FAMILIES, ids=_IDS)
+def test_committed_sweep_is_clean(pattern, hostile):
+    path, rec = _newest_artifact(pattern)
+    assert rec["hostile_layout"] is hostile, (
+        f"{os.path.basename(path)} layout flag does not match its name"
+    )
     assert rec["totals"]["mismatch"] == 0 and rec["totals"]["crash"] == 0, (
         f"{os.path.basename(path)} records divergences — fix them and "
         f"re-run the sweep: "
@@ -46,13 +66,14 @@ def test_committed_sweep_is_clean():
     assert rec["totals"]["match"] > 0
 
 
-def test_committed_sweep_matches_current_corpus():
+@pytest.mark.parametrize("pattern,hostile", ARTIFACT_FAMILIES, ids=_IDS)
+def test_committed_sweep_matches_current_corpus(pattern, hostile):
     """Editing the planted rows (tools.dirty_sweep.DIRTY) must invalidate
     old sweep evidence — the artifact's manifest digest is recomputed
     from the live module here."""
     from tools.dirty_sweep import manifest_digest
 
-    path, rec = _newest_artifact()
+    path, rec = _newest_artifact(pattern)
     assert rec["manifest_digest"] == manifest_digest(), (
         f"{os.path.basename(path)} was produced against a DIFFERENT dirty "
         "corpus than the current tools/dirty_sweep.py plants — re-run the "
@@ -60,13 +81,14 @@ def test_committed_sweep_matches_current_corpus():
     )
 
 
-def test_committed_sweep_covers_registered_surface():
+@pytest.mark.parametrize("pattern,hostile", ARTIFACT_FAMILIES, ids=_IDS)
+def test_committed_sweep_covers_registered_surface(pattern, hostile):
     """Every currently-registered SQL-backed query must appear in the
     sweep with status 'match'; rows-only queries (no oracle) must be the
     only skips."""
     import __spark_entry__ as entry
 
-    _, rec = _newest_artifact()
+    _, rec = _newest_artifact(pattern)
     qs, osql = entry.queries(), entry.oracle_sql()
     missing = [n for n in qs if n in osql and rec["queries"].get(n, {}).get("status") != "match"]
     assert not missing, f"registered SQL-backed queries not dirty-swept clean: {missing}"

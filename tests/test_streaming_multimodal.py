@@ -607,8 +607,7 @@ def test_decode_image_payloads_real_png(spark):
     png_gray = encode_png(4, 2, gray, 1, row_filters=[4, 1])
     rgba = bytes(range(32))
     png_rgba = encode_png(4, 2, rgba, 4, row_filters=[2, 4])
-    truncated = png_plain[:-8]  # IEND clipped mid-chunk is fine, clip IDAT:
-    truncated = png_plain[: len(png_plain) // 2]
+    truncated = png_plain[: len(png_plain) // 2]  # clipped mid-IDAT
     # palette-type PNG (color type 3): honest-subset rejection
     def chunk(typ, data):
         return (
@@ -776,9 +775,15 @@ def test_running_totals_null_contract_matches_batch_analog(spark):
         def update(self, v):
             self._v = tuple(v)
 
+        def clear(self):
+            self._v = None
+
     class _StubHandle:
+        def __init__(self):
+            self.states = {}
+
         def getValueState(self, name, schema):
-            return _StubState()
+            return self.states.setdefault(name, _StubState())
 
     # per-key micro-batches: (key, [values...]) in arrival order
     batches = [
@@ -826,3 +831,64 @@ def test_running_totals_null_contract_matches_batch_analog(spark):
             assert pd.isna(last[key]["total"])
         else:
             assert last[key]["total"] == total
+
+
+def test_running_totals_migrates_legacy_3field_checkpoint():
+    """Round-8 advisor: the running-totals value state widened from
+    (n, total, batches) to (n, total, batches, nn) in round 7. The
+    widened tuple now lives under a NEW state name ("agg2") so a
+    pre-change checkpoint still BINDS (re-declaring "agg" with the
+    wider schema would fail state-schema compatibility), and the legacy
+    3-tuple migrates on first touch with nn = n (the pre-change
+    always-emit semantics) and is cleared."""
+    import pandas as pd
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.stateful import (
+        RunningTotalsProcessor,
+    )
+
+    class _StubState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class _StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _StubState())
+
+    handle = _StubHandle()
+    proc = RunningTotalsProcessor()
+    proc.init(handle)
+    assert set(handle.states) == {"agg", "agg2"}  # legacy stays declared
+    # simulate restart from a pre-change checkpoint: legacy "agg" holds
+    # a 3-tuple, the new "agg2" is empty
+    handle.states["agg"].update((4, 10.0, 2))
+
+    (out,) = proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": pd.Series([2.0, None], dtype="float64")})]), None
+    )
+    row = out.iloc[0]
+    # carried: n=4+2, total=10+2, batches=2+1; nn seeded to legacy n(4)+1
+    assert (row["user_id"], row["n"], row["total"], row["batches"]) == (7, 6, 12.0, 3)
+    assert handle.states["agg2"].get() == (6, 12.0, 3, 5)
+    assert not handle.states["agg"].exists()  # migrated state cleared
+
+    # second batch reads agg2, never re-migrates
+    (out2,) = proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": pd.Series([1.0], dtype="float64")})]), None
+    )
+    assert handle.states["agg2"].get() == (7, 13.0, 4, 6)
