@@ -198,6 +198,9 @@ VERIFY_NEXT: list[str] = [
     "q183_dup_cluster_quality_spread",  # new in r2 (survivor-policy audit)
     "q184_dirty_corpus_robustness",  # new in r4 (planted dirty rows; the one
     # registration allowed through the freeze — judge round-3 item 6)
+    "q187_pca_gram_moments",  # new in r8 (judge item 3: the distributed
+    # mean+Gram stage of q137's PCA, value-checked cell-for-cell —
+    # shrinks the rows-only surface to the d×d driver eigensolve)
 ]
 
 

@@ -342,3 +342,64 @@ def test_sampled_histogram_buckets_subset_of_exact(spark):
     for r in sampled_cosine_histogram(emb).collect():
         assert r["n_sampled"] <= exact.get(r["bucket"], 0)
         assert r["est_pairs"] == 16 * r["n_sampled"]
+
+
+def test_pca_gram_moments_matches_numpy_and_drops_undefined_vectors(spark):
+    """pca_gram_moments (q187, the value-checked distributed stage of
+    PCA): moments must equal a numpy re-computation with the same
+    floor(x*2^20) quantization over the clean vectors ONLY — NULL
+    vectors, NULL/NaN elements, and zero vectors leave the domain
+    (similarity._prep, the defined-cosine subspace)."""
+    import numpy as np
+    import pandas as pd
+
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        pca_gram_moments,
+    )
+
+    d = 3
+    clean = [
+        [0.5, -1.25, 2.0],
+        [1.0, 0.375, -0.75],
+        [-2.5, 0.0, 1.5],
+    ]
+    rows = (
+        [(i, np.array(v, dtype=np.float32).tolist()) for i, v in enumerate(clean)]
+        + [
+            (10, None),                        # NULL vector
+            (11, [1.0, None, 2.0]),            # NULL element -> NULL norm
+            (12, [float("nan"), 1.0, 1.0]),    # NaN norm
+            (13, [0.0, 0.0, 0.0]),             # zero norm
+        ]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["i"], r["j"]): r["val"]
+        for r in pca_gram_moments(df, "vec_id", "embedding", dim=d).collect()
+    }
+
+    M = np.array(clean, dtype=np.float32).astype(np.float64)
+    S = float(1 << 20)
+    assert got[(-1, -1)] == 3
+    for i in range(d):
+        assert got[(i, -1)] == int(np.floor(M[:, i] * S).astype(np.int64).sum())
+        for j in range(i, d):
+            want = int(np.floor(M[:, i] * M[:, j] * S).astype(np.int64).sum())
+            assert got[(i, j)] == want, (i, j)
+    # exactly count + d sums + upper triangle
+    assert len(got) == 1 + d + d * (d + 1) // 2
+
+
+def test_pca_gram_moments_empty_domain_emits_zero_count(spark):
+    """An all-dirty corpus leaves an empty domain: the count row must
+    still appear with n=0 (and nothing else) — mirroring the oracle's
+    COUNT(*) over an empty subquery."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        pca_gram_moments,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = pca_gram_moments(df, "vec_id", "embedding", dim=3).collect()
+    assert [(r["i"], r["j"], r["val"]) for r in rows] == [(-1, -1, 0)]
