@@ -1614,7 +1614,16 @@ def q85_winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     Jaccard, so a short doc embedded in a long one still scores 1.0).
     Inverted-index self-join on fingerprint (the jaccard_pairs shape):
     pair candidates are generated per posting list, never by document
-    crossJoin."""
+    crossJoin.
+
+    Measured regime note (round-8 sf1 decade, SCALING.md): the postings
+    join enumerates Σdf² co-occurrences; on the fixed ~31-type testdata
+    vocabulary df ~ n/V, so candidates grow as n²/V — alpha 2.21 across
+    the real 5k→50k decade, within the documented degenerate ceiling
+    (2.4). That is the PROBLEM's growth in this regime (true pairs grow
+    ~n² too), not a lost prune; on Heaps-law text the same stage is
+    gated sub-quadratic (tests/test_scaling_evidence.py's
+    postings-candidate gate, added round 8)."""
     from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
         winnowing_fingerprints,
     )
@@ -3028,7 +3037,17 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
     corpus-sized relation.
 
     The oracle brute-forces position() over the cross join —
-    affordable at oracle scale only, which is the point of the index."""
+    affordable at oracle scale only, which is the point of the index.
+
+    Measured regime note (round-8 sf1 decade, SCALING.md): on THIS
+    fixed ~31-type vocabulary, df ~ n/V for every fingerprint, so even
+    the probe's candidate space grows as n²/V — alpha 2.09 across the
+    real 5k→50k decade, within the documented degenerate ceiling (2.4),
+    and no posting-intersection algorithm can beat it because the TRUE
+    containment-pair count itself grows ~n² here. Real text grows its
+    vocabulary (Heaps' law), bounding df; that sub-quadratic claim is
+    gated deterministically on the Heaps corpus
+    (tests/test_scaling_evidence.py).
     from pyspark.sql import Window
 
     from flight_delays_progetto_big_data_2024_spark.functions.text import (
