@@ -3047,7 +3047,7 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
     containment-pair count itself grows ~n² here. Real text grows its
     vocabulary (Heaps' law), bounding df; that sub-quadratic claim is
     gated deterministically on the Heaps corpus
-    (tests/test_scaling_evidence.py).
+    (tests/test_scaling_evidence.py)."""
     from pyspark.sql import Window
 
     from flight_delays_progetto_big_data_2024_spark.functions.text import (
