@@ -82,6 +82,8 @@ def test_committed_sweep_has_clean_streaming_section(pattern, hostile):
     required = {
         "sessionize_stream_vs_batch",
         "stream_interval_join_vs_batch",
+        "stream_interval_join_outer_vs_batch",
+        "stream_dedup_vs_batch",
         "stream_tumbling_vs_batch",
         "stream_session_windows_vs_batch",
         "running_totals_stream",

@@ -393,16 +393,19 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
     _drop("b0", ev, 30)
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     for i, days in enumerate((30, 31)):
+        # each sentinel file carries one row of EVERY event type the
+        # split streams filter on: a watermark node only advances from
+        # rows that REACH it, so a view-only sentinel would leave the
+        # purchase/click sides' watermarks behind and the outer interval
+        # join could never prove a real left row unmatched
+        ts_i = (pd.Timestamp(max_ts) + pd.Timedelta(days=days)).to_pydatetime()
         _drop(
             f"b{i + 1}",
             spark.createDataFrame(
-                [(
-                    -999888001 - i,
-                    (pd.Timestamp(max_ts) + pd.Timedelta(days=days)).to_pydatetime(),
-                    _SENTINEL_USER,
-                    "view",
-                    0.0,
-                )],
+                [
+                    (-999888001 - 10 * i - k, ts_i, _SENTINEL_USER, et, 0.0)
+                    for k, et in enumerate(("view", "purchase", "click"))
+                ],
                 schema,
             ),
             20 - 5 * i,
@@ -572,8 +575,123 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
         )
         assert_pandas_parity(got, want)
 
+    def _interval_join_outer() -> None:
+        """The delayed-null-emission path: an unmatched left row is
+        emitted with NULL right columns only once the RIGHT watermark
+        proves no match can arrive — exactly where state-eviction bugs
+        live. The sentinel purchase/click rows advance both sides'
+        watermarks past every real left_ts + delay, so the stream's
+        final output must equal the batch LEFT join (sentinel user
+        excluded from both sides of the compare)."""
+        from flight_delays_progetto_big_data_2024_spark.streaming.joins import (
+            stream_interval_join_outer,
+        )
+
+        def split(df):
+            left = df.filter(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            right = df.filter(F.col("event_type") == "click").select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            return left, right
+
+        def build(s):
+            left, right = split(s)
+            return stream_interval_join_outer(
+                left, right, "user_id", "purchase_ts", "click_ts",
+                max_delay="1 hour", watermark="2 hours",
+            ).select("user_id", "purchase_id", "click_id")
+
+        got = pd.DataFrame(
+            [
+                r.asDict()
+                for r in _run_stream(build, "append", "ivjoin_outer")
+                if r["user_id"] != _SENTINEL_USER
+            ],
+            columns=["user_id", "purchase_id", "click_id"],
+        )
+        bl, br = split(batch)
+        bl = bl.filter(
+            F.col("purchase_ts").isNotNull()
+            & (F.col("user_id") != _SENTINEL_USER)
+        )
+        br = br.filter(F.col("click_ts").isNotNull())
+        want = (
+            bl.join(
+                br,
+                (bl["user_id"] == br["user_id"])
+                & (F.col("click_ts") >= F.col("purchase_ts"))
+                & (
+                    F.col("click_ts")
+                    <= F.col("purchase_ts") + F.expr("INTERVAL 1 hour")
+                ),
+                "left_outer",
+            )
+            .drop(br["user_id"])
+            .select("user_id", "purchase_id", "click_id")
+            .toPandas()
+        )
+        assert_pandas_parity(got, want)
+
+    def _dedup() -> None:
+        """dropDuplicatesWithinWatermark with a horizon covering the
+        whole corpus: the emitted KEY set must equal the batch distinct
+        key set over non-NULL-ts rows, each key exactly once (which
+        surviving ROW wins a within-batch tie is unspecified, so the
+        compare is on keys, not payloads)."""
+        from flight_delays_progetto_big_data_2024_spark.streaming.joins import (
+            stream_dedup,
+        )
+
+        rows = _run_stream(
+            lambda s: stream_dedup(
+                s, ["user_id", "event_type"], watermark="90 days"
+            ),
+            "append",
+            "dedup",
+        )
+        # NULL keys are real groups here — a None in a tuple breaks
+        # bare sorted(), so sort with an explicit null-first key
+        key = lambda t: (t[0] is None, t[0] or 0, t[1] is None, t[1] or "")
+        got = sorted(
+            (
+                (r["user_id"], r["event_type"])
+                for r in rows
+                if r["user_id"] != _SENTINEL_USER
+            ),
+            key=key,
+        )
+        assert len(got) == len(set(got)), "a key was emitted twice"
+        want = sorted(
+            (
+                (r["user_id"], r["event_type"])
+                for r in batch.filter(
+                    F.col("ts").isNotNull()
+                    & (
+                        F.col("user_id").isNull()
+                        | (F.col("user_id") != _SENTINEL_USER)
+                    )
+                )
+                .select("user_id", "event_type")
+                .distinct()
+                .collect()
+            ),
+            key=key,
+        )
+        assert got == want, (
+            f"key sets differ: stream-only={set(got) - set(want)} "
+            f"batch-only={set(want) - set(got)}"
+        )
+
     _record("sessionize_stream_vs_batch", _sessionize)
     _record("stream_interval_join_vs_batch", _interval_join)
+    _record("stream_interval_join_outer_vs_batch", _interval_join_outer)
+    _record("stream_dedup_vs_batch", _dedup)
     _record("stream_tumbling_vs_batch", _tumbling)
     _record("stream_session_windows_vs_batch", _native_sessions)
     try:
