@@ -201,6 +201,9 @@ VERIFY_NEXT: list[str] = [
     "q187_pca_gram_moments",  # new in r8 (judge item 3: the distributed
     # mean+Gram stage of q137's PCA, value-checked cell-for-cell —
     # shrinks the rows-only surface to the d×d driver eigensolve)
+    "q188_hll_error_certificate",  # new in r8 (q137-split pattern applied
+    # to q29: exact distinct counts + the 5-sigma HLL bound certificate,
+    # driver-hashed; only the HLL register state stays rows-only)
 ]
 
 
