@@ -285,6 +285,23 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # dict.
     "q32_ngram_jaccard_pairs": 7,
     "q33_minhash_lsh_near_dups": 7,
+    # round-8 robustness fix: pca_variance_profile now routes its input
+    # through the _prep cosine domain (one NULL embedding used to crash
+    # the whole distributed pass). q137 is rows-only, but its r7 record
+    # certified the OLD plan — re-window for a fresh rows-only record.
+    "q137_embedding_pca_variance": 7,
+    # round-8 Euclidean norm ceiling (EUCLID_NORM_BOUND): past ~4.5e9
+    # the 6-decimal distance tie-break stops collapsing cross-engine
+    # ulp noise (rounding grid coarser than the ulp) and trained
+    # codebooks diverge — measured live when the planted [1e10]*64
+    # vector flipped q180's err_ratio between engines. The bound is now
+    # in kmeans_lloyd/pq_encode AND all four family oracles; these are
+    # exactly the queries whose analyzed plan embeds it (mechanical
+    # scan). Clean-testdata values identical (max norm ~4.6).
+    "q80_kmeans_clusters": 7,
+    "q152_pq_codebook_quality": 7,
+    "q153_pq_adc_search": 7,
+    "q180_residual_quantization_gain": 7,
     "q56_benchmark_decontamination": 7,
     "q126_minhash_calibration": 7,
     "q139_incremental_ingest_dedup": 7,

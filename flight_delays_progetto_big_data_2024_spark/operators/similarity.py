@@ -343,6 +343,24 @@ def label_centroid_cohesion(
     )
 
 
+#: Euclidean training-domain norm ceiling for the k-means/PQ family
+#: (round-8 hazard class, found by the |x|=1e10 dirty probe): every
+#: engine-parity tie-break in this family stabilizes cross-engine float
+#: association noise by ROUNDING distances to 6 decimals — but
+#: ``round(x, 6)`` only collapses ulp noise while ``ulp(x) < 1e-6``,
+#: i.e. ``|x| < 2^52 · 1e-6 ≈ 4.5e9``. A finite huge-magnitude vector
+#: pushes squared distances past that envelope, the rounding grid
+#: becomes coarser than the ulp, engines rank-flip on surviving ulp
+#: differences, and the trained codebooks diverge (measured live:
+#: q180's err_ratio 1.01 vs 0.0 with one [1e10]*64 vector). Bounding
+#: the vector norm at 1e4 keeps every squared distance under ~4e8 —
+#: an order of magnitude inside the stabilizable envelope — and is
+#: mirrored verbatim in every family oracle. Real embedding norms are
+#: O(1-100); a 1e4-norm vector is outside any meaningful training
+#: corpus the same way a NaN is.
+EUCLID_NORM_BOUND = 1.0e4
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -372,14 +390,17 @@ def kmeans_lloyd(
     # drop null/NaN/Inf vectors BEFORE the explode: one NaN value would
     # flow through the centroid mean and poison its whole cluster (and,
     # iteratively, every later assignment). Zero vectors stay — they are
-    # legitimate points under squared-Euclidean k-means.
+    # legitimate points under squared-Euclidean k-means. The norm
+    # ceiling is the round-8 ulp-vs-rounding-grid bound (see
+    # EUCLID_NORM_BOUND): past it the 6-decimal tie-break stops
+    # collapsing cross-engine float noise and codebooks diverge.
     v = as_double_array(vec_col)
     clean = (
         df.select(F.col(id_col), v.alias("__v"), l2_norm(v).alias("__nrm"))
         .filter(
             F.col("__nrm").isNotNull()
             & ~F.isnan(F.col("__nrm"))
-            & (F.col("__nrm") < F.lit(float("inf")))
+            & (F.col("__nrm") < F.lit(EUCLID_NORM_BOUND))
         )
     )
     # persist the exploded relation: every iteration references it
@@ -673,7 +694,18 @@ def pca_gram_moments(
     Domain: :func:`_prep`'s defined-cosine subspace (NULL vectors, NULL
     elements, zero/NaN/Inf norms dropped) — the same corpus every
     cosine/ANN operator sees, which is the corpus PCA whitening would
-    be fit on.
+    be fit on — RESTRICTED to ``max(|x|) < 16`` (the moment-domain
+    bound, enforced identically in the oracle). The bound is what keeps
+    the integer encoding exact end to end: a quantized product is
+    ``< 16²·2^20 = 2^28``, so int64 per-cell sums stay exact up to
+    ~2^35 ≈ 3.4e10 rows — comfortably past a 100 TB embedding table —
+    whereas an UNbounded element (|x| ≳ 2^21) overflows the per-product
+    ``floor(x_i·x_j·2^20)`` itself, where numpy's float→int64 cast
+    silently wraps to INT64_MIN garbage while DuckDB's ``::BIGINT``
+    raises — a measured engine divergence (round-8 boundary probe), not
+    a theoretical one. Embeddings with 16+ magnitude components are not
+    meaningful inputs to covariance whitening anyway; they leave the
+    moment domain the same way NaN/Inf norms leave the cosine domain.
     """
     import numpy as np
 
@@ -714,6 +746,9 @@ def pca_gram_moments(
 
     parts = (
         _prep(emb, id_col, vec_col)
+        .filter(
+            F.array_max(F.transform("v", lambda x: F.abs(x))) < F.lit(16.0)
+        )
         .select("v")
         .mapInPandas(part, schema="n bigint, s array<bigint>, g array<bigint>")
         .persist()  # three branches read it; caller owns the lifetime
@@ -764,6 +799,13 @@ def pca_variance_profile(
     2B rows. No SQL oracle exists for an eigensolve (registered
     rows-only); correctness is pinned against numpy's full-data PCA in
     tests/test_ordered.py.
+
+    Domain (round-8 robustness fix): the input routes through
+    :func:`_prep` — ONE NULL embedding (or a NULL/NaN element) used to
+    crash the whole distributed pass inside ``np.stack``/BLAS, the
+    "one dirty row kills a 100 TB job" class; an undefined vector
+    cannot contribute to a covariance any more than it can to a cosine.
+    Clean corpora are unaffected.
     """
     import numpy as np
 
@@ -792,9 +834,16 @@ def pca_variance_profile(
     # persist: three actions (n, s, g) read this relation, and without
     # the cache each one re-runs the full distributed mean+Gram pass
     # over the corpus (advisor finding, round 2)
-    parts = emb.select(vec_col).mapInPandas(
-        part, schema="n bigint, s array<double>, g array<double>"
-    ).persist()
+    parts = (
+        _prep(
+            emb.withColumn("__row_id", F.monotonically_increasing_id()),
+            "__row_id",
+            vec_col,
+        )
+        .select(F.col("v").alias(vec_col))
+        .mapInPandas(part, schema="n bigint, s array<double>, g array<double>")
+        .persist()
+    )
     # reduce the per-partition partials to ONE row inside Spark: counts
     # as a plain sum, the two arrays element-wise via posexplode (the
     # partial relation is <= numPartitions rows — trivially small)
@@ -880,7 +929,9 @@ def pq_encode(
     # SLICE's norm, so a vector with one non-finite element would keep
     # its finite subspaces and produce a partial (meaningless) code
     # word — a corrupt vector is outside the PQ domain entirely
-    # (wave-5 Inf-probe finding)
+    # (wave-5 Inf-probe finding). The EUCLID_NORM_BOUND ceiling is the
+    # round-8 ulp-vs-rounding-grid bound; applied to the FULL norm so
+    # every slice inherits it.
     full = as_double_array(vec_col)
     # persist the domain-filtered vectors: all m subspace slices read
     # the same relation — unpersisted, each slice re-derives the whole
@@ -889,7 +940,7 @@ def pq_encode(
     df = df.filter(
         l2_norm(full).isNotNull()
         & ~F.isnan(l2_norm(full))
-        & (l2_norm(full) < F.lit(float("inf")))
+        & (l2_norm(full) < F.lit(EUCLID_NORM_BOUND))
     ).persist()
     parts = []
     for s in range(m):

@@ -1498,6 +1498,11 @@ def q79_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND len(list_filter(embedding, x -> x IS NULL)) = 0
           AND isfinite(list_aggregate(list_transform(embedding::DOUBLE[],
                x -> x * x), 'sum'))
+          -- round-8 norm ceiling (similarity.EUCLID_NORM_BOUND): past
+          -- it, round(d2, 6) tie-breaks stop collapsing cross-engine
+          -- ulp noise (grid coarser than ulp) and codebooks diverge
+          AND sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum')) < 10000.0
     ),
     c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM e WHERE vec_id < 8),
     a1 AS (

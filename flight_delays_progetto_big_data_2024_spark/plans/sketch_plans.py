@@ -216,7 +216,13 @@ def q137_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q187_pca_gram_moments",
     sql=f"""
-    WITH n AS ({_EMB_PREP_SQL}),
+    WITH n AS (
+        SELECT * FROM ({_EMB_PREP_SQL})
+        -- moment-domain bound, mirrored from pca_gram_moments: keeps
+        -- floor(x_i*x_j*2^20) inside exact int64 territory (numpy
+        -- wraps silently past it; DuckDB's ::BIGINT raises)
+        WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') < 16
+    ),
     e AS (
         SELECT vec_id, unnest(v) AS x,
                generate_subscripts(v, 1) - 1 AS i
@@ -599,6 +605,11 @@ def q148_linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
           AND len(list_filter(embedding, x -> x IS NULL)) = 0
           AND isfinite(list_aggregate(list_transform(embedding::DOUBLE[],
                x -> x * x), 'sum'))
+          -- round-8 norm ceiling (similarity.EUCLID_NORM_BOUND): past
+          -- it, round(d2, 6) tie-breaks stop collapsing cross-engine
+          -- ulp noise (grid coarser than ulp) and codebooks diverge
+          AND sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum')) < 10000.0
     ),
     c0 AS (SELECT vec_id AS cid, sub, pos, val AS cval FROM e WHERE vec_id < 8),
     a1 AS (
@@ -682,6 +693,11 @@ def q152_pq_codebook_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND len(list_filter(embedding, x -> x IS NULL)) = 0
           AND isfinite(list_aggregate(list_transform(embedding::DOUBLE[],
                x -> x * x), 'sum'))
+          -- round-8 norm ceiling (similarity.EUCLID_NORM_BOUND): past
+          -- it, round(d2, 6) tie-breaks stop collapsing cross-engine
+          -- ulp noise (grid coarser than ulp) and codebooks diverge
+          AND sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum')) < 10000.0
     ),
     c0 AS (SELECT vec_id AS cid, sub, pos, val AS cval FROM e WHERE vec_id < 8),
     a1 AS (
@@ -893,6 +909,11 @@ def _pq_cte(p: str, src: str) -> str:
           AND len(list_filter(embedding, x -> x IS NULL)) = 0
           AND isfinite(list_aggregate(list_transform(embedding::DOUBLE[],
                x -> x * x), 'sum'))
+          -- round-8 norm ceiling (similarity.EUCLID_NORM_BOUND): past
+          -- it, round(d2, 6) tie-breaks stop collapsing cross-engine
+          -- ulp noise (grid coarser than ulp) and codebooks diverge
+          AND sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum')) < 10000.0
     ),
     cent AS (SELECT vec_id AS cell, pos, val AS cval FROM e WHERE vec_id < 16),
     cnorm AS (SELECT cell, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY cell),
@@ -946,12 +967,24 @@ def q180_residual_quantization_gain(spark: SparkSession, sf_dir: str) -> DataFra
     assignment, both PQ trainings, the comparison — replays in the
     oracle via the parameterized CTE generator."""
     from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        EUCLID_NORM_BOUND,
         as_double_array,
+        l2_norm,
         pq_encode,
     )
 
     cat = Catalog(spark, sf_dir)
-    emb = cat.embeddings
+    # the coarse stage shares the PQ family's Euclidean training domain
+    # (null-free finite vectors under the round-8 norm ceiling) so the
+    # residual relation is born in-domain — pq_encode re-applies the
+    # same filter, but a huge-magnitude vector must not reach the
+    # coarse assignment either (its oracle mirrors this WHERE)
+    v = as_double_array("embedding")
+    emb = cat.embeddings.filter(
+        l2_norm(v).isNotNull()
+        & ~F.isnan(l2_norm(v))
+        & (l2_norm(v) < F.lit(EUCLID_NORM_BOUND))
+    )
     e = emb.select(
         "vec_id", F.posexplode(as_double_array("embedding")).alias("pos0", "val")
     )

@@ -403,3 +403,98 @@ def test_pca_gram_moments_empty_domain_emits_zero_count(spark):
     )
     rows = pca_gram_moments(df, "vec_id", "embedding", dim=3).collect()
     assert [(r["i"], r["j"], r["val"]) for r in rows] == [(-1, -1, 0)]
+
+
+def test_pca_variance_profile_survives_dirty_vectors(spark):
+    """Round-8 robustness fix: ONE NULL embedding (or a NULL/NaN
+    element) used to crash the whole distributed mean+Gram pass inside
+    np.stack — the "one dirty row kills a 100 TB job" class. The input
+    now routes through the _prep cosine domain; the profile over the
+    clean subset is unchanged."""
+    import numpy as np
+
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        pca_variance_profile,
+    )
+
+    clean = [[0.5, 0.1, 0.2, 0.9], [0.4, 0.3, 0.2, 0.1], [0.1, 0.8, 0.3, 0.2]]
+    dirty = clean + [None, [0.1, None, 0.2, 0.3], [float("nan")] * 4, [0.0] * 4]
+    rows_clean = [(i, v) for i, v in enumerate(clean)]
+    rows_dirty = [(i, v) for i, v in enumerate(dirty)]
+    schema = "vec_id long, embedding array<float>"
+    got_dirty = pca_variance_profile(
+        spark.createDataFrame(rows_dirty, schema), "embedding", k=3
+    ).collect()
+    got_clean = pca_variance_profile(
+        spark.createDataFrame(rows_clean, schema), "embedding", k=3
+    ).collect()
+    assert got_dirty == got_clean
+    assert abs(sum(r["variance_ratio"] for r in got_clean) - 1.0) < 1e-6
+    assert np.all([r["eigenvalue"] >= 0 for r in got_clean])
+
+
+def test_pca_gram_moments_magnitude_bound_matches_oracle_domain(spark):
+    """Round-8 boundary probe: a finite |x|=1e10 vector passes the
+    cosine domain but overflows floor(x_i*x_j*2^20) — numpy's
+    float->int64 cast wraps silently to INT64_MIN garbage where
+    DuckDB's ::BIGINT raises (measured divergence). The |x| < 16
+    moment-domain bound excludes it in BOTH engines; the bounded
+    moments equal the clean-subset moments exactly."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        pca_gram_moments,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    clean = [(1, [0.5, 0.1, 0.2, 0.3]), (2, [0.2, 0.1, 0.4, 0.5])]
+    with_big = clean + [(3, [1.0e10] * 4), (4, [-15.9, 15.9, 0.5, 0.5])]
+    got = {
+        (r["i"], r["j"]): r["val"]
+        for r in pca_gram_moments(
+            spark.createDataFrame(with_big, schema), "vec_id", "embedding", dim=4
+        ).collect()
+    }
+    # the 1e10 vector left the domain; the 15.9-magnitude one stayed
+    assert got[(-1, -1)] == 3
+    # no wrapped garbage anywhere: every quantized cell is far inside
+    # int64 (|x| < 16 -> per-product < 2^28, 3 rows -> < 2^30)
+    assert all(abs(v) < 2**30 for v in got.values())
+
+
+def test_kmeans_pq_family_norm_ceiling(spark):
+    """Round-8 hazard class: round(d2, 6) engine-parity tie-breaks only
+    collapse cross-engine float-association noise while ulp(d2) < 1e-6
+    (|d2| < ~4.5e9); one finite huge-magnitude vector pushes distances
+    past the envelope and the trained codebooks diverge between engines
+    (measured live on q180 via the planted [1e10]*64 dirty vector).
+    kmeans_lloyd and pq_encode therefore bound the training domain at
+    EUCLID_NORM_BOUND — the huge vector leaves the domain, the bounded
+    result equals the clean-subset result exactly."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        EUCLID_NORM_BOUND,
+        kmeans_lloyd,
+        pq_encode,
+    )
+
+    assert EUCLID_NORM_BOUND == 1.0e4
+    schema = "vec_id long, embedding array<float>"
+    clean = [(i, [((i * 7 + j) % 5) / 4.0 for j in range(8)]) for i in range(12)]
+    with_big = clean + [(99, [1.0e10] * 8)]
+    km_clean = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in kmeans_lloyd(
+            spark.createDataFrame(clean, schema), k=4, iterations=2
+        ).collect()
+    )
+    km_big = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in kmeans_lloyd(
+            spark.createDataFrame(with_big, schema), k=4, iterations=2
+        ).collect()
+    )
+    assert km_big == km_clean  # the 1e10 vector left the training domain
+
+    pq = pq_encode(
+        spark.createDataFrame(with_big, schema), m=2, sub_dim=4, k=4, iterations=1
+    ).collect()
+    assert 99 not in {r["vec_id"] for r in pq}
+    assert all(r["dist2"] < 4.5e9 for r in pq)  # inside the stabilizable envelope

@@ -236,6 +236,15 @@ DIRTY: dict[str, list[dict]] = {
         {"vec_id": 990032,
          "embedding": [-((i % 7) + 1) / 4.0 for i in range(64)],
          "label": 1},
+        # round-8 moment-domain probe: a FINITE huge-magnitude vector
+        # (passes the cosine domain — non-zero finite norm — but sits
+        # far outside pca_gram_moments' |x| < 16 bound, where the
+        # floor(x_i*x_j*2^20) int64 encoding overflows: numpy wraps
+        # silently to INT64_MIN garbage while DuckDB's ::BIGINT raises;
+        # measured divergence, round-8 boundary probe). q187 must
+        # exclude it in BOTH engines; cosine-family queries keep it as
+        # an ordinary (large) vector.
+        {"vec_id": 990035, "embedding": [1.0e10] * 64, "label": 2},
     ],
 }
 
