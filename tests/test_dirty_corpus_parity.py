@@ -130,3 +130,26 @@ def test_positive_control_pairs_surface(spark, dirty_env):
         assert pair not in pairs or pairs[pair] < 1.0, (
             f"one-token-changed variant {pair} surfaced as an exact dup"
         )
+
+
+def test_rows_only_queries_survive_dirty_corpus(spark, dirty_env):
+    """Round-8 gap: rows-only queries (no oracle) are SKIPPED by the
+    dirty sweep, which is exactly how q137's NULL-embedding crash hid —
+    the sweep's 184/184 said nothing about them. Every rows-only query
+    must at least RUN on the dirty corpus and keep its clean-data row
+    count (q29: one profile row; q137: k=8 component rows)."""
+    import __spark_entry__ as entry
+
+    tmp, _ = dirty_env
+    qs, osql = entry.queries(), entry.oracle_sql()
+    expected_rows = {
+        "q29_cardinality_profile_approx": 1,
+        "q137_embedding_pca_variance": 8,
+    }
+    rows_only = [n for n in qs if n not in osql]
+    assert sorted(rows_only) == sorted(expected_rows), (
+        "rows-only set changed — extend this test's expectations"
+    )
+    for name in rows_only:
+        got = qs[name](spark, tmp).collect()
+        assert len(got) == expected_rows[name], (name, len(got))
