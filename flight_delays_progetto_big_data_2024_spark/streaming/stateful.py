@@ -20,6 +20,7 @@ session state.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -271,10 +272,15 @@ class RunningTotalsProcessor(StatefulProcessor):
         batches += 1
         self._agg.update((n, total, batches, nn))
         (user_id,) = key
+        # the TWS key tuple renders a NULL bigint key as float NaN, not
+        # None (Arrow->pandas grouping bridge) — int(NaN) killed the
+        # whole query on the first dirty micro-batch; pd.isna covers
+        # None, NaN and pd.NA alike (round-9, found by the sweep's
+        # first real end-to-end TWS run)
         yield pd.DataFrame(
             {
                 "user_id": pd.array(
-                    [None if user_id is None else int(user_id)], dtype="Int64"
+                    [None if pd.isna(user_id) else int(user_id)], dtype="Int64"
                 ),
                 "n": [n],
                 "total": pd.array(
@@ -286,6 +292,31 @@ class RunningTotalsProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+@contextmanager
+def rocksdb_state_store(spark):
+    """Scope the RocksDB state-store provider onto ``spark`` for a TWS
+    run and restore the previous provider on exit. TWS requires multiple
+    column families, which the default HDFSBackedStateStoreProvider
+    rejects at query start — and the provider is a SESSION conf read at
+    stream start, not a ``writeStream`` option (an ``.option()`` with
+    this key is silently ignored). RocksDB ships in the Spark
+    distribution (rocksdbjni), so this needs no extra dependency."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def running_totals_stream(events: DataFrame, key_col: str = "user_id") -> DataFrame:

@@ -807,6 +807,18 @@ def test_running_totals_null_contract_matches_batch_analog(spark):
     # emitted key column: NULL key stays NULL (pandas NA), not a crash
     assert pd.isna(last[None]["user_id"])
     assert (last[None]["n"], last[None]["total"]) == (1, 3.0)
+    # the REAL TWS key tuple renders a NULL bigint key as float NaN,
+    # not None (round-9, caught by the first end-to-end sweep run):
+    # the processor must accept both renderings
+    nan_proc = RunningTotalsProcessor()
+    nan_proc.init(_StubHandle())
+    (nan_out,) = nan_proc.handleInputRows(
+        (float("nan"),),
+        iter([pd.DataFrame({"value": pd.Series([2.5], dtype="float64")})]),
+        None,
+    )
+    assert pd.isna(nan_out.iloc[0]["user_id"])
+    assert (nan_out.iloc[0]["n"], nan_out.iloc[0]["total"]) == (1, 2.5)
     # all values NULL/NaN -> NULL total (pandas NA via Float64), n counts rows
     assert last[2]["n"] == 3 and pd.isna(last[2]["total"])
     assert (last[1]["n"], last[1]["total"]) == (3, 5.5)

@@ -703,15 +703,71 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
     _record("stream_dedup_vs_batch", _dedup)
     _record("stream_tumbling_vs_batch", _tumbling)
     _record("stream_session_windows_vs_batch", _native_sessions)
+    def _running_totals() -> None:
+        """transformWithStateInPandas over the dirty events (NULL keys,
+        NULL/NaN/±Inf values) vs the batch groupBy analog. Update mode
+        re-emits a key's RUNNING row in every micro-batch that touches
+        it, so the final emission per key is the full aggregate; the
+        ``batches`` column depends on the file-split schedule and is
+        excluded from the compare. NULL contract (round-7): a NULL key
+        is its own group; NaN is not a measurement (counts toward n,
+        not the total); an all-unmeasured key has a NULL total."""
+        from flight_delays_progetto_big_data_2024_spark.streaming.stateful import (
+            rocksdb_state_store,
+            running_totals_stream,
+        )
+
+        with rocksdb_state_store(spark):
+            rows = _run_stream(
+                lambda s: running_totals_stream(s), "update", "running_totals"
+            )
+        got_all = pd.DataFrame(
+            [
+                {"user_id": r["user_id"], "n": r["n"], "total": r["total"],
+                 "batches": r["batches"]}
+                for r in rows
+                if r["user_id"] != _SENTINEL_USER
+            ],
+            columns=["user_id", "n", "total", "batches"],
+        )
+        got = (
+            got_all.sort_values("batches", kind="stable")
+            .groupby("user_id", dropna=False)
+            .tail(1)[["user_id", "n", "total"]]
+            .reset_index(drop=True)
+        )
+        # batch analog: NaN→not-a-measurement before the sum (isnan is
+        # False on NULL, so real NULLs pass through and sum skips them)
+        want = (
+            batch.withColumn(
+                "mv", F.when(~F.isnan("value"), F.col("value"))
+            )
+            .filter(
+                F.col("user_id").isNull()
+                | (F.col("user_id") != _SENTINEL_USER)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("mv"), 6).alias("total"),
+            )
+            .toPandas()
+        )
+        assert_pandas_parity(got, want)
+
+    # TWS transport: run for real when a protobuf runtime is available
+    # (natively or host-discovered via compat.protobuf_shim — main()
+    # calls ensure_protobuf before the session launches); otherwise an
+    # honest env gate, with the merge logic pinned by stub-state tests.
     try:
         import google.protobuf.descriptor  # noqa: F401
 
         has_protobuf = True
     except ImportError:
         has_protobuf = False
-    if not has_protobuf:
-        # TWS needs the protobuf transport; merge logic is pinned
-        # ungated via stub state in tests/test_streaming_multimodal.py
+    if has_protobuf:
+        _record("running_totals_stream", _running_totals)
+    else:
         results["running_totals_stream"] = {
             "status": "env_gated",
             "detail": "transformWithStateInPandas requires google.protobuf "
@@ -751,9 +807,16 @@ def main() -> None:
     try:
         build_dirty(tmp)
         import __spark_entry__ as entry
+        from flight_delays_progetto_big_data_2024_spark.compat.protobuf_shim import (
+            ensure_protobuf,
+        )
         from flight_delays_progetto_big_data_2024_spark.session import get_spark
         from tests.oracle_utils import assert_pandas_parity
 
+        # must precede the session: workers inherit the JVM's env, and
+        # the TWS protobuf discovery travels via PYTHONPATH (no-op when
+        # no host runtime exists — the sweep then records env_gated)
+        ensure_protobuf()
         spark = get_spark("dirty-sweep")
         if args.hostile:
             spark.conf.set("spark.sql.shuffle.partitions", "7")
