@@ -272,42 +272,17 @@ def _newest_green_round(records_dir: str | None = None) -> dict[str, int]:
 #: ``ref`` — the round-6 default keeps it (content-addressing), so the
 #: dedup families can genuinely differ and the query must re-verify.
 PLAN_CHANGED_AFTER: dict[str, int] = {
-    # round-8 advisor fix: word_shingles_of's zero/NULL-token guard was
-    # rewritten mode-independently (``toks.isNull() | (size(toks)==0)``
-    # instead of ``coalesce(size(toks),0)==0``, which silently broke
-    # under spark.sql.ansi.enabled=false where size(NULL) is -1). The
-    # session now also pins ANSI on, so values are identical on every
-    # corpus — but evidence <= r7 certified the OLD guard expression.
-    # The 8 queries below are exactly those whose analyzed plan embeds
-    # the word-shingle subtree (mechanical scan of all 184 plans for
-    # the ``array_join(slice(`` signature, round 8). All 24 round-7
-    # entries re-verified green in CORRECTNESS_r07.json and left the
-    # dict.
-    "q32_ngram_jaccard_pairs": 7,
-    "q33_minhash_lsh_near_dups": 7,
-    # round-8 robustness fix: pca_variance_profile now routes its input
-    # through the _prep cosine domain (one NULL embedding used to crash
-    # the whole distributed pass). q137 is rows-only, but its r7 record
-    # certified the OLD plan — re-window for a fresh rows-only record.
-    "q137_embedding_pca_variance": 7,
-    # round-8 Euclidean norm ceiling (EUCLID_NORM_BOUND): past ~4.5e9
-    # the 6-decimal distance tie-break stops collapsing cross-engine
-    # ulp noise (rounding grid coarser than the ulp) and trained
-    # codebooks diverge — measured live when the planted [1e10]*64
-    # vector flipped q180's err_ratio between engines. The bound is now
-    # in kmeans_lloyd/pq_encode AND all four family oracles; these are
-    # exactly the queries whose analyzed plan embeds it (mechanical
-    # scan). Clean-testdata values identical (max norm ~4.6).
-    "q80_kmeans_clusters": 7,
-    "q152_pq_codebook_quality": 7,
-    "q153_pq_adc_search": 7,
-    "q180_residual_quantization_gain": 7,
-    "q56_benchmark_decontamination": 7,
-    "q126_minhash_calibration": 7,
-    "q139_incremental_ingest_dedup": 7,
-    "q147_bloom_decontamination": 7,
-    "q165_near_dup_edit_distances": 7,
-    "q170_jaccard_pair_histogram": 7,
+    # (all 13 round-8 entries re-verified green in CORRECTNESS_r08.json
+    # and left the dict.)
+    # round-9 advisor fix: the PCA pass now KEEPS zero-norm vectors
+    # (keep_zero=True in similarity._prep + the _EMB_MOMENT_PREP_SQL
+    # oracle mirror) — zero is a defined moment input (it shifts mean
+    # and covariance, MLlib RowMatrix semantics); only the COSINE
+    # divide is undefined on it. Values on the clean driver corpus are
+    # identical (no zero embeddings at sf0.01), but r8 evidence
+    # certified the zero-dropping plan — re-window both PCA queries.
+    "q137_embedding_pca_variance": 8,
+    "q187_pca_gram_moments": 8,
 }
 
 

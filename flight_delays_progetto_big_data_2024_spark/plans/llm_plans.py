@@ -321,6 +321,14 @@ _EMB_PREP_SQL = """
     ) WHERE isfinite(nrm) AND nrm > 0
 """
 
+#: Moment-domain variant (PCA/q187): identical to _EMB_PREP_SQL except
+#: zero-norm vectors are KEPT — zero is a defined input to mean/Gram
+#: moments (it shifts them, MLlib RowMatrix semantics); only the cosine
+#: divide is undefined on it. Mirrors similarity._prep(keep_zero=True).
+_EMB_MOMENT_PREP_SQL = _EMB_PREP_SQL.replace(
+    "isfinite(nrm) AND nrm > 0", "isfinite(nrm) AND nrm >= 0"
+)
+
 
 @register(
     "q30_embedding_topk_cosine",

@@ -23,6 +23,7 @@ from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
     pca_variance_profile,
 )
 from flight_delays_progetto_big_data_2024_spark.plans.llm_plans import (
+    _EMB_MOMENT_PREP_SQL,
     _EMB_PREP_SQL,
     _SHINGLES_SQL,
     _TOKS_SQL,
@@ -210,14 +211,16 @@ def q137_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage (count + mean + Gram) is value-checked cell-for-cell by q187,
     so only the d×d driver eigensolve remains rows-only."""
     cat = Catalog(spark, sf_dir)
-    return pca_variance_profile(cat.embeddings, "embedding", k=8)
+    return pca_variance_profile(cat.embeddings, "embedding", k=8, dim=64)
 
 
 @register(
     "q187_pca_gram_moments",
     sql=f"""
     WITH n AS (
-        SELECT * FROM ({_EMB_PREP_SQL})
+        -- moment-domain prep: zero-norm vectors KEPT (defined moment
+        -- inputs — round-9 advisor), undefined ones still dropped
+        SELECT * FROM ({_EMB_MOMENT_PREP_SQL})
         -- moment-domain bound, mirrored from pca_gram_moments: keeps
         -- floor(x_i*x_j*2^20) inside exact int64 territory (numpy
         -- wraps silently past it; DuckDB's ::BIGINT raises)

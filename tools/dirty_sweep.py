@@ -245,6 +245,15 @@ DIRTY: dict[str, list[dict]] = {
         # exclude it in BOTH engines; cosine-family queries keep it as
         # an ordinary (large) vector.
         {"vec_id": 990035, "embedding": [1.0e10] * 64, "label": 2},
+        # round-9 moment-domain positive control: TWO zero vectors —
+        # KEPT by the PCA moment domain (a zero vector is a defined
+        # moment input: it shifts the mean and covariance, and q187's
+        # count/sums must include it in BOTH engines) while staying
+        # EXCLUDED from every cosine/ANN family (zero norm = undefined
+        # cosine); per the round-7 pairing principle, the zero PAIR
+        # must not surface as a cosine-1 neighbor anywhere.
+        {"vec_id": 990036, "embedding": [0.0] * 64, "label": 1},
+        {"vec_id": 990037, "embedding": [0.0] * 64, "label": 2},
     ],
 }
 
