@@ -82,15 +82,31 @@ def normalize_nullish(df: pd.DataFrame) -> pd.DataFrame:
     frames to one sentinel makes the intended semantics explicit and
     warning-proof today. Genuine NULL-vs-NaN semantics are enforced at
     the SOURCE where they are real (nullable Float64 streaming columns,
-    "NaN is not a measurement"), never at the comparator."""
+    "NaN is not a measurement"), never at the comparator.
+
+    Round-9 advisor refinement: float NaN is only a NULL *rendering* in
+    columns that pandas demoted to object for a NON-float reason (bool/
+    str columns like q58's is_kept). In an object column whose non-null
+    values include genuine floats (mixed-type or nested rendering), a
+    NaN can be a real computed value — equating it with NULL there
+    would silently pass a true engine divergence (Spark NULL vs DuckDB
+    NaN). Such columns keep NaN byte-strict; None/pd.NA remain
+    unambiguous NULL markers everywhere."""
     out = df.copy()
     for col in out.columns:
         if out[col].dtype == object:
+            # NaN-as-NULL only when no non-null value in the column is
+            # a real float (bool is not a float; numpy floats count)
+            floaty = any(
+                isinstance(v, (float, np.floating)) and v == v
+                for v in out[col]
+                if v is not None and v is not pd.NA
+            )
             out[col] = out[col].map(
-                lambda v: "\x00<NULL>"
+                lambda v, _f=floaty: "\x00<NULL>"
                 if v is None
                 or v is pd.NA
-                or (isinstance(v, float) and v != v)
+                or (not _f and isinstance(v, float) and v != v)
                 else v
             )
     return out
