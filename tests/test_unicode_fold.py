@@ -135,17 +135,66 @@ def test_fold_recall_dividend_matrix(spark):
     - icu is NOT a superset of extended on real pipelines: it loses
       sharp-s and machine-sigma Greek (-80) while uniquely adding
       Cyrillic (+40);
-    - the dotted-capital-I family merges under NO level (Java lower()
-      emits i+combining-dot) — the documented residual gap.
+    - the dotted-capital-I family merges under NO bare level (Java
+      lower() emits i+combining-dot); round 9's opt-in
+      ``pre_fold="turkish"`` closes it at EVERY level (+40, portable —
+      translate İ→i / I→ı is byte-identical in both engines), at the
+      measured locale cost of un-merging any non-Turkish word with an
+      "I" (sharp_s extended 40 → extended+tr 0: GEMÜTLICH goes
+      dotless) — why it's opt-in, per language partition.
     """
     from tools.fold_recall import measure
 
     res = measure(spark)
-    assert res["_total"] == {"ascii": 40, "extended": 200, "icu": 160}
-    assert res["ascii"] == {"ascii": 40, "extended": 40, "icu": 40}
-    assert res["latin1"] == {"ascii": 0, "extended": 40, "icu": 40}
-    assert res["sharp_s"] == {"ascii": 0, "extended": 40, "icu": 0}
-    assert res["greek"] == {"ascii": 0, "extended": 40, "icu": 40}
-    assert res["greek_machine"] == {"ascii": 0, "extended": 40, "icu": 0}
-    assert res["turkish"] == {"ascii": 0, "extended": 0, "icu": 0}
-    assert res["cyrillic"] == {"ascii": 0, "extended": 0, "icu": 40}
+    bare = lambda d: {k: v for k, v in d.items() if not k.endswith("+tr")}
+    assert bare(res["_total"]) == {"ascii": 40, "extended": 200, "icu": 160}
+    assert bare(res["ascii"]) == {"ascii": 40, "extended": 40, "icu": 40}
+    assert bare(res["latin1"]) == {"ascii": 0, "extended": 40, "icu": 40}
+    assert bare(res["sharp_s"]) == {"ascii": 0, "extended": 40, "icu": 0}
+    assert bare(res["greek"]) == {"ascii": 0, "extended": 40, "icu": 40}
+    assert bare(res["greek_machine"]) == {"ascii": 0, "extended": 40, "icu": 0}
+    assert bare(res["turkish"]) == {"ascii": 0, "extended": 0, "icu": 0}
+    assert bare(res["cyrillic"]) == {"ascii": 0, "extended": 0, "icu": 40}
+    # the Turkish pre-fold's dividend: the İ family now merges at every
+    # level; and its cost: the German family's I goes dotless
+    assert res["turkish"]["ascii+tr"] == 40
+    assert res["turkish"]["extended+tr"] == 40
+    assert res["turkish"]["icu+tr"] == 40
+    assert res["sharp_s"]["extended+tr"] == 0
+    assert res["_total"]["extended+tr"] == 200
+    assert res["_total"]["icu+tr"] == 200
+
+
+def test_turkish_pre_fold_is_engine_portable(spark, tmp_path):
+    """pre_fold='turkish' must have an EXACT SQL twin (unlike
+    fold='icu'): fingerprints over Turkish case twins are byte-identical
+    between Spark and DuckDB, so queries using it keep full value-hash
+    verification."""
+    import duckdb
+
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        case_fold_sql,
+        fingerprint,
+    )
+
+    rows = [(1, "İSTANBUL GEZİ YAZI DENİZ"), (2, "istanbul gezi yazı deniz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id",
+            fingerprint("text", "extended", pre_fold="turkish").alias("fp"),
+        ).collect()
+    }
+    assert got[1] == got[2]  # the twins merge
+    folded = case_fold_sql("text", "extended", pre_fold="turkish")
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT doc_id, md5(trim(regexp_replace("
+            + folded
+            + ", '\\s+', ' ', 'g'))) FROM (VALUES (1, 'İSTANBUL GEZİ YAZI "
+            "DENİZ'), (2, 'istanbul gezi yazı deniz')) AS t(doc_id, text)"
+        ).fetchall()
+    )
+    assert got == want

@@ -24,8 +24,18 @@ which fold CAN merge it:
                      uppercase: ONLY extended merges (Java lower()
                      produces final ς, which ≠ the machine σ twin).
 - ``turkish``      — İSTANBUL vs istanbul (dotted capital I, U+0130):
-                     NOBODY merges — Java lower(İ) is i+combining-dot,
-                     not i; the honest residual gap of every level.
+                     no FOLD level merges — Java lower(İ) is
+                     i+combining-dot, not i. Round 9 closes the gap
+                     with the opt-in ``pre_fold="turkish"`` locale
+                     pass (İ→i, I→ı via translate — portable,
+                     byte-identical in both engines): the ``+tr``
+                     matrix columns measure its dividend (0→40 at
+                     every level), and its cost — any non-Turkish
+                     word containing "I" stops merging (visible in
+                     the matrix: sharp_s extended 40 → extended+tr 0,
+                     GEMÜTLICH's I goes dotless) — the locale trade
+                     that makes it opt-in, applied per language
+                     partition in practice.
 - ``cyrillic``     — МОСКВА vs москва: ONLY icu (Java lower()) merges;
                      the extended table covers Latin-1+Greek only.
 
@@ -88,13 +98,24 @@ def corpus_rows() -> list[tuple[str, int, str]]:
     return rows
 
 
+#: Matrix columns: each fold level bare, plus each with the opt-in
+#: Turkish locale pre-fold (round-9). Label "<fold>+tr".
+LEVELS: tuple[tuple[str, str, str | None], ...] = (
+    ("ascii", "ascii", None),
+    ("extended", "extended", None),
+    ("icu", "icu", None),
+    ("ascii+tr", "ascii", "turkish"),
+    ("extended+tr", "extended", "turkish"),
+    ("icu+tr", "icu", "turkish"),
+)
+
+
 def measure(spark) -> dict[str, dict[str, int]]:
-    """{family: {fold: merged_twin_count}} plus a '_total' row."""
+    """{family: {level_label: merged_twin_count}} plus a '_total' row."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from flight_delays_progetto_big_data_2024_spark.functions.text import (
-        FOLDS,
         fingerprint,
     )
 
@@ -103,19 +124,21 @@ def measure(spark) -> dict[str, dict[str, int]]:
     )
     out: dict[str, dict[str, int]] = {f: {} for f in FAMILIES}
     out["_total"] = {}
-    for fold in FOLDS:
+    for label, fold, pre in LEVELS:
         per_fam = {
             r["family"]: int(r["n"]) - int(r["d"])
             for r in df.groupBy("family")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.countDistinct(fingerprint("text", fold)).alias("d"),
+                F.countDistinct(
+                    fingerprint("text", fold, pre_fold=pre)
+                ).alias("d"),
             )
             .collect()
         }
         for fam, merges in per_fam.items():
-            out[fam][fold] = merges
-        out["_total"][fold] = sum(per_fam.values())
+            out[fam][label] = merges
+        out["_total"][label] = sum(per_fam.values())
     return out
 
 
@@ -125,13 +148,11 @@ def main() -> int:
     spark = get_spark("fold-recall")
     spark.sparkContext.setLogLevel("ERROR")
     res = measure(spark)
-    print(f"{'family':15s} " + " ".join(f"{f:>9s}" for f in ("ascii", "extended", "icu")))
+    labels = [lv[0] for lv in LEVELS]
+    print(f"{'family':15s} " + " ".join(f"{f:>12s}" for f in labels))
     for fam in [*FAMILIES, "_total"]:
         r = res[fam]
-        print(
-            f"{fam:15s} "
-            + " ".join(f"{r[f]:9d}" for f in ("ascii", "extended", "icu"))
-        )
+        print(f"{fam:15s} " + " ".join(f"{r[f]:12d}" for f in labels))
     return 0
 
 
