@@ -283,6 +283,25 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # certified the zero-dropping plan — re-window both PCA queries.
     "q137_embedding_pca_variance": 8,
     "q187_pca_gram_moments": 8,
+    # round-9 judge item 6: ivf_topk's coarse quantizer is now ONE row
+    # carrying the centroid set as an array<struct> (bounded n_cells
+    # entries), broadcast to both sides — assignment/probing became
+    # pure projections (no 16x row blow-up, no argmax window shuffle).
+    # csim arithmetic is bit-identical (same zip_with dot, same round),
+    # so values are unchanged — but r8 evidence certified the joined
+    # plan; re-window both ivf_topk callers.
+    "q44_embedding_ivf_topk": 8,
+    "q120_ivf_recall_at_k": 8,
+    # round-9: argmax/argmin windows over candidate relations replaced
+    # with min_by/max_by over TOTAL-order structs (same rounded-key +
+    # id tie order as the oracles' row_number, so values are identical;
+    # the N·k-row sort+window shuffle becomes a map-side-combining hash
+    # aggregate). Touches kmeans_lloyd's assignment (q80, and q152/q153
+    # via pq_encode/pq_adc_topk) and q180's coarse cosine stage.
+    "q80_kmeans_clusters": 8,
+    "q152_pq_codebook_quality": 8,
+    "q153_pq_adc_search": 8,
+    "q180_residual_quantization_gain": 8,
 }
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flight_delays_progetto_big_data_2024_spark.functions.vectors import (
@@ -210,9 +210,10 @@ def ivf_topk(
        corpus vectors, which keeps the whole op deterministic and
        SQL-checkable; production would plug in k-means centroids — the
        search below is identical);
-    2. assignment: one pass over the corpus against the BROADCAST
-       centroid set, argmax cosine (ties → lowest centroid id) — this
-       is the linear-scan index build, shuffle-free;
+    2. assignment: one pass over the corpus against the centroid set
+       (collected once — bounded at ``n_cells`` rows — and inlined as
+       literal arrays), argmax cosine (ties → lowest centroid id) —
+       the linear-scan index build as a pure projection, shuffle-free;
     3. search: each query probes its ``n_probe`` nearest cells only,
        exact cosine re-ranks within the probed cells.
 
@@ -220,41 +221,71 @@ def ivf_topk(
     ``n_probe`` trades scan cost for recall (n_probe == n_cells is
     exact brute force)."""
     c = _prep(corpus, id_col, vec_col)
-    # "lowest-id corpus vectors" by RANK, not by value predicate — a
-    # value filter (id < n_cells) silently yields an empty/short centroid
-    # set for sparse, offset, or non-integer id spaces
+    # Coarse quantizer: the n_cells lowest-id corpus vectors by RANK,
+    # not by value predicate — a value filter (id < n_cells) silently
+    # yields an empty/short centroid set for sparse, offset, or
+    # non-integer id spaces. Collapsed to ONE row carrying the whole
+    # centroid set as an array<struct> (bounded at n_cells entries), so
+    # cell assignment and probing are pure per-row projections over a
+    # broadcast single-row relation: no n_cells-fold row blow-up, no
+    # argmax sort+shuffle+window per side, and the identical broadcast
+    # subplan on both sides is deduped by exchange reuse — ONE centroid
+    # scan, one corpus pass to assign, all inside a single job (a
+    # driver-side collect of the centroids was measured strictly worse:
+    # the extra serial job costs more than it saves at any scale where
+    # the per-job overhead is visible, and saves nothing at 100 TB).
     cent = (
         c.orderBy("id")
         .limit(n_cells)
-        .select(F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("id").alias("cid"),
+                    F.col("v").alias("cv"),
+                    F.col("nrm").alias("cn"),
+                )
+            ).alias("cents")
+        )
     )
 
-    def nearest_cells(rel: DataFrame, n: int, out_prefix: str) -> DataFrame:
-        scored = rel.join(F.broadcast(cent)).select(
-            rel["*"],
-            F.col("cid"),
-            cosine_prenormed("v", "cv", "nrm", "cn", scale=scale).alias("csim"),
-        )
-        return (
-            top_k_per_group(
-                scored,
-                partition_keys=["id"],
-                order=[F.desc("csim"), F.col("cid")],
-                k=n,
-                rank_alias="__crank",
-            )
-            .drop("__crank", "csim")
-            .withColumnRenamed("cid", out_prefix)
+    def cell_structs() -> Column:
+        # one (csim, -cid) struct per centroid: struct ordering compares
+        # s first then c, so max/descending-sort picks highest cosine
+        # then LOWEST cid — exactly the (desc csim, asc cid) row_number
+        # tie order of the SQL oracle, and independent of collect_list's
+        # nondeterministic array order (cid is unique, so no two structs
+        # ever compare equal). dot() feeds the same zip_with/aggregate
+        # accumulation in the same index order, so every csim double is
+        # bit-identical to the joined formulation it replaces.
+        return F.transform(
+            F.col("cents"),
+            lambda z: F.struct(
+                F.round(
+                    dot("v", z["cv"]) / (F.col("nrm") * z["cn"]), scale
+                ).alias("s"),
+                (-z["cid"]).alias("c"),
+            ),
         )
 
-    cells = nearest_cells(c, 1, "cell")
-    probed = nearest_cells(
-        _prep(queries, id_col, vec_col), n_probe, "cell"
-    ).select(
-        F.col("id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "cell",
+    cells = (
+        c.join(F.broadcast(cent))
+        .withColumn("cell", -F.array_max(cell_structs()).getField("c"))
+        .drop("cents")
+    )
+    probed = (
+        _prep(queries, id_col, vec_col)
+        .join(F.broadcast(cent))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            # explode drops queries when the centroid array is empty
+            # (empty corpus) — the result is then empty by construction
+            F.explode(
+                F.slice(F.reverse(F.array_sort(cell_structs())), 1, n_probe)
+            ).alias("__p"),
+        )
+        .select("query_id", "qv", "qn", (-F.col("__p.c")).alias("cell"))
     )
     scored = (
         cells.join(F.broadcast(probed), on="cell")
@@ -414,8 +445,6 @@ def kmeans_lloyd(
     the exploded relation once and localCheckpoint per iteration to
     truncate lineage (the graph.pagerank pattern).
     """
-    from pyspark.sql.window import Window
-
     # drop null/NaN/Inf vectors BEFORE the explode: one NaN value would
     # flow through the centroid mean and poison its whole cluster (and,
     # iteratively, every later assignment). Zero vectors stay — they are
@@ -456,11 +485,28 @@ def kmeans_lloyd(
                 ).alias("dist2")
             )
         )
-        w = Window.partitionBy(id_col).orderBy(F.round("dist2", 6), "cid")
+        # argmin via min_by over a TOTAL-order struct (rounded distance,
+        # then cid — identical to the oracles' row_number ORDER BY, and
+        # total ⇒ no min_by tie ambiguity). A hash aggregate with
+        # map-side partial combine replaces the former sort + full
+        # N·k-row window shuffle: the second shuffle of the iteration
+        # now moves ≤ one row per vector per input partition instead of
+        # all k candidate rows, and needs no sort at all.
         assign = (
-            d2.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, F.col("cid").alias("cluster_id"), "dist2")
+            d2.groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cid"), F.col("dist2")),
+                    F.struct(
+                        F.round("dist2", 6).alias("r"), F.col("cid").alias("c")
+                    ),
+                ).alias("__m")
+            )
+            .select(
+                id_col,
+                F.col("__m.cid").alias("cluster_id"),
+                F.col("__m.dist2").alias("dist2"),
+            )
         )
         if i < iterations - 1:
             cent = (

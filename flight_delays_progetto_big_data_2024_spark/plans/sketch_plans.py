@@ -1000,8 +1000,6 @@ def q180_residual_quantization_gain(spark: SparkSession, sf_dir: str) -> DataFra
     cnorm = cent.groupBy("cell").agg(
         F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
     )
-    from pyspark.sql.window import Window as W
-
     scored = (
         e.join(F.broadcast(cent), "pos0")
         .groupBy("vec_id", "cell")
@@ -1014,11 +1012,17 @@ def q180_residual_quantization_gain(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cos"),
         )
     )
-    wa = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+    # argmax via max_by over a TOTAL-order struct (cos desc via max,
+    # then lowest cell via max of -cell) — same result as the oracle's
+    # row_number (cos DESC, cell ASC), but a map-side-combining hash
+    # aggregate instead of sorting + shuffling all 16 candidate rows
+    # per vector through a window (the kmeans_lloyd assignment rework,
+    # round 9)
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cell"),
+            F.struct(F.col("cos").alias("s"), (-F.col("cell")).alias("c")),
+        ).alias("cell")
     )
     res_rows = (
         e.join(assign, "vec_id")

@@ -354,7 +354,10 @@ HEADLINE_EXCHANGE_PINS = {
     "q39_tumbling_hourly_events": 2,
     "q41_user_session_windows": 2,
     "q43_purchase_asof_last_click": 3,
-    "q44_embedding_ivf_topk": 6,
+    # r9: centroid set collapsed to one broadcast array row; the two
+    # argmax window exchanges are gone (2 cent broadcasts + probed
+    # broadcast + the final per-query top-k exchange remain)
+    "q44_embedding_ivf_topk": 4,
     "q59_tfidf_top_terms": 5,
     "q69_promo_window_shipments": 7,
     "q72_heavy_hitter_terms": 6,
