@@ -917,6 +917,14 @@ def _pq_cte(p: str, src: str) -> str:
           -- ulp noise (grid coarser than ulp) and codebooks diverge
           AND sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
                x -> x * x), 'sum')) < 10000.0
+          -- round-9 (zero-vector positive controls): the COARSE stage
+          -- is a COSINE assignment, undefined on a zero norm — Spark
+          -- ANSI raises DIVIDE_BY_ZERO where DuckDB's double x/0
+          -- quietly yields NULL and parks the vector in the lowest
+          -- cell. A vector with no defined coarse cell is outside the
+          -- residual pipeline's domain in both engines.
+          AND sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum')) > 0.0
     ),
     cent AS (SELECT vec_id AS cell, pos, val AS cval FROM e WHERE vec_id < 16),
     cnorm AS (SELECT cell, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY cell),
@@ -983,10 +991,17 @@ def q180_residual_quantization_gain(spark: SparkSession, sf_dir: str) -> DataFra
     # same filter, but a huge-magnitude vector must not reach the
     # coarse assignment either (its oracle mirrors this WHERE)
     v = as_double_array("embedding")
+    # domain: PQ's Euclidean rules (finite, under the round-8 norm
+    # ceiling) PLUS nrm > 0 — the coarse stage is a COSINE assignment,
+    # undefined on a zero vector (round-9: the planted zero-vector
+    # controls crashed the ANSI divide here while DuckDB's x/0 → NULL
+    # silently parked the row in the lowest cell; no coarse cell ⇒
+    # outside the residual pipeline, both engines)
     emb = cat.embeddings.filter(
         l2_norm(v).isNotNull()
         & ~F.isnan(l2_norm(v))
         & (l2_norm(v) < F.lit(EUCLID_NORM_BOUND))
+        & (l2_norm(v) > 0)
     )
     e = emb.select(
         "vec_id", F.posexplode(as_double_array("embedding")).alias("pos0", "val")

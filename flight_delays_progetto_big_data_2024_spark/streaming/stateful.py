@@ -200,6 +200,18 @@ except ImportError:  # pragma: no cover
 
 RUNNING_SCHEMA = "user_id bigint, n bigint, total double, batches bigint"
 
+#: NULL-grouping-key sentinel for TWS (round-9, found by the first
+#: hostile-layout sweep of the live transport): after the Python worker
+#: processes a NULL-key group, its implicit state binding sticks — every
+#: LATER key group in the same state partition reads and updates the
+#: NULL key's state row (cross-key running totals chained 2 → 77 → 129
+#: under shuffle.partitions=7; invisible at 32 partitions where the NULL
+#: key had no same-partition followers). Until the runtime handles NULL
+#: keys, the key column is sentinel-encoded BEFORE groupBy and decoded
+#: at emission. LONG_MIN is no plausible real id; a corpus that uses it
+#: as one would collide (documented, asserted nowhere hot).
+NULL_KEY_SENTINEL = -(2**63)
+
 
 class RunningTotalsProcessor(StatefulProcessor):
     """Per-key running aggregate via the ``transformWithStateInPandas``
@@ -276,11 +288,14 @@ class RunningTotalsProcessor(StatefulProcessor):
         # None (Arrow->pandas grouping bridge) — int(NaN) killed the
         # whole query on the first dirty micro-batch; pd.isna covers
         # None, NaN and pd.NA alike (round-9, found by the sweep's
-        # first real end-to-end TWS run)
+        # first real end-to-end TWS run). NULL_KEY_SENTINEL decodes the
+        # running_totals_stream NULL-key encoding (see its definition:
+        # a raw NULL key wedges the worker's implicit state binding).
+        null_key = pd.isna(user_id) or int(user_id) == NULL_KEY_SENTINEL
         yield pd.DataFrame(
             {
                 "user_id": pd.array(
-                    [None if pd.isna(user_id) else int(user_id)], dtype="Int64"
+                    [None if null_key else int(user_id)], dtype="Int64"
                 ),
                 "n": [n],
                 "total": pd.array(
@@ -322,11 +337,20 @@ def rocksdb_state_store(spark):
 def running_totals_stream(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Running per-key (count, total, batches-touched) over a stream via
     ``transformWithStateInPandas``. Update mode: each micro-batch emits
-    the new running row for every key it touched."""
+    the new running row for every key it touched.
+
+    The NULL-key contract (a NULL key is its OWN group, emitted with a
+    NULL user_id) is carried by ``NULL_KEY_SENTINEL`` encoding: a raw
+    NULL grouping key wedges the TWS worker's implicit state binding,
+    bleeding state into every later key in the partition — see the
+    sentinel's definition for the measured failure."""
     if not _HAS_TWS:  # pragma: no cover
         raise NotImplementedError(
             "transformWithStateInPandas requires Spark >= 4.0"
         )
+    events = events.withColumn(
+        key_col, F.coalesce(F.col(key_col), F.lit(NULL_KEY_SENTINEL))
+    )
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=RunningTotalsProcessor(),
         outputStructType=RUNNING_SCHEMA,

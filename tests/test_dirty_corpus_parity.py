@@ -62,6 +62,8 @@ PINNED = {
     "q70_user_value_scd2": "NULL-ts view change fabricated a trailing version (oracle lacked the undated-change mirror)",
     "q130_daily_peak_concurrency": "all-undated user: phantom NULL-day session row oracle-side; tied-ts session splits",
     "q163_label_centroid_drift": "antipodal pair cancels a half-centroid to zero: ANSI div0 abort vs DuckDB NaN",
+    # round-9 zero-vector positive-control find
+    "q180_residual_quantization_gain": "planted zero vector: coarse COSINE over the Euclidean keep-zero domain — ANSI div0 abort vs DuckDB x/0->NULL parking it in the lowest cell",
     "q58_near_dup_clusters": "positive control: planted dup pair + unicode 3-clique must cluster identically",
 }
 

@@ -518,6 +518,70 @@ def test_transform_with_state_checkpoint_migration(spark, tmp_path):
     assert rows == {(1, 2): (4, 7.5)}
 
 
+def test_running_totals_null_key_does_not_bleed_into_followers(
+    spark, tmp_path
+):
+    """Round-9 hostile-sweep find: after the TWS Python worker processes
+    a NULL-key group, its implicit state binding sticks — every LATER
+    key group in the same state partition reads and updates the NULL
+    key's state row (running totals chained across user_ids; emission
+    labels stay correct, so only a value check sees it). Pinned here
+    under the hostile regime that exposes it — few shuffle partitions so
+    the NULL key has same-partition followers — against the sentinel
+    encoding in running_totals_stream. 32-partition runs hide the bug."""
+    import glob
+    import shutil
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.stateful import (
+        rocksdb_state_store,
+        running_totals_stream,
+    )
+
+    src = str(tmp_path / "tws-null-in")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    # one NULL-key row plus MANY keys: with 2 shuffle partitions some
+    # keys land after the NULL group in its partition, whatever the
+    # hash placement
+    rows = [(0, _ts(10, 0), None, 9.0)] + [
+        (k + 1, _ts(10, k % 50), k, float(k)) for k in range(24)
+    ]
+    staging = str(tmp_path / "tws-null-staging")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+    (part,) = glob.glob(f"{staging}/part-*.parquet")
+    shutil.copy(part, f"{src}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    collected = []
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        with rocksdb_state_store(spark):
+            query = (
+                running_totals_stream(stream)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "tws-null-ckpt"))
+                .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert query.awaitTermination(120), "stream did not finish"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {r.user_id: (r.n, r.total) for r in collected}
+    assert len(collected) == 25, "every key emits exactly once"
+    assert got[None] == (1, 9.0), "NULL key is its own group"
+    for k in range(24):
+        assert got[k] == (1, float(k)), f"key {k} polluted: {got[k]}"
+
+
 def test_sessionize_stream_survives_dirty_rows(spark, tmp_path):
     """One NULL event-time CRASHED the whole streaming query: the
     watermark does not filter NULL ts, it reached the stateful function
