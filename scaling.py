@@ -413,8 +413,20 @@ def main() -> int:
         rec["within_bound"] = rec["alpha_top"] <= bound
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "SCALING.json"), "w") as fh:
-        json.dump(results, fh, indent=1, sort_keys=True)
+    # MERGE into the committed record: the sf1_decade block is measured
+    # by a separate ~40-min `--sf1` run — a plain dump here would
+    # silently destroy that stored evidence (and with it the
+    # `--sf1-reannotate` path, which re-derives annotations from the
+    # stored times). Found round 9, before it ever fired.
+    json_path = os.path.join(repo, "SCALING.json")
+    merged: dict = {}
+    if os.path.exists(json_path):
+        with open(json_path) as fh:
+            merged = json.load(fh)
+    merged = {"sf1_decade": merged["sf1_decade"]} if "sf1_decade" in merged else {}
+    merged.update(results)
+    with open(json_path, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
 
     lines = [
         "# SCALING — measured growth curves (round 5)",
@@ -444,8 +456,18 @@ def main() -> int:
         f"Queries over bound: {over or 'none'}.",
         "",
     ]
-    with open(os.path.join(repo, "SCALING.md"), "w") as fh:
-        fh.write("\n".join(lines))
+    # preserve the committed sf1-decade section (written only by the
+    # separate --sf1 run) — same destructive-rewrite hazard as the JSON
+    md_path = os.path.join(repo, "SCALING.md")
+    sf1_tail = ""
+    if os.path.exists(md_path):
+        with open(md_path) as fh:
+            old_md = fh.read()
+        marker = "\n## sf1 decade"
+        if marker in old_md:
+            sf1_tail = old_md[old_md.index(marker):]
+    with open(md_path, "w") as fh:
+        fh.write("\n".join(lines).rstrip("\n") + "\n" + sf1_tail)
     print(json.dumps({"over_bound": over, "n": len(names)}))
     return 1 if over else 0
 
