@@ -302,6 +302,15 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q152_pq_codebook_quality": 8,
     "q153_pq_adc_search": 8,
     "q180_residual_quantization_gain": 8,
+    # round-9 id-domain probes (LONG_MIN/LONG_MAX vec_ids): the
+    # half-split `id * 2 <= mx` is an int64 overflow in BOTH engines —
+    # now `id <= (mx >> 1)` (arithmetic shift = floor(mx/2), exactly
+    # equivalent for integer ids) in Spark AND the oracles; q163 also
+    # gains the `+ 0.0` negative-zero normalization on centroid_cosine
+    # (reachable since the near-orthogonal probe vectors). Clean-corpus
+    # values identical; r8 evidence certified the *2 plans.
+    "q163_label_centroid_drift": 8,
+    "q158_term_drift_between_halves": 8,
 }
 
 

@@ -249,27 +249,33 @@ def ivf_topk(
     )
 
     def cell_structs() -> Column:
-        # one (csim, -cid) struct per centroid: struct ordering compares
+        # one (csim, ~cid) struct per centroid: struct ordering compares
         # s first then c, so max/descending-sort picks highest cosine
         # then LOWEST cid — exactly the (desc csim, asc cid) row_number
         # tie order of the SQL oracle, and independent of collect_list's
         # nondeterministic array order (cid is unique, so no two structs
-        # ever compare equal). dot() feeds the same zip_with/aggregate
-        # accumulation in the same index order, so every csim double is
-        # bit-identical to the joined formulation it replaces.
+        # ever compare equal). The order reversal is BITWISE NOT, not
+        # arithmetic negation: ~cid = -1-cid is the same monotone flip
+        # but total on all 2^64 longs, where -cid overflows (ANSI
+        # crash) on a LONG_MIN id — the dirty corpus plants one. dot()
+        # feeds the same zip_with/aggregate accumulation in the same
+        # index order, so every csim double is bit-identical to the
+        # joined formulation it replaces.
         return F.transform(
             F.col("cents"),
             lambda z: F.struct(
                 F.round(
                     dot("v", z["cv"]) / (F.col("nrm") * z["cn"]), scale
                 ).alias("s"),
-                (-z["cid"]).alias("c"),
+                F.bitwise_not(z["cid"]).alias("c"),
             ),
         )
 
     cells = (
         c.join(F.broadcast(cent))
-        .withColumn("cell", -F.array_max(cell_structs()).getField("c"))
+        .withColumn(
+            "cell", F.bitwise_not(F.array_max(cell_structs()).getField("c"))
+        )
         .drop("cents")
     )
     probed = (
@@ -285,7 +291,9 @@ def ivf_topk(
                 F.slice(F.reverse(F.array_sort(cell_structs())), 1, n_probe)
             ).alias("__p"),
         )
-        .select("query_id", "qv", "qn", (-F.col("__p.c")).alias("cell"))
+        .select(
+            "query_id", "qv", "qn", F.bitwise_not(F.col("__p.c")).alias("cell")
+        )
     )
     scored = (
         cells.join(F.broadcast(probed), on="cell")

@@ -3491,7 +3491,11 @@ def q161_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
     e AS (
         SELECT label,
-               CASE WHEN vec_id * 2 <= mx THEN 0 ELSE 1 END AS half,
+               -- id*2 overflows INT64 at the planted LONG_MIN/LONG_MAX
+               -- ids (DuckDB raises, Spark ANSI raises); mx >> 1 is
+               -- arithmetic shift = floor(mx/2), and for integer ids
+               -- vec_id*2 <= mx ⟺ vec_id <= floor(mx/2)
+               CASE WHEN vec_id <= (mx >> 1) THEN 0 ELSE 1 END AS half,
                generate_subscripts(embedding, 1) AS pos,
                unnest(embedding::DOUBLE[]) AS val
         FROM embeddings, m
@@ -3516,7 +3520,10 @@ def q161_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- the zero vector has NO direction — cosine is undefined
            -- (NULL), not an ANSI divide-by-zero abort. Reachable: an
            -- antipodal pair alone in one half cancels exactly.
-           round(CASE WHEN na * nb <> 0 THEN dot / (na * nb) END, 6)
+           -- + 0.0 normalizes IEEE -0.0 (round-4 rule): near-orthogonal
+           -- halves round to zero and the tiny dot's sign would
+           -- otherwise split +0.0/-0.0 between engines
+           round(CASE WHEN na * nb <> 0 THEN dot / (na * nb) END, 6) + 0.0
                AS centroid_cosine
     FROM dots ORDER BY label
     """,
@@ -3536,7 +3543,15 @@ def q163_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.embeddings.crossJoin(F.broadcast(mx))
         .select(
             "label",
-            F.when(F.col("vec_id") * 2 <= F.col("mx"), 0).otherwise(1).alias("half"),
+            # half-split WITHOUT id arithmetic: vec_id*2 overflows ANSI
+            # on the planted LONG_MIN/LONG_MAX ids (DuckDB silently
+            # promotes to HUGEINT — the oracle's *2 form is exact
+            # there). shiftright(mx,1) = floor(mx/2) for all longs
+            # (arithmetic shift), and for integer vec_id:
+            # vec_id*2 <= mx  ⟺  vec_id <= floor(mx/2).
+            F.when(
+                F.col("vec_id") <= F.shiftright("mx", 1), 0
+            ).otherwise(1).alias("half"),
             F.posexplode(F.col("embedding").cast("array<double>")).alias(
                 "pos", "val"
             ),
@@ -3562,9 +3577,14 @@ def q163_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_dims"),
-            F.round(
-                F.when(den != 0, F.sum(F.col("ca") * F.col("cb")) / den),
-                6,
+            # + 0.0 normalizes IEEE -0.0 (round-4 rule; reachable since
+            # the r9 near-orthogonal id-probe vectors)
+            (
+                F.round(
+                    F.when(den != 0, F.sum(F.col("ca") * F.col("cb")) / den),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("centroid_cosine"),
         )
         .orderBy("label")

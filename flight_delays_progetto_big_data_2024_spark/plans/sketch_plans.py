@@ -786,7 +786,9 @@ def q153_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH m AS (SELECT max(doc_id) AS mx FROM documents),
     toks AS (
-        SELECT CASE WHEN doc_id * 2 <= mx THEN 0 ELSE 1 END AS half,
+        -- overflow-free half-split twin of the Spark side (see q163):
+        -- >> is DuckDB arithmetic shift, floor(mx/2) exactly
+        SELECT CASE WHEN doc_id <= (mx >> 1) THEN 0 ELSE 1 END AS half,
                unnest({_TOKS_SQL}) AS term
         FROM documents, m
     ),
@@ -831,7 +833,13 @@ def q158_term_drift_between_halves(spark: SparkSession, sf_dir: str) -> DataFram
     toks = (
         cat.documents.crossJoin(F.broadcast(mx))
         .select(
-            F.when(F.col("doc_id") * 2 <= F.col("mx"), 0).otherwise(1).alias("half"),
+            # same overflow-free half-split as q163: doc_id*2 is an
+            # ANSI overflow at the id-domain edges; vec_id*2 <= mx
+            # ⟺ id <= shiftright(mx, 1) exactly (arithmetic shift
+            # floors; oracle keeps *2 — DuckDB promotes to HUGEINT)
+            F.when(
+                F.col("doc_id") <= F.shiftright("mx", 1), 0
+            ).otherwise(1).alias("half"),
             F.explode(tokens("text")).alias("term"),
         )
     )
@@ -1028,15 +1036,16 @@ def q180_residual_quantization_gain(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     # argmax via max_by over a TOTAL-order struct (cos desc via max,
-    # then lowest cell via max of -cell) — same result as the oracle's
-    # row_number (cos DESC, cell ASC), but a map-side-combining hash
-    # aggregate instead of sorting + shuffling all 16 candidate rows
-    # per vector through a window (the kmeans_lloyd assignment rework,
-    # round 9)
+    # then lowest cell via max of ~cell — bitwise NOT, the overflow-free
+    # monotone flip; -cell would ANSI-crash on a LONG_MIN id) — same
+    # result as the oracle's row_number (cos DESC, cell ASC), but a
+    # map-side-combining hash aggregate instead of sorting + shuffling
+    # all 16 candidate rows per vector through a window (the
+    # kmeans_lloyd assignment rework, round 9)
     assign = scored.groupBy("vec_id").agg(
         F.max_by(
             F.col("cell"),
-            F.struct(F.col("cos").alias("s"), (-F.col("cell")).alias("c")),
+            F.struct(F.col("cos").alias("s"), F.bitwise_not("cell").alias("c")),
         ).alias("cell")
     )
     res_rows = (

@@ -218,6 +218,24 @@ def test_ivf_topk_sparse_offset_ids(spark):
     assert got and got == exact  # centroid choice is rank-based, not id<n
 
 
+def test_ivf_topk_corpus_smaller_than_n_cells(spark):
+    """A corpus with fewer vectors than n_cells makes EVERY vector a
+    centroid (the broadcast centroid array is just shorter — r9's
+    single-row collect_list form must not pad or fail); probing
+    n_probe >= |corpus| cells then degenerates to exact brute force."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+
+    emb = Catalog(spark, _SF).embeddings.filter(F.col("vec_id") < 5)
+    got = {(r["query_id"], r["rank"]): r["candidate_id"]
+           for r in ivf_topk(emb, emb, k=3, n_cells=16, n_probe=4).collect()}
+    exact = {(r["query_id"], r["rank"]): r["candidate_id"]
+             for r in cosine_topk(emb, emb, k=3).collect()}
+    assert got and got == exact
+
+
 def test_multimodal_null_payload_skipped(spark):
     from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
         attach_binary_payload,

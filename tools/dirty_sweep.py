@@ -254,6 +254,22 @@ DIRTY: dict[str, list[dict]] = {
         # must not surface as a cosine-1 neighbor anywhere.
         {"vec_id": 990036, "embedding": [0.0] * 64, "label": 1},
         {"vec_id": 990037, "embedding": [0.0] * 64, "label": 2},
+        # round-9 id-DOMAIN probes: LONG_MIN / LONG_MAX vec_ids with
+        # ordinary in-domain vectors. LONG_MIN becomes the lowest-id
+        # row, i.e. an IVF/k-means/PQ centroid-seed by both the
+        # rank-based and the value-predicate (id < k) selections, and a
+        # vec_id<5 query — so any arithmetic NEGATION used as an id
+        # tie-break flip overflows loudly under ANSI (-LONG_MIN is
+        # undefined; the operators use bitwise NOT, total on all 2^64
+        # longs). Alternating-sign exact binary quarters: ~zero cosine
+        # against the all-positive control family and against each
+        # other, so no near-dup/ANN pair set changes.
+        {"vec_id": -(2**63),
+         "embedding": [0.25 if i % 2 == 0 else -0.25 for i in range(64)],
+         "label": 1},
+        {"vec_id": 2**63 - 1,
+         "embedding": [0.25 if (i // 2) % 2 == 0 else -0.25 for i in range(64)],
+         "label": 2},
     ],
 }
 
@@ -278,7 +294,10 @@ def _sql_lit(v, typ: str) -> str:
         elem = typ[:-2] if typ.endswith("[]") else "DOUBLE"
         inner = ", ".join(_sql_lit(float(x), elem) for x in v)
         return f"[{inner}]::{typ}"
-    return f"{v}::{typ}"
+    # parenthesize: '::' binds tighter than unary minus, so a bare
+    # -9223372036854775808::BIGINT parses as -(9223372036854775808::
+    # BIGINT) and overflows before the sign applies (LONG_MIN probe)
+    return f"({v})::{typ}"
 
 
 def build_dirty(dst: Path) -> None:
