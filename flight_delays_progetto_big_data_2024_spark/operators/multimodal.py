@@ -1,5 +1,5 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
-columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+columns with typed metadata, processed by Arrow-batched ``mapInArrow``.
 
 The Spark-side machinery here is real and tested — schemas, batch
 iteration, partition-preserving UDF signatures; only the *codec* step is
@@ -9,18 +9,29 @@ stubbed (this container has no image/audio libraries), behind
 the distributed plumbing is exercised end-to-end and oracle-checkable
 (its formula is pure arithmetic on byte length).
 
-Scale notes: mapInPandas streams Arrow record batches — constant memory
+Scale notes: mapInArrow streams Arrow record batches — constant memory
 per task regardless of partition size; binary payloads never pass
 through Python row-by-row. Real pipelines should store payloads in
 their own parquet column (dictionary-disabled) and keep metadata columns
 alongside for pruning, which this module's attach/extract split mirrors.
+
+Why mapInArrow and not mapInPandas (round-9 found-and-fixed): Spark's
+Arrow→pandas input conversion upcasts an int64 column that contains ANY
+null to float64 — so one corrupt row (NULL doc_id) in a batch silently
+destroys the precision of every id beyond 2^53 in that batch (the dirty
+corpus's LONG_MAX doc_id probe came back as LONG_MIN after the wrap, and
+the frame sampler crashed casting 2^63 back to int64). Staying in Arrow
+keeps ids nullable-and-exact end to end; the payload math is numpy over
+zero-copy buffer views either way.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +48,18 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+def _payload_lengths(
+    rb: pa.RecordBatch, id_col: str, payload_col: str
+) -> tuple[pa.Array, np.ndarray]:
+    """Drop null-payload rows (corrupt/absent media are skipped, the
+    standard decode-stage policy) and return (exact nullable int64 ids,
+    int64 numpy byte lengths) for the survivors."""
+    rb = rb.filter(pc.is_valid(rb.column(payload_col)))
+    ids = pc.cast(rb.column(id_col), pa.int64())
+    n = pc.cast(pc.binary_length(rb.column(payload_col)), pa.int64())
+    return ids, n.to_numpy(zero_copy_only=False).astype("int64")
+
+
 def fake_decode_images(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -44,31 +67,28 @@ def fake_decode_images(
     (dims derived from byte length). Exercises the REAL decode pipeline
     shape: Arrow batches in, new-schema batches out."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # null payloads (corrupt/absent media) are skipped, the
-            # standard behavior for a decode stage — len(None) would
-            # otherwise kill the whole task
-            pdf = pdf[pdf[payload_col].notna()]
-            n = pdf[payload_col].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": n.astype("int64"),
-                    "width": (n % 64 + 1).astype("int32"),
-                    "height": (n % 37 + 1).astype("int32"),
-                    "channels": pd.Series(3, index=pdf.index, dtype="int32"),
-                }
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids, n = _payload_lengths(rb, id_col, payload_col)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n, type=pa.int64()),
+                    pa.array((n % 64 + 1).astype("int32")),
+                    pa.array((n % 37 + 1).astype("int32")),
+                    pa.array(np.full(len(n), 3, dtype="int32")),
+                ],
+                names=["doc_id", "n_bytes", "width", "height", "channels"],
             )
 
-    return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+    return df.mapInArrow(decode, schema=DECODE_SCHEMA)
 
 
 def decode_images(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """REAL image decode (PIL) — STUB: the execution container has no
-    imaging libraries. The mapInPandas plumbing is identical to
+    imaging libraries. The mapInArrow plumbing is identical to
     :func:`fake_decode_images`; only the codec differs."""
     try:
         import PIL.Image  # noqa: F401
@@ -78,21 +98,33 @@ def decode_images(
             "environment; use fake_decode_images for plumbing tests"
         ) from exc
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:  # pragma: no cover
         import io
 
         import PIL.Image as Image
 
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = Image.open(io.BytesIO(payload))
-                rows.append((doc_id, len(payload), img.width, img.height, len(img.getbands())))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "width", "height", "channels"]
+        for rb in batches:
+            rb = rb.filter(pc.is_valid(rb.column(payload_col)))
+            nb, ws, hs, chs = [], [], [], []
+            for payload in rb.column(payload_col):
+                buf = payload.as_py()
+                img = Image.open(io.BytesIO(buf))
+                nb.append(len(buf))
+                ws.append(img.width)
+                hs.append(img.height)
+                chs.append(len(img.getbands()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(rb.column(id_col), pa.int64()),
+                    pa.array(nb, type=pa.int64()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(chs, type=pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "width", "height", "channels"],
             )
 
-    return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+    return df.mapInArrow(decode, schema=DECODE_SCHEMA)
 
 
 FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
@@ -108,31 +140,25 @@ def extract_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Payload -> feature vector (array<float>) through mapInPandas —
+    """Payload -> feature vector (array<float>) through mapInArrow —
     the embedding-extraction stage shape (a real model slots into the
     same batch loop; this deterministic fake derives features from byte
     statistics so the Arrow array-column plumbing is testable).
     Null payloads are skipped, as in decode."""
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf[pdf[payload_col].notna()]
-            n = pdf[payload_col].map(len)
+    def extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids, n = _payload_lengths(rb, id_col, payload_col)
             feats = [
                 [float(nb), float(nb % 7), float(nb % 13), float(nb % 29)][:dim]
                 for nb in n
             ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    # explicit object dtype: an EMPTY batch would
-                    # otherwise infer float64 for the list column and
-                    # Arrow can't convert that to list<float>
-                    "feature": pd.Series(feats, index=pdf.index, dtype="object"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(feats, type=pa.list_(pa.float32()))],
+                names=["doc_id", "feature"],
             )
 
-    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return df.mapInArrow(extract, schema=FEATURE_SCHEMA)
 
 
 def resize_images(
@@ -146,27 +172,26 @@ def resize_images(
     fake_decode_images; a real resampler replaces the arithmetic, the
     batch loop is identical)."""
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf[pdf[payload_col].notna()]
-            n = pdf[payload_col].map(len)
-            w = (n % 64 + 1).astype("int64")
-            h = (n % 37 + 1).astype("int64")
-            scale_num = pd.Series(max_side, index=pdf.index, dtype="int64")
-            long_side = w.combine(h, max)
-            out_w = (w * scale_num // long_side).clip(lower=1)
-            out_h = (h * scale_num // long_side).clip(lower=1)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "width": w.astype("int32"),
-                    "height": h.astype("int32"),
-                    "out_width": out_w.astype("int32"),
-                    "out_height": out_h.astype("int32"),
-                }
+    def resize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids, n = _payload_lengths(rb, id_col, payload_col)
+            w = n % 64 + 1
+            h = n % 37 + 1
+            long_side = np.maximum(w, h)
+            out_w = np.maximum(w * max_side // long_side, 1)
+            out_h = np.maximum(h * max_side // long_side, 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(w.astype("int32")),
+                    pa.array(h.astype("int32")),
+                    pa.array(out_w.astype("int32")),
+                    pa.array(out_h.astype("int32")),
+                ],
+                names=["doc_id", "width", "height", "out_width", "out_height"],
             )
 
-    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+    return df.mapInArrow(resize, schema=RESIZE_SCHEMA)
 
 
 def sample_frames(
@@ -178,30 +203,32 @@ def sample_frames(
     """Evenly-strided frame sampling from a fake video container whose
     frame count derives from byte length (real codecs slot into the same
     batch loop). Emits (doc_id, frame_idx, frame_offset) rows — a
-    row-expanding mapInPandas (out rows ≠ in rows)."""
+    row-expanding mapInArrow (out rows ≠ in rows). Output ids are a
+    ``take`` over the exact Arrow id array, so the expansion never
+    round-trips ids through Python or float."""
 
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, offs = [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:  # skip absent/corrupt containers
-                    continue
-                n_bytes = len(payload)
-                n_frames = n_bytes % 10 + 1
+    def sample(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids, n = _payload_lengths(rb, id_col, payload_col)
+            src, idxs, offs = [], [], []
+            for i, n_bytes in enumerate(n):
+                n_frames = int(n_bytes) % 10 + 1
                 take = min(k, n_frames)
                 for j in range(take):
-                    ids.append(doc_id)
-                    idxs.append(j * n_frames // take)
-                    offs.append((j * n_frames // take) * 1024)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_offset": pd.Series(offs, dtype="int64"),
-                }
+                    src.append(i)
+                    fi = j * n_frames // take
+                    idxs.append(fi)
+                    offs.append(fi * 1024)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(src, type=pa.int64())),
+                    pa.array(idxs, type=pa.int32()),
+                    pa.array(offs, type=pa.int64()),
+                ],
+                names=["doc_id", "frame_idx", "frame_offset"],
             )
 
-    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+    return df.mapInArrow(sample, schema=FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -486,7 +513,7 @@ def decode_image_payloads(
     (dims, channel count, mean/max pixel value), the typed-metadata
     extraction stage of a multimodal curation pipeline.
 
-    Same mapInPandas contract as :func:`fake_decode_images` — this is
+    Same mapInArrow contract as :func:`fake_decode_images` — this is
     the fake codec's gate finally closed with a genuine byte-level
     decode. Rows whose payload is null, has an unknown magic, or fails
     structural validation (truncated pixels, compressed BMP, bad
@@ -494,21 +521,23 @@ def decode_image_payloads(
     blob must not kill a 100 TB scan task. Pixel math is numpy over a
     zero-copy ``frombuffer`` view, so cost is O(bytes) per image with
     no Python-per-pixel loop; payload bytes reach the worker once via
-    Arrow and never pass through row-at-a-time pickling."""
+    Arrow and never pass through row-at-a-time pickling. Surviving ids
+    are selected with a ``take`` over the exact Arrow id array (never
+    a float round-trip — a null id elsewhere in the batch must not
+    corrupt extreme ids, the round-9 mapInPandas lesson)."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, fmts, ws, hs, chs, means, maxes = [], [], [], [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
-                    continue
-                buf = bytes(payload)
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            rb = rb.filter(pc.is_valid(rb.column(payload_col)))
+            src, fmts, ws, hs, chs, means, maxes = [], [], [], [], [], [], []
+            for i, payload in enumerate(rb.column(payload_col)):
+                buf = bytes(payload.as_py())
                 for magic, codec, fmt in _CODECS:
                     if buf.startswith(magic):
                         parsed = codec(buf)
                         if parsed is not None:
                             w, h, c, px = parsed
-                            ids.append(doc_id)
+                            src.append(i)
                             fmts.append(fmt)
                             ws.append(w)
                             hs.append(h)
@@ -516,16 +545,23 @@ def decode_image_payloads(
                             means.append(float(px.mean()))
                             maxes.append(int(px.max()))
                         break  # unknown magic or corrupt → skipped
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "fmt": pd.Series(fmts, dtype="object"),
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "channels": pd.Series(chs, dtype="int32"),
-                    "mean_pixel": pd.Series(means, dtype="float64"),
-                    "max_pixel": pd.Series(maxes, dtype="int32"),
-                }
+            ids = pc.cast(rb.column(id_col), pa.int64()).take(
+                pa.array(src, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(fmts, type=pa.string()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(chs, type=pa.int32()),
+                    pa.array(means, type=pa.float64()),
+                    pa.array(maxes, type=pa.int32()),
+                ],
+                names=[
+                    "doc_id", "fmt", "width", "height", "channels",
+                    "mean_pixel", "max_pixel",
+                ],
             )
 
-    return df.mapInPandas(decode, schema=PIXEL_STATS_SCHEMA)
+    return df.mapInArrow(decode, schema=PIXEL_STATS_SCHEMA)

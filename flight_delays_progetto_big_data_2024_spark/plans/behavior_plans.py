@@ -185,10 +185,19 @@ def q142_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     tiled AS (
+        -- every sort level pins its NULL order explicitly: Spark's
+        -- defaults are ASC=NULLS FIRST / DESC=NULLS LAST while DuckDB
+        -- defaults to NULLS LAST in both directions — the NULL user_id
+        -- tiebreak diverged the moment another user tied on last_ts
+        -- (r9 events probe: a real user sharing the NULL user's 1997
+        -- last-seen date)
         SELECT user_id, freq, monetary,
-               ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
-               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
-               ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+               ntile(4) OVER (ORDER BY last_ts DESC NULLS LAST,
+                              user_id ASC NULLS LAST) AS r,
+               ntile(4) OVER (ORDER BY freq DESC NULLS LAST,
+                              user_id ASC NULLS LAST) AS f,
+               ntile(4) OVER (ORDER BY monetary DESC NULLS LAST,
+                              user_id ASC NULLS LAST) AS m
         FROM per_user
     )
     SELECT (r * 100 + f * 10 + m) AS segment,
@@ -202,7 +211,10 @@ def q143_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency/frequency/monetary) quartile segmentation: rank each
     user into ntile(4) on all three axes, code the segment as RFM
     digits, and profile each segment. The ntiles sort the USER aggregate
-    (cardinality = users, not events) with user_id tie-breaks so both
+    (cardinality = users, not events) with user_id tie-breaks — with
+    the NULL direction pinned on EVERY level (r9: Spark ASC is NULLS
+    FIRST, DuckDB defaults NULLS LAST; the NULL user's tiebreak placement
+    diverged the moment a real user tied it on last_ts) — so both
     engines tile identically; monetary is rounded before ranking so the
     sort key is reproducible across engines. At extreme user counts
     swap ntile for approx-quantile cutpoint joins — same output
@@ -213,13 +225,23 @@ def q143_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("value"), 6).alias("monetary"),
     )
+    # NULL orders pinned on every sort level (see the oracle comment):
+    # F.asc defaults NULLS FIRST, the opposite of DuckDB's default —
+    # asc_nulls_last makes the NULL user_id tiebreak engine-identical
     tiled = per_user.select(
         "freq",
         "monetary",
-        F.ntile(4).over(Window.orderBy(F.desc("last_ts"), F.asc("user_id"))).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
         F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .over(Window.orderBy(F.desc_nulls_last("last_ts"),
+                             F.asc_nulls_last("user_id")))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc_nulls_last("freq"),
+                             F.asc_nulls_last("user_id")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc_nulls_last("monetary"),
+                             F.asc_nulls_last("user_id")))
         .alias("m"),
     )
     return (
@@ -642,13 +664,20 @@ def q151_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
     ),
     cohorts AS (
-        SELECT user_id, date_diff('day', DATE '2024-01-01', d0) // 7 AS cohort
+        -- FLOOR division, not //: DuckDB's // truncates toward zero, so
+        -- a pre-epoch first-seen date (r9 events probe: a real user at
+        -- the 1997 timestamp) landed one week off Spark's floor(x/7)
+        -- (-1385 vs -1386). Calendar week indexes are floor semantics.
+        SELECT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', d0) / 7.0)
+                    AS BIGINT) AS cohort
         FROM first_seen
     ),
     active AS (
         SELECT DISTINCT e.user_id,
-               date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
-                   AS wk
+               CAST(floor(date_diff('day', DATE '2024-01-01',
+                                    CAST(e.ts AS DATE)) / 7.0)
+                    AS BIGINT) AS wk
         FROM events e
     ),
     sizes AS (SELECT cohort, count(*) AS n_users FROM cohorts GROUP BY cohort),

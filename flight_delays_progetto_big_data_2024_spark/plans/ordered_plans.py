@@ -349,9 +349,14 @@ def q136_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q162_watermark_lag_profile",
     sql="""
     WITH delayed AS (
+        -- the redelivery plant SATURATES in the top-500 arrival band:
+        -- event_id + 500 is an int64 overflow there in BOTH engines
+        -- (r9 id-domain probe: the largest multiple of 17 under
+        -- LONG_MAX sits inside the band)
         SELECT ts, event_id,
-               event_id + CASE WHEN event_id % 17 = 0 THEN 500 ELSE 0 END
-                   AS arrival
+               event_id + CASE WHEN event_id % 17 = 0
+                               AND event_id <= 9223372036854775307
+                               THEN 500 ELSE 0 END AS arrival
         FROM events
     ),
     arr AS (
@@ -380,7 +385,9 @@ def q162_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``withWatermark`` delay loses how much data. The synthetic corpus's
     arrival order is perfectly time-sorted, so (as with q128's planted
     PII) the disorder under measurement is PLANTED deterministically:
-    every 17th event is redelivered 500 arrival slots late. The running
+    every 17th event is redelivered 500 arrival slots late — saturating
+    in the top-500 arrival band, where ``event_id + 500`` is an int64
+    overflow in both engines (r9 id-domain probe). The running
     max is the distributed two-phase decomposition (operators.ordered.
     bucketed_running_max, bucketed on arrival ranges), never a global
     single-task window; the oracle uses DuckDB's global window."""
@@ -394,7 +401,11 @@ def q162_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "arrival",
         F.col("event_id")
-        + F.when(F.col("event_id") % 17 == 0, 500).otherwise(0),
+        + F.when(
+            (F.col("event_id") % 17 == 0)
+            & (F.col("event_id") <= 9223372036854775307),
+            500,
+        ).otherwise(0),
     ).withColumn("__b", F.floor(F.col("arrival") / 1000))
     hwm = bucketed_running_max(
         ev, ["arrival", "event_id"], "tsd", "__b", out_col="hwm"

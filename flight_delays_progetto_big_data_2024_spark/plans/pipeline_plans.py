@@ -1,7 +1,7 @@
 """Multimodal + windowed-aggregation queries.
 
 The multimodal pair deliberately routes through Arrow-batched
-``mapInPandas`` on the Spark side while its oracle is pure SQL
+``mapInArrow`` on the Spark side while its oracle is pure SQL
 arithmetic — so the driver's hash check validates the Python-batch
 plumbing itself (schema, typing, row expansion), not just expressions.
 """
@@ -38,7 +38,7 @@ from flight_delays_progetto_big_data_2024_spark.streaming.windowed import (
     """,
 )
 def q37_multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → image metadata through mapInPandas (deterministic
+    """Binary payload → image metadata through mapInArrow (deterministic
     fake codec; real codec is the same loop, see operators.multimodal)."""
     cat = Catalog(spark, sf_dir)
     return fake_decode_images(attach_binary_payload(cat.documents))
@@ -65,7 +65,7 @@ def q37_multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-expanding frame sampling (video analog) through mapInPandas:
+    """Row-expanding frame sampling (video analog) through mapInArrow:
     k evenly-strided frames per payload."""
     cat = Catalog(spark, sf_dir)
     return sample_frames(attach_binary_payload(cat.documents), k=3)
@@ -131,7 +131,7 @@ def q40_tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction through mapInPandas (array<float> output),
+    """Feature extraction through mapInArrow (array<float> output),
     flattened to scalars for the value-hash (list-typed columns don't
     canonicalize portably across engines)."""
     cat = Catalog(spark, sf_dir)
@@ -163,7 +163,7 @@ def q52_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q53_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize planning through mapInPandas (real
+    """Aspect-preserving resize planning through mapInArrow (real
     resampler slots into the same loop)."""
     cat = Catalog(spark, sf_dir)
     return resize_images(attach_binary_payload(cat.documents), max_side=32)
@@ -172,13 +172,17 @@ def q53_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q55_kafka_feed_progress",
     sql="""
+    -- ((x % 4) + 4) % 4 is pmod: DuckDB's % is dividend-sign, so a
+    -- negative user_id would land on partition -1..-3 while the Spark
+    -- partitioner (pmod) says 1..3 — the r9 id-domain probe's find.
+    -- Total on all longs: |x % 4| <= 3, so the +4 never overflows.
     SELECT 'events' AS topic,
-           CAST(user_id % 4 AS INT) AS partition,
+           CAST(((user_id % 4) + 4) % 4 AS INT) AS partition,
            count(*) - 1 AS max_offset,
            count(*) AS n_rows,
            round(sum(value), 6) AS sum_value
     FROM events
-    GROUP BY user_id % 4
+    GROUP BY ((user_id % 4) + 4) % 4
     """,
 )
 def q55_kafka_feed_progress(spark: SparkSession, sf_dir: str) -> DataFrame:

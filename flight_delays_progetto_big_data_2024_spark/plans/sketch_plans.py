@@ -40,9 +40,16 @@ _CMS_WIDTH = 1024
 @register(
     "q133_vocab_novelty_curve",
     sql=f"""
-    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    WITH m AS (
+        SELECT min(doc_id) >> 4 AS qn, max(doc_id) >> 4 AS qx FROM documents
+    ),
     toks AS (
-        SELECT CAST(floor(doc_id * 8 / (mx + 1)) AS BIGINT) AS batch,
+        -- overflow-free 8-way range split over [min, max] in granule-16
+        -- id space: (x>>4 - mn>>4) <= 2^60 - 1 across the FULL int64
+        -- domain, so *8 stays under 2^63; >> is arithmetic (floor) and
+        -- // truncates, identical on these nonnegative operands.
+        -- The old floor(doc_id*8/(mx+1)) overflowed at both id edges.
+        SELECT (((doc_id >> 4) - qn) * 8) // (qx - qn + 1) AS batch,
                unnest(list_distinct({_TOKS_SQL})) AS term
         FROM documents, m
     ),
@@ -72,13 +79,25 @@ def q133_vocab_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-growth diagnostic that says when additional crawl stops
     buying new language. First-seen attribution is a min-aggregate per
     term (one shuffle keyed by term); the running vocabulary total is a
-    window over the 8-row batch aggregate, never the term table."""
+    window over the 8-row batch aggregate, never the term table.
+
+    Batch assignment is the overflow-free granule-16 range split
+    ``((id>>4) - (mn>>4)) * 8 div ((mx>>4) - (mn>>4) + 1)``: total on
+    the full int64 id domain (the r9 dirty probes plant LONG_MIN /
+    LONG_MAX doc_ids; the old ``floor(id*8/(mx+1))`` was an ANSI
+    overflow at both edges), monotone in id, batch widths equal to
+    within one 16-id granule."""
     cat = Catalog(spark, sf_dir)
-    mx = cat.documents.agg(F.max("doc_id").alias("mx"))
+    bounds = cat.documents.agg(
+        F.shiftright(F.min("doc_id"), 4).alias("qn"),
+        F.shiftright(F.max("doc_id"), 4).alias("qx"),
+    )
     toks = (
-        cat.documents.crossJoin(F.broadcast(mx))
+        cat.documents.crossJoin(F.broadcast(bounds))
         .select(
-            F.floor(F.col("doc_id") * 8 / (F.col("mx") + 1)).alias("batch"),
+            F.expr(
+                "((shiftright(doc_id, 4) - qn) * 8) div (qx - qn + 1)"
+            ).alias("batch"),
             F.explode(F.array_distinct(tokens("text"))).alias("term"),
         )
     )

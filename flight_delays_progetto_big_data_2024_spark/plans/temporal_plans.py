@@ -748,7 +748,15 @@ def q118_corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents snapshot in one anti-join + union pass; the per-source
     profile of the merged snapshot is the value probe. At 100 TB the
     snapshot lives bucketed by doc_id so the anti-join is
-    shuffle-free per batch."""
+    shuffle-free per batch.
+
+    Domain note (round-9 id audit): the synthesized-id namespace
+    ``doc_id + 1_000_000`` assumes appended ids fit int64; an id inside
+    the top 1e6 of the space that lands on the %13 branch overflows
+    LOUDLY and identically in both engines (Spark ANSI raises, DuckDB
+    raises — no silent divergence), which is the intended behavior for
+    an id-namespace collision. The planted LONG_MIN/LONG_MAX probes sit
+    on other branches (%13 remainders -8 and 7) by construction."""
     from flight_delays_progetto_big_data_2024_spark.operators.temporal import (
         merge_upsert,
     )

@@ -200,17 +200,22 @@ except ImportError:  # pragma: no cover
 
 RUNNING_SCHEMA = "user_id bigint, n bigint, total double, batches bigint"
 
-#: NULL-grouping-key sentinel for TWS (round-9, found by the first
+#: NULL-grouping-key handling for TWS (round-9, found by the first
 #: hostile-layout sweep of the live transport): after the Python worker
 #: processes a NULL-key group, its implicit state binding sticks — every
 #: LATER key group in the same state partition reads and updates the
 #: NULL key's state row (cross-key running totals chained 2 → 77 → 129
 #: under shuffle.partitions=7; invisible at 32 partitions where the NULL
 #: key had no same-partition followers). Until the runtime handles NULL
-#: keys, the key column is sentinel-encoded BEFORE groupBy and decoded
-#: at emission. LONG_MIN is no plausible real id; a corpus that uses it
-#: as one would collide (documented, asserted nowhere hot).
-NULL_KEY_SENTINEL = -(2**63)
+#: keys, the key is encoded BEFORE groupBy as the COMPOSITE
+#: ``(coalesce(key, 0), key IS NULL)`` — total and collision-free on
+#: all 2^64 longs plus NULL (the first cut used a LONG_MIN sentinel,
+#: which a snowflake-style id space genuinely contains; the r9
+#: id-domain probe planted one and merged a real user into the NULL
+#: group) — and decoded inside the processor at emission. NOTE: a
+#: grouping-KEY schema change invalidates existing checkpoints
+#: (standard Spark stateful-upgrade semantics — drain before upgrade);
+#: only the VALUE schema has an in-place migration path (agg → agg2).
 
 
 class RunningTotalsProcessor(StatefulProcessor):
@@ -283,15 +288,20 @@ class RunningTotalsProcessor(StatefulProcessor):
             total += float(0.0 if pd.isna(s) else s)
         batches += 1
         self._agg.update((n, total, batches, nn))
-        (user_id,) = key
-        # the TWS key tuple renders a NULL bigint key as float NaN, not
-        # None (Arrow->pandas grouping bridge) — int(NaN) killed the
-        # whole query on the first dirty micro-batch; pd.isna covers
-        # None, NaN and pd.NA alike (round-9, found by the sweep's
-        # first real end-to-end TWS run). NULL_KEY_SENTINEL decodes the
-        # running_totals_stream NULL-key encoding (see its definition:
-        # a raw NULL key wedges the worker's implicit state binding).
-        null_key = pd.isna(user_id) or int(user_id) == NULL_KEY_SENTINEL
+        # key shapes: the composite (key_enc, is_null) 2-tuple from
+        # running_totals_stream's collision-free NULL encoding, or a
+        # raw 1-tuple when tests drive the processor directly. The TWS
+        # key tuple renders a NULL bigint key as float NaN, not None
+        # (Arrow->pandas grouping bridge) — int(NaN) killed the whole
+        # query on the first dirty micro-batch; pd.isna covers None,
+        # NaN and pd.NA alike (round-9, found by the sweep's first
+        # real end-to-end TWS run).
+        if len(key) == 2:
+            user_id, is_null = key
+            null_key = bool(is_null) or pd.isna(user_id)
+        else:
+            (user_id,) = key
+            null_key = pd.isna(user_id)
         yield pd.DataFrame(
             {
                 "user_id": pd.array(
@@ -340,18 +350,21 @@ def running_totals_stream(events: DataFrame, key_col: str = "user_id") -> DataFr
     the new running row for every key it touched.
 
     The NULL-key contract (a NULL key is its OWN group, emitted with a
-    NULL user_id) is carried by ``NULL_KEY_SENTINEL`` encoding: a raw
-    NULL grouping key wedges the TWS worker's implicit state binding,
-    bleeding state into every later key in the partition — see the
-    sentinel's definition for the measured failure."""
+    NULL user_id) is carried by the composite ``(coalesce(key, 0),
+    key IS NULL)`` grouping key: a raw NULL grouping key wedges the TWS
+    worker's implicit state binding, bleeding state into every later
+    key in the partition, and any single-bigint sentinel collides with
+    a real id somewhere in the int64 space (the r9 probe's LONG_MIN
+    user) — see the module note above RunningTotalsProcessor for the
+    measured failures."""
     if not _HAS_TWS:  # pragma: no cover
         raise NotImplementedError(
             "transformWithStateInPandas requires Spark >= 4.0"
         )
     events = events.withColumn(
-        key_col, F.coalesce(F.col(key_col), F.lit(NULL_KEY_SENTINEL))
-    )
-    return events.groupBy(key_col).transformWithStateInPandas(
+        "__key_null", F.col(key_col).isNull()
+    ).withColumn(key_col, F.coalesce(F.col(key_col), F.lit(0).cast("long")))
+    return events.groupBy(key_col, "__key_null").transformWithStateInPandas(
         statefulProcessor=RunningTotalsProcessor(),
         outputStructType=RUNNING_SCHEMA,
         outputMode="Update",

@@ -904,3 +904,38 @@ def test_running_totals_migrates_legacy_3field_checkpoint():
         (7,), iter([pd.DataFrame({"value": pd.Series([1.0], dtype="float64")})]), None
     )
     assert handle.states["agg2"].get() == (7, 13.0, 4, 6)
+
+
+def test_multimodal_ids_stay_exact_beside_null_ids(spark):
+    """Round-9 regression: a NULL doc_id sharing an Arrow batch with an
+    extreme id must not corrupt it. The old mapInPandas path upcast the
+    id column to float64 on ANY null in the batch, wrapping 2^63-1 to
+    LONG_MIN in decode/features/resize and crashing the frame sampler's
+    int64 cast; mapInArrow keeps ids nullable-and-exact."""
+    from flight_delays_progetto_big_data_2024_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        fake_decode_images,
+        resize_images,
+        sample_frames,
+    )
+
+    lmin, lmax = -(2**63), 2**63 - 1
+    df = spark.createDataFrame(
+        [(None, None), (lmax, "omega"), (lmin, "alpha"), (7, "seven")],
+        "doc_id long, text string",
+    ).coalesce(1)  # one partition => one Arrow batch => nulls beside extremes
+    payloads = attach_binary_payload(df)
+
+    for op in (fake_decode_images, extract_features, resize_images):
+        ids = sorted(r["doc_id"] for r in op(payloads).select("doc_id").collect())
+        assert ids == [lmin, 7, lmax], op.__name__
+
+    frame_ids = {r["doc_id"] for r in sample_frames(payloads, k=2).collect()}
+    assert frame_ids == {lmin, 7, lmax}
+
+    # NULL id with a VALID payload survives as a NULL-id output row
+    # (only corrupt PAYLOADS are skipped; the oracle keeps null-id docs)
+    df2 = spark.createDataFrame([(None, "noid")], "doc_id long, text string")
+    rows = fake_decode_images(attach_binary_payload(df2)).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] is None

@@ -456,7 +456,7 @@ def test_transform_with_state_checkpoint_migration(spark, tmp_path):
                 total += float(pdf["value"].sum())
             batches += 1
             self._agg.update((n, total, batches))
-            (user_id,) = key
+            user_id = key[0]
             yield pd.DataFrame(
                 {
                     "user_id": [int(user_id)],
@@ -506,7 +506,17 @@ def test_transform_with_state_checkpoint_migration(spark, tmp_path):
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        return stream.groupBy("user_id").transformWithStateInPandas(
+        # same composite (key, is-null) grouping as the current stream
+        # builder: the grouping-KEY schema must match across restarts
+        # (a key-schema change is a checkpoint REBUILD in Spark, not a
+        # migration) — what this test pins is the VALUE-schema
+        # migration, agg (3 fields) -> agg2 (4 fields)
+        keyed = stream.withColumn(
+            "__key_null", F.col("user_id").isNull()
+        ).withColumn(
+            "user_id", F.coalesce(F.col("user_id"), F.lit(0).cast("long"))
+        )
+        return keyed.groupBy("user_id", "__key_null").transformWithStateInPandas(
             statefulProcessor=LegacyRunningTotalsProcessor(),
             outputStructType=RUNNING_SCHEMA,
             outputMode="Update",
@@ -666,3 +676,63 @@ def test_sessionize_stream_survives_dirty_rows(spark, tmp_path):
     # a session whose values are ALL NULL emits a NULL total (F.sum's
     # skip-all semantics), not a fabricated 0.0 — round-6 advisor
     assert (7, _ts(10, 0), 2, None) in closed
+
+
+def test_running_totals_extreme_keys_do_not_collide_with_null_group(
+    spark, tmp_path
+):
+    """Round-9 id-domain probe: the first NULL-key workaround sentinel-
+    encoded NULL as LONG_MIN, so a REAL LONG_MIN user (snowflake-style
+    id spaces contain one) silently merged with the NULL group. The
+    composite (coalesce(key, 0), key IS NULL) grouping is collision-
+    free on all 2^64 longs plus NULL; LONG_MAX additionally pins key
+    exactness through the TWS Arrow->pandas key bridge, and user 0
+    must stay distinct from the NULL group's (0, true) encoding."""
+    import glob
+    import shutil
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.stateful import (
+        rocksdb_state_store,
+        running_totals_stream,
+    )
+
+    lmin, lmax = -(2**63), 2**63 - 1
+    src = str(tmp_path / "tws-ext-in")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), None, 9.0),
+        (2, datetime(2024, 1, 1, 10, 1), lmin, 1.0),
+        (3, datetime(2024, 1, 1, 10, 2), lmax, 2.0),
+        (4, datetime(2024, 1, 1, 10, 3), 0, 3.0),
+        (5, datetime(2024, 1, 1, 10, 4), lmin, 4.0),
+    ]
+    staging = str(tmp_path / "tws-ext-staging")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+    (part,) = glob.glob(f"{staging}/part-*.parquet")
+    shutil.copy(part, f"{src}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    collected = []
+    with rocksdb_state_store(spark):
+        query = (
+            running_totals_stream(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws-ext-ckpt"))
+            .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert query.awaitTermination(120), "stream did not finish"
+
+    got = {r.user_id: (r.n, r.total) for r in collected}
+    assert got[None] == (1, 9.0), "NULL group holds ONLY the null row"
+    assert got[lmin] == (2, 5.0), "real LONG_MIN user is its own key"
+    assert got[lmax] == (1, 2.0), "LONG_MAX exact through the key bridge"
+    assert got[0] == (1, 3.0), "user 0 distinct from the NULL encoding"

@@ -143,6 +143,29 @@ DIRTY: dict[str, list[dict]] = {
         # normalize the zero sign in BOTH engines (the q101 rule)
         {"event_id": 990030, "ts": TS1, "user_id": 990030,
          "event_type": "error", "value": -0.0, "props": "{}"},
+        # round-9 id-DOMAIN probes, part 3: events. Extreme event_ids
+        # ride the arrival-order convention (q99/q162: event_id IS
+        # arrival order) and its %17 redelivery plant; extreme/negative
+        # user_ids ride every keyed aggregation, the q55 Kafka
+        # partitioner, and the TWS streaming state key. Specifically:
+        # - LONG_MIN event_id: minimum arrival slot, %17 = -9 (negative
+        #   remainder branch, both engines dividend-sign)
+        # - 9223372036854775799 = the largest multiple of 17 ≤ LONG_MAX:
+        #   sits INSIDE the top-500 arrival band, so the q162 "+500
+        #   redelivery" plant must saturate, not overflow
+        # - user_id -7: pmod(-7,4)=1 but dividend-sign -7%4=-3 — the
+        #   probe that forces the Kafka-partition oracle to agree with
+        #   the pmod partitioner on negatives
+        # - LONG_MIN user_id: collides with any in-band NULL-key
+        #   sentinel in streaming state (a real snowflake-style id
+        #   space includes it); LONG_MAX user_id: exactness through
+        #   the TWS key's Arrow->pandas bridge
+        {"event_id": -(2**63), "ts": TS0, "user_id": -7,
+         "event_type": "view", "value": 1.5, "props": "{}"},
+        {"event_id": 9223372036854775799, "ts": TS1, "user_id": -(2**63),
+         "event_type": "click", "value": 2.5, "props": "{}"},
+        {"event_id": 990035, "ts": TS1, "user_id": 2**63 - 1,
+         "event_type": "purchase", "value": 3.5, "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
@@ -180,6 +203,20 @@ DIRTY: dict[str, list[dict]] = {
         # realistic selectivity. 990034 differs from the pair by ONE
         # middle token (J ~ 0.6 on 3-word shingles) to exercise
         # below-threshold scoring without fabricating a near-dup.
+        # round-9 id-DOMAIN probes (the embeddings LONG_MIN/LONG_MAX
+        # principle applied to documents): extreme doc_ids with
+        # ordinary, vocabulary-DISJOINT text (no pair/cluster family
+        # changes) — LONG_MIN rides min-id keep-first/dedup
+        # representatives and every %-split's negative-remainder branch
+        # (both engines: dividend-sign remainder, verified); LONG_MAX
+        # is divisible by 7 so it travels the CDC update branch, and
+        # sits one step under the synthesized-id (+1e6) namespace edge.
+        {"doc_id": -(2**63),
+         "text": "alpha beta gamma delta epsilon zeta theta kappa",
+         "lang": "en", "source": "web", "n_chars": 47},
+        {"doc_id": 2**63 - 1,
+         "text": "omicron sigma tau upsilon phi chi psi omega",
+         "lang": "en", "source": "web", "n_chars": 43},
         {"doc_id": 990030,
          "text": "spark window merge join filter table scan batch "
                  "stream data key order sort",
