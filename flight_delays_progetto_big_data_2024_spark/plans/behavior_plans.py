@@ -535,10 +535,12 @@ def q150_funnel_chain_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", F.col("ts").alias("pts"), F.col("ts_c").alias("ts")
     )
     pcv = asof_join(pc2, v, ["user_id"], ts_col="ts", right_cols=[], suffix="_v")
+    # integer-µs window compare (r9 ts-domain probe: double-cast
+    # seconds are µs-blind at far-future epochs — see q130)
     chain = F.col("ts_v").isNotNull() & (
-        F.col("pts").cast("timestamp").cast("double")
-        - F.col("ts_v").cast("timestamp").cast("double")
-        <= 86400.0
+        F.unix_micros(F.col("pts").cast("timestamp"))
+        - F.unix_micros(F.col("ts_v").cast("timestamp"))
+        <= 86_400_000_000
     )
     chains = pcv.groupBy(
         F.date_format("pts", "yyyy-MM-dd").alias("day")
@@ -607,6 +609,8 @@ def q151_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # integer-µs gap compare (r9 ts-domain probe: double-cast seconds
+    # are µs-blind at far-future epochs — see q130)
     marked = cat.events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
@@ -615,9 +619,9 @@ def q151_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("timestamp").cast("double")
-                - F.lag("ts").over(w).cast("timestamp").cast("double")
-                > 7200.0
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 7_200_000_000
             ),
             1,
         )
@@ -912,11 +916,17 @@ def q168_inter_event_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     per-type-sized."""
     cat = Catalog(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # exact integer-µs gap, ONE float division — mirrors the oracle's
+    # date_diff('microsecond', ...)/1e6 bit-for-bit (r9 ts-domain probe:
+    # double-cast seconds lose the µs component at far-future epochs)
     gaps = cat.events.select(
         "event_type",
         (
-            F.col("ts").cast("timestamp").cast("double")
-            - F.lag("ts").over(w).cast("timestamp").cast("double")
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            )
+            / 1_000_000.0
         ).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
     return (
@@ -1037,6 +1047,8 @@ def q171_session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
     cat = Catalog(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # integer-µs gap compare (r9 ts-domain probe: double-cast seconds
+    # are µs-blind at far-future epochs — see q130)
     marked = cat.events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
@@ -1045,9 +1057,9 @@ def q171_session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("timestamp").cast("double")
-                - F.lag("ts").over(w).cast("timestamp").cast("double")
-                > 7200.0
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 7_200_000_000
             ),
             1,
         )

@@ -150,6 +150,9 @@ def q130_daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undated rows have no timeline place (q41 rule) — dropped at the
     # scan in BOTH engines rather than relying on min/max NULL-skipping
     # plus max_concurrency's NULL-endpoint drop to coincide
+    # gap compare in INTEGER microseconds (r9 ts-domain probe): double-
+    # cast seconds are µs-blind past ~2^33 s (ulp ≈ 3.8 µs at year
+    # 2260), merging a 2h+1µs gap the oracle's exact INTERVAL splits
     marked = cat.events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
@@ -157,9 +160,9 @@ def q130_daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("timestamp").cast("double")
-                - F.lag("ts").over(w).cast("timestamp").cast("double")
-                > 7200.0
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 7_200_000_000
             ),
             1,
         )
@@ -396,8 +399,12 @@ def q162_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = Catalog(spark, sf_dir)
+    # event time in INTEGER microseconds (r9 ts-domain probe: double-
+    # cast seconds are µs-blind past ~2^33 s, and epoch-µs at year 2260
+    # exceeds 2^53 so even a double µs count would be inexact)
     ev = cat.events.select(
-        "event_id", F.col("ts").cast("timestamp").cast("double").alias("tsd")
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     ).withColumn(
         "arrival",
         F.col("event_id")
@@ -408,10 +415,17 @@ def q162_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0),
     ).withColumn("__b", F.floor(F.col("arrival") / 1000))
     hwm = bucketed_running_max(
-        ev, ["arrival", "event_id"], "tsd", "__b", out_col="hwm"
+        ev, ["arrival", "event_id"], "ts_us", "__b", out_col="hwm"
     )
+    # date_diff('second', a, b) counts SECOND-BOUNDARY crossings =
+    # floor(epoch(b)) - floor(epoch(a)); the sign-safe integer floor is
+    # (us - pmod(us, 1e6)) div 1e6 (pmod keeps the remainder nonneg,
+    # so the div is exact floor for negative pre-1970 epochs too)
     lat = hwm.select(
-        (F.col("hwm") - F.col("tsd")).cast("long").alias("lag_s")
+        (
+            F.expr("(hwm - pmod(hwm, 1000000)) div 1000000")
+            - F.expr("(ts_us - pmod(ts_us, 1000000)) div 1000000")
+        ).alias("lag_s")
     )
     band = (
         F.when(F.col("lag_s") <= 0, "on-time")

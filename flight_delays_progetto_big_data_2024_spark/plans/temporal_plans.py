@@ -359,12 +359,14 @@ def q70_user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         attrs=["value"],
         tiebreakers=["event_id"],
     )
-    # ts may surface as TIMESTAMP_NTZ (no direct cast to double); the
-    # session runs UTC so the intermediate timestamp cast is lossless
+    # exact integer-µs duration, ONE float division — mirrors the
+    # oracle's date_diff('microsecond', ...)/3.6e9 bit-for-bit (r9
+    # ts-domain probe: double-cast seconds lose µs at far-future
+    # epochs); the timestamp cast is lossless under the UTC session
     hours = (
-        F.col("valid_to").cast("timestamp").cast("double")
-        - F.col("valid_from").cast("timestamp").cast("double")
-    ) / 3600.0
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        - F.unix_micros(F.col("valid_from").cast("timestamp"))
+    ) / 3_600_000_000.0
     return (
         hist.groupBy("version")
         .agg(
@@ -699,10 +701,12 @@ def q107_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase"))
     )
+    # exact integer-µs latency, ONE float division (mirrors the
+    # oracle's date_diff('microsecond', ...)/3.6e9 — see q70)
     hours = (
-        F.col("first_purchase").cast("timestamp").cast("double")
-        - F.col("first_view").cast("timestamp").cast("double")
-    ) / 3600.0
+        F.unix_micros(F.col("first_purchase").cast("timestamp"))
+        - F.unix_micros(F.col("first_view").cast("timestamp"))
+    ) / 3_600_000_000.0
     return (
         p.join(v, "user_id")
         .select(hours.alias("h"))

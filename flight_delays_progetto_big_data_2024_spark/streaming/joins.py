@@ -19,6 +19,18 @@ aggregation (streaming.windowed) and custom sessionization
 
 Both run identically under ``availableNow`` backfill and continuous
 micro-batch; the tests drive them against their batch equivalents.
+
+PRE-EPOCH EVENT TIMES (round-9, found by the dirty-corpus 1901 probe):
+Structured Streaming's initial watermark is epoch 0 (1970-01-01), so
+an event time before the epoch is already "late" in the very first
+micro-batch and every watermarked stateful operator in this package —
+dedup, sessionization, append-mode windowed aggregation, interval
+joins — silently DROPS it. That is a platform semantic, not an
+operator bug. Corpora that genuinely carry pre-1970 event times
+(digitized archives, mis-parsed two-digit years) must pre-filter or
+re-base timestamps before the watermark; batch analogs used for
+stream==batch verification must mirror the watermark-visible domain
+(``ts >= '1970-01-01'``).
 """
 
 from __future__ import annotations

@@ -85,7 +85,11 @@ def sessionize_stream(
     """Sessionize a watermarked event stream: sessions close when a new
     event for the key arrives MORE than gap later (same boundary rule as
     ``F.session_window``), or when the watermark passes
-    ``last_event + gap`` (event-time timeout)."""
+    ``last_event + gap`` (event-time timeout).
+
+    Pre-epoch event times are dropped by the initial watermark (epoch 0)
+    — see streaming.joins module docstring (r9 platform semantic).
+    """
     gap_us = gap_seconds * 1_000_000
 
     def fn(

@@ -117,7 +117,11 @@ def stream_session_windows(
     watermark is what lets Spark ever finalize one (a session closes
     when the watermark passes its last event + gap). Complete mode is
     not supported for session windows — use append (finalized sessions
-    only) or update."""
+    only) or update.
+
+    Pre-epoch event times are dropped by the initial watermark (epoch 0)
+    — see streaming.joins module docstring (r9 platform semantic).
+    """
     from ..operators.temporal import session_windows
 
     return session_windows(

@@ -939,3 +939,56 @@ def test_multimodal_ids_stay_exact_beside_null_ids(spark):
     df2 = spark.createDataFrame([(None, "noid")], "doc_id long, text string")
     rows = fake_decode_images(attach_binary_payload(df2)).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] is None
+
+
+def test_watermarked_stream_drops_pre_epoch_event_times(spark, tmp_path):
+    """Round-9 ts-domain probe: Structured Streaming's INITIAL
+    watermark is epoch 0 (1970-01-01), so a pre-epoch event time is
+    already 'late' in the very first micro-batch and every watermarked
+    stateful operator silently drops it — a platform semantic the
+    batch analogs must mirror (see streaming.joins module docstring)."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.joins import (
+        stream_dedup,
+    )
+
+    src = str(tmp_path / "preepoch-in")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        (1, datetime(1901, 6, 15, 12, 0), 1, "view", 1.0),   # pre-epoch
+        (2, datetime(2024, 1, 5, 9, 0), 2, "view", 2.0),     # normal
+    ]
+    staging = str(tmp_path / "preepoch-staging")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+    (part,) = glob.glob(f"{staging}/part-*.parquet")
+    shutil.copy(part, f"{src}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    collected = []
+    query = (
+        stream_dedup(stream, ["user_id", "event_type"], watermark="90 days")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "preepoch-ckpt"))
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "stream did not finish"
+
+    keys = {(r.user_id, r.event_type) for r in collected}
+    assert (2, "view") in keys, "the in-domain row survives"
+    # the 1901 row is below the initial watermark: dropped, by design
+    assert (1, "view") not in keys, (
+        "pre-epoch rows are outside the watermark-visible domain; if this "
+        "ever starts passing them through, the dirty-sweep batch analogs' "
+        "_wm_visible mirror must be removed in the same change"
+    )

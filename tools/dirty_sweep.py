@@ -44,6 +44,10 @@ INF = float("inf")
 TS0 = pd.Timestamp("1997-06-15 12:00:00")
 #: in-corpus-range timestamp so Inf probes flow through every window
 TS1 = pd.Timestamp("2024-01-05 09:00:00")
+#: far-future representability edge: double-cast seconds lose
+#: microseconds past ~2^33 s (ulp ≈ 3.8 µs here), still under pandas'
+#: 2262 ns-timestamp ceiling
+TS2 = pd.Timestamp("2260-01-01 00:00:00")
 DIRTY: dict[str, list[dict]] = {
     "region": [
         {"r_regionkey": None, "r_name": None},
@@ -166,6 +170,30 @@ DIRTY: dict[str, list[dict]] = {
          "event_type": "click", "value": 2.5, "props": "{}"},
         {"event_id": 990035, "ts": TS1, "user_id": 2**63 - 1,
          "event_type": "purchase", "value": 3.5, "props": "{}"},
+        # round-9 TIMESTAMP-domain probes, part 4: the 990027 session-
+        # boundary trio re-planted at the far-future representability
+        # edge. At epoch ~9.15e9 s (year 2260, still under pandas' 2262
+        # ns ceiling) the double ulp is ~3.8 MICROseconds, so any
+        # event-time gap routed through double-cast seconds is
+        # microsecond-BLIND there: the 2h+1µs gap computes as exactly
+        # 7200.0 and merges, while integer-µs/INTERVAL arithmetic
+        # splits. Same trio shape: exactly-2h merges, 2h+1µs splits.
+        {"event_id": 990036, "ts": TS2, "user_id": 990036,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 990037, "ts": TS2 + pd.Timedelta(hours=2),
+         "user_id": 990036, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990038,
+         "ts": TS2 + pd.Timedelta(hours=4, microseconds=1),
+         "user_id": 990036, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        # pre-epoch sibling (negative unix time, 1901): negative
+        # integer-µs arithmetic and negative day offsets on every
+        # date_diff/bucketing path (q131's 0..62 bitmap guard, q154's
+        # floored cohorts)
+        {"event_id": 990039, "ts": pd.Timestamp("1901-06-15 12:00:00"),
+         "user_id": 990039, "event_type": "view", "value": 1.0,
+         "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
@@ -456,6 +484,21 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
     )
     max_ts = ev.agg(F.max("ts")).first()[0]
 
+    # Structured Streaming's INITIAL watermark is epoch 0 (1970-01-01):
+    # a pre-epoch event time is already "late" in the very first batch
+    # and every WATERMARKED stateful operator (dropDuplicatesWithin-
+    # Watermark, sessionization, append-mode windowed aggs, interval
+    # joins) silently drops it — a platform semantic, not an operator
+    # bug (r9 ts-domain probe: the 1901 view). Batch analogs of
+    # watermarked ops therefore mirror the watermark-VISIBLE domain
+    # ts >= epoch (NULL ts keeps its own defined handling). Complete-
+    # mode aggregations retain all state and do NOT drop late rows,
+    # so the tumbling analog stays unfiltered.
+    _EPOCH0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
+
+    def _wm_visible(df, ts_col: str = "ts"):
+        return df.filter(F.col(ts_col).isNull() | (F.col(ts_col) >= _EPOCH0))
+
     def _drop(name: str, df, age_s: float) -> None:
         staging = str(work / f"stage_{name}")
         df.coalesce(1).write.parquet(staging)
@@ -549,7 +592,7 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
         # batch analog shares the stream's defined semantics: NaN is
         # not a measurement (pre-normalized), gap boundary merges at
         # exactly +gap, totals rounded to 6
-        ev_norm = batch.withColumn(
+        ev_norm = _wm_visible(batch).withColumn(
             "value", F.when(~F.isnan("value"), F.col("value"))
         )
         want = (
@@ -594,7 +637,7 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
             [r.asDict() for r in _run_stream(build, "append", "ivjoin")],
             columns=["user_id", "purchase_id", "click_id"],
         )
-        bl, br = split(batch)
+        bl, br = split(_wm_visible(batch))
         bl, br = bl.filter(F.col("purchase_ts").isNotNull()), br.filter(
             F.col("click_ts").isNotNull()
         )
@@ -639,7 +682,7 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
             [r.asDict() for r in rows if r["user_id"] != _SENTINEL_USER]
         )
         want = (
-            session_windows(batch, gap="2 hours")  # scale=4, the
+            session_windows(_wm_visible(batch), gap="2 hours")  # scale=4, the
             # stream_session_windows default — SAME code path
             .filter(
                 F.col("user_id").isNull()
@@ -689,7 +732,7 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
             ],
             columns=["user_id", "purchase_id", "click_id"],
         )
-        bl, br = split(batch)
+        bl, br = split(_wm_visible(batch))
         bl = bl.filter(
             F.col("purchase_ts").isNotNull()
             & (F.col("user_id") != _SENTINEL_USER)
@@ -744,7 +787,7 @@ def sweep_streaming(spark, dirty_dir: Path, work: Path) -> dict:
         want = sorted(
             (
                 (r["user_id"], r["event_type"])
-                for r in batch.filter(
+                for r in _wm_visible(batch).filter(
                     F.col("ts").isNotNull()
                     & (
                         F.col("user_id").isNull()
