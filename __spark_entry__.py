@@ -311,6 +311,36 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # values identical; r8 evidence certified the *2 plans.
     "q163_label_centroid_drift": 8,
     "q158_term_drift_between_halves": 8,
+    # round-9 id-domain probes part 2 (documents): the multimodal
+    # family moved from mapInPandas to mapInArrow (a NULL id in a batch
+    # upcast the pandas id column to float64, corrupting ids past 2^53)
+    # and q133's batch split became the overflow-free granule-16 form.
+    # Clean-corpus values identical; the certified plans changed.
+    "q37_multimodal_decode_metadata": 8,
+    "q38_multimodal_frame_sample": 8,
+    "q52_multimodal_feature_stats": 8,
+    "q53_multimodal_resize_plan": 8,
+    "q133_vocab_novelty_curve": 8,
+    # round-9 id-domain probes part 3 (events): q55's oracle now
+    # computes pmod portably (((x%4)+4)%4); q162's redelivery plant
+    # saturates at the top-500 band and its lag runs in integer µs;
+    # q143 pins NULL sort direction on every ntile level (both
+    # engines); q154's oracle floors the weekly cohort division.
+    "q55_kafka_feed_progress": 8,
+    "q162_watermark_lag_profile": 8,
+    "q143_rfm_segments": 8,
+    "q154_cohort_retention_matrix": 8,
+    # round-9 ts-domain probes part 4: every event-time difference now
+    # runs in INTEGER microseconds (F.unix_micros) instead of
+    # double-cast seconds (µs-blind past ~2^33 s). Clean-corpus values
+    # identical (exact-second data); the certified plans changed.
+    "q130_daily_peak_concurrency": 8,
+    "q151_session_path_trigrams": 8,
+    "q150_funnel_chain_attribution": 8,
+    "q171_session_depth_conversion": 8,
+    "q168_inter_event_time_profile": 8,
+    "q70_user_value_scd2": 8,
+    "q107_time_to_convert_percentiles": 8,
 }
 
 
