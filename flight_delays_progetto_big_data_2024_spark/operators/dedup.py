@@ -691,7 +691,7 @@ def winnowing_fingerprints(
 
     Execution: k-gram hashing stays JVM-side (md5 column expressions —
     engine-portable, so the oracle can replay it), then the sliding-min
-    + per-doc dedup runs in ONE Arrow ``mapInPandas`` pass with ZERO
+    + per-doc dedup runs in ONE Arrow ``mapInArrow`` pass with ZERO
     shuffles — winnowing is per-document, so no row ever needs to
     leave its partition. The earlier posexplode + per-doc-window +
     global-distinct form shuffled the full k-gram sequence twice
@@ -700,9 +700,20 @@ def winnowing_fingerprints(
     pure array-expression form (functions.text.winnow_of) is also
     avoided deliberately: fused into downstream multi-aggregates its
     codegen unit degenerates (see verify SKILL known-hazard note).
+
+    mapInArrow, not mapInPandas (round-10 advisor item): the carry
+    columns include the int64 doc id, and Spark's Arrow→pandas input
+    conversion upcasts an int64 column containing ANY null to float64
+    — one NULL-id row sharing a batch with a LONG_MIN/LONG_MAX id
+    either crashes the output cast ("Failed to convert doc_id float64
+    to int64") or, with safe-cast off, silently wraps the id — a
+    probabilistic join-key corruptor at 100 TB, dependent on partition
+    placement. Carry values are replicated via Arrow ``take`` over the
+    EXACT input arrays (same fix as operators/multimodal.py round 9),
+    so ids — and any extra carry column type — round-trip bit-exact.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql.types import StringType, StructField, StructType
 
     from flight_delays_progetto_big_data_2024_spark.functions.text import (
@@ -735,10 +746,12 @@ def winnowing_fingerprints(
     def winnow(batches):
         from numpy.lib.stride_tricks import sliding_window_view
 
-        for pdf in batches:
-            outs: dict[str, list] = {c: [] for c in carry}
+        for rb in batches:
+            hcol = rb.column("__h")
+            take_idx: list[int] = []
             fps: list[str] = []
-            for *meta, h in zip(*[pdf[c] for c in carry], pdf["__h"]):
+            for i in range(rb.num_rows):
+                h = hcol[i].as_py()
                 if h is None:  # null text -> null gram array, drop (as
                     continue  # posexplode of null did)
                 # NULL text actually arrives as [None] (md5(NULL) is
@@ -754,12 +767,18 @@ def winnowing_fingerprints(
                 else:
                     mins = h.min(keepdims=True)
                 u = np.unique(mins)
-                for c, v in zip(carry, meta):
-                    outs[c].extend([v] * len(u))
+                take_idx.extend([i] * len(u))
                 fps.extend(u.tolist())
-            yield pd.DataFrame({**outs, "fingerprint": fps})
+            # replicate carry values by Arrow take over the exact input
+            # arrays: nullable int64 ids stay int64 (never via pandas)
+            idx = pa.array(take_idx, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(c).take(idx) for c in carry]
+                + [pa.array(fps, type=pa.string())],
+                names=[*carry, "fingerprint"],
+            )
 
-    return hashed.mapInPandas(winnow, schema)
+    return hashed.mapInArrow(winnow, schema)
 
 
 def jaccard_pairs_cross(

@@ -12,8 +12,44 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Measurement-domain ceiling for SECOND-MOMENT statistics (stddev /
+#: variance / z-score / correlation): past |x| ~ 1.34e154 a squared
+#: value or squared deviation overflows double, where the engines
+#: DIVERGE — DuckDB's stddev_samp raises OUT OF RANGE while Spark's
+#: M2 accumulator silently saturates to Inf/NaN (round-10 measure-axis
+#: probe: a finite +DBL_MAX event value crashed the q101/q184 oracles).
+#: A value that large is not a usable measurement for moment stats, so
+#: both engines exclude it AT THE DOMAIN, the same resolution as the
+#: round-8 EUCLID_NORM_BOUND (similarity.py:429) for the rounding-grid
+#: envelope. 1e150 leaves 4 orders of magnitude of headroom for the
+#: deviation doubling and group-size multipliers. FIRST-moment-only
+#: aggregates (plain sums/avgs) deliberately keep the full finite
+#: domain — same-sign absorption is deterministic and both engines
+#: agree there.
+MEASURE_DOMAIN_BOUND = 1.0e150
+
+#: DuckDB twin of :func:`is_moment_measurement` — keep both in sync.
+MOMENT_MEASUREMENT_SQL = (
+    "({col} IS NOT NULL AND isfinite({col}) AND abs({col}) < 1e150)"
+)
+
+
+def is_moment_measurement(col: str | Column) -> Column:
+    """True when ``col`` is a defined measurement for second-moment
+    statistics: non-NULL, non-NaN, finite, and inside
+    MEASURE_DOMAIN_BOUND (see the constant's rationale). Spark orders
+    NaN above every double, so the explicit isnan test is load-bearing
+    (the |x| < bound comparison alone would keep NaN out, but only by
+    accident of NaN comparison semantics — keep it explicit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (F.abs(c) < F.lit(MEASURE_DOMAIN_BOUND))
+    )
 
 
 def null_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:

@@ -536,8 +536,19 @@ def _block_pairs(
     once. The packed relation is persisted — both sides of the
     self-join read the SAME cache entry; without it each side re-scans
     the corpus and re-runs the pack aggregation (the broadcast and
-    shuffle exchanges differ, so Spark can't ReuseExchange them)."""
-    prep = _prep(df, id_col, vec_col)
+    shuffle exchanges differ, so Spark can't ReuseExchange them).
+
+    NULL-id rows are dropped HERE, not left to downstream comparisons
+    (round-10 advisor audit): the pack step runs three parallel
+    ``collect_list``s, and collect_list skips NULL elements — a NULL id
+    surviving into a block shortens ``ids`` but not ``vs``/``ns``,
+    shifting every id after it onto the WRONG vector (silent corrupt
+    pairs on off-diagonal blocks; a shape-mismatch crash on the
+    diagonal, repro'd with one null-id row). A null-id vector cannot
+    appear in id-keyed pair output anyway — the expression form's
+    ``a.id < b.id`` is NULL for it — so dropping is the same semantics
+    the rest of the dirty-row policy declares."""
+    prep = _prep(df, id_col, vec_col).filter(F.col("id").isNotNull())
     packed = (
         prep.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
         .groupBy("blk")

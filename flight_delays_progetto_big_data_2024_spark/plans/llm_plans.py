@@ -3,11 +3,16 @@
 dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
 cosine), similarity search, and text analysis.
 
-Oracle coverage: everything except the two hash-signature ops is exact
-SQL (DuckDB list comprehensions mirror the Spark higher-order
-functions). MinHash-LSH and SimHash depend on xxhash64, which DuckDB
-lacks — those register rows-only for the driver and get recall/precision
-checks against the exact-Jaccard result in pytest instead.
+Oracle coverage: every query here is a full value-hash oracle — DuckDB
+list comprehensions mirror the Spark higher-order functions, and the
+hash-signature families (MinHash-LSH q33, SimHash q34) register their
+PORTABLE md5-60bit token-hash configuration so DuckDB replays the
+signatures bit-for-bit (the xxhash64 deployable path, which DuckDB
+lacks, is what bench.py times via BENCH_OVERRIDES; the two paths share
+every plan line except the token-hash expression). The rows-only
+residue lives elsewhere: q29's HLL register state (certified by q188's
+value-checked error bound) and q137's d×d driver eigensolve (certified
+by q187's cell-for-cell mean+Gram check).
 """
 
 from __future__ import annotations
@@ -1902,11 +1907,15 @@ def q100_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q101_zscore_normalization",
     sql="""
     WITH ev AS (
-        -- z-scores are defined over real measurements only: one Inf
-        -- value makes DuckDB's stddev_samp raise OUT OF RANGE where
-        -- Spark yields NaN (wave-5 Inf-probe finding)
+        -- z-scores are defined over real MOMENT measurements only:
+        -- one Inf value makes DuckDB's stddev_samp raise OUT OF RANGE
+        -- where Spark yields NaN (wave-5 Inf-probe finding), and a
+        -- FINITE value past ~1.34e154 overflows the squared deviation
+        -- the same way (round-10 measure-axis probe: planted +DBL_MAX
+        -- crashed this oracle while Spark returned Inf z-scores) —
+        -- both engines share operators.prep.MEASURE_DOMAIN_BOUND
         SELECT event_type, value FROM events
-        WHERE value IS NOT NULL AND isfinite(value)
+        WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e150
     ),
     stats AS (
         SELECT event_type,
@@ -1939,21 +1948,23 @@ def q101_zscore_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerically equal, but byte-distinguishable by a value hash. The
     explicit +0.0 normalizes negative zero to +0.0 on both sides.
 
-    Known ORACLE-side limitation (probed round 6): DuckDB's
-    stddev_samp raises OUT OF RANGE when a squared deviation overflows
-    — i.e. on finite inputs near 1e308 — where the Spark engine yields
-    Inf/NaN deterministically. The isfinite filter pins NaN/Inf inputs;
-    finite-but-overflow-scale measurements crash only the test oracle,
-    never the engine. Not mirrored (a naive sum-of-squares rewrite
-    would drift from the stable single-pass stddev in the last ulps and
-    destabilize the 6-dp hash on clean corpora)."""
-    cat = Catalog(spark, sf_dir)
-    # defined measurements only (see oracle comment)
-    ev = cat.events.filter(
-        F.col("value").isNotNull()
-        & ~F.isnan("value")
-        & (F.abs("value") < F.lit(float("inf")))
+    Measurement domain (round-10 measure-axis probe closed the round-6
+    "oracle-side limitation"): second-moment statistics exclude
+    |value| >= operators.prep.MEASURE_DOMAIN_BOUND in BOTH engines —
+    past ~1.34e154 a squared deviation overflows double and the
+    engines diverge (DuckDB stddev_samp raises OUT OF RANGE; Spark's
+    M2 accumulator saturates to Inf and every z-score in the group
+    turns to garbage). A z-score over such a value is not a defined
+    statistic, so the domain bound is the semantics, not a test
+    workaround — the EUCLID_NORM_BOUND resolution applied to the
+    measure axis."""
+    from flight_delays_progetto_big_data_2024_spark.operators.prep import (
+        is_moment_measurement,
     )
+
+    cat = Catalog(spark, sf_dir)
+    # defined moment measurements only (see oracle comment)
+    ev = cat.events.filter(is_moment_measurement("value"))
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
@@ -3544,11 +3555,12 @@ def q163_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             # half-split WITHOUT id arithmetic: vec_id*2 overflows ANSI
-            # on the planted LONG_MIN/LONG_MAX ids (DuckDB silently
-            # promotes to HUGEINT — the oracle's *2 form is exact
-            # there). shiftright(mx,1) = floor(mx/2) for all longs
-            # (arithmetic shift), and for integer vec_id:
-            # vec_id*2 <= mx  ⟺  vec_id <= floor(mx/2).
+            # on the planted LONG_MIN/LONG_MAX ids. shiftright(mx,1) =
+            # floor(mx/2) for all longs (arithmetic shift), and for
+            # integer vec_id: vec_id*2 <= mx ⟺ vec_id <= floor(mx/2).
+            # The oracle runs the IDENTICAL shift form — `vec_id <=
+            # (mx >> 1)` — not a *2-via-HUGEINT comparison (round-10
+            # advisor: a stale comment here once claimed otherwise).
             F.when(
                 F.col("vec_id") <= F.shiftright("mx", 1), 0
             ).otherwise(1).alias("half"),
@@ -4393,9 +4405,16 @@ def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFra
         -- independent (wave-5 rules, pinned under the driver hash)
         SELECT count(*)::DOUBLE AS ev_total,
                count(ts)::DOUBLE AS ev_timed,
+               -- second moment: MEASURE_DOMAIN_BOUND on top of the
+               -- finite filter (round-10 probe — a finite +DBL_MAX
+               -- view value overflows the squared deviation: DuckDB
+               -- raises, Spark saturates; operators/prep.py). The
+               -- FIRST-moment sum below keeps the full finite domain:
+               -- same-sign absorption is deterministic in both engines
                round(stddev_samp(value) FILTER (
                    WHERE event_type = 'view' AND value IS NOT NULL
-                     AND isfinite(value)), 6) + 0.0 AS view_sigma,
+                     AND isfinite(value) AND abs(value) < 1e150),
+                   6) + 0.0 AS view_sigma,
                round(sum(value) FILTER (
                    WHERE event_type = 'view' AND value IS NOT NULL
                      AND isfinite(value)), 6) + 0.0 AS view_value_sum
@@ -4513,6 +4532,10 @@ def q184_dirty_corpus_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema=cat.events.schema,
     )
+    from flight_delays_progetto_big_data_2024_spark.operators.prep import (
+        is_moment_measurement,
+    )
+
     ev_all = cat.events.unionByName(planted_ev)
     finite_view = (
         (F.col("event_type") == "view")
@@ -4520,11 +4543,16 @@ def q184_dirty_corpus_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.isnan("value")
         & (F.abs("value") < F.lit(float("inf")))
     )
+    # second moment adds MEASURE_DOMAIN_BOUND (round-10 measure probe:
+    # a finite +DBL_MAX view value overflows the squared deviation —
+    # DuckDB raises, Spark saturates); the first-moment sum keeps the
+    # full finite domain (same-sign absorption is deterministic)
+    moment_view = finite_view & is_moment_measurement("value")
     ev_m = ev_all.agg(
         F.count(F.lit(1)).cast("double").alias("ev_total"),
         F.count("ts").cast("double").alias("ev_timed"),
         (
-            F.round(F.stddev_samp(F.when(finite_view, F.col("value"))), 6)
+            F.round(F.stddev_samp(F.when(moment_view, F.col("value"))), 6)
             + F.lit(0.0)
         ).alias("view_sigma"),
         (

@@ -417,15 +417,16 @@ def q162_watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hwm = bucketed_running_max(
         ev, ["arrival", "event_id"], "ts_us", "__b", out_col="hwm"
     )
-    # date_diff('second', a, b) counts SECOND-BOUNDARY crossings =
-    # floor(epoch(b)) - floor(epoch(a)); the sign-safe integer floor is
-    # (us - pmod(us, 1e6)) div 1e6 (pmod keeps the remainder nonneg,
-    # so the div is exact floor for negative pre-1970 epochs too)
+    # date_diff('second', a, b) in DuckDB 1.0 is trunc(epoch(b)) -
+    # trunc(epoch(a)) — truncation toward ZERO, not floor, at negative
+    # pre-1970 epochs (measured: -0.5s -> +0.5s gives 0 where the floor
+    # form gives 1; round-10 advisor). Spark's integral `div` is the
+    # same trunc-toward-zero on all signs, so the plain division is
+    # bit-parity with the oracle for fractional pre-epoch timestamps
+    # too — the earlier pmod-floor form was parity-green only because
+    # every planted pre-epoch timestamp is a whole second.
     lat = hwm.select(
-        (
-            F.expr("(hwm - pmod(hwm, 1000000)) div 1000000")
-            - F.expr("(ts_us - pmod(ts_us, 1000000)) div 1000000")
-        ).alias("lag_s")
+        (F.expr("hwm div 1000000") - F.expr("ts_us div 1000000")).alias("lag_s")
     )
     band = (
         F.when(F.col("lag_s") <= 0, "on-time")

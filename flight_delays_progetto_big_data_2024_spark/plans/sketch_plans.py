@@ -853,9 +853,13 @@ def q158_term_drift_between_halves(spark: SparkSession, sf_dir: str) -> DataFram
         cat.documents.crossJoin(F.broadcast(mx))
         .select(
             # same overflow-free half-split as q163: doc_id*2 is an
-            # ANSI overflow at the id-domain edges; vec_id*2 <= mx
+            # ANSI overflow at the id-domain edges; doc_id*2 <= mx
             # ⟺ id <= shiftright(mx, 1) exactly (arithmetic shift
-            # floors; oracle keeps *2 — DuckDB promotes to HUGEINT)
+            # floors). The oracle uses the IDENTICAL shift form —
+            # `doc_id <= (mx >> 1)` — so both engines run the same
+            # overflow-free comparison (round-10 advisor: an earlier
+            # comment claimed the oracle kept *2 via HUGEINT promotion;
+            # it was rewritten in the same change that added this path)
             F.when(
                 F.col("doc_id") <= F.shiftright("mx", 1), 0
             ).otherwise(1).alias("half"),

@@ -860,3 +860,140 @@ def test_session_queries_stable_under_tied_timestamps(spark, tmp_path):
             assert_pandas_parity(got, want)
     finally:
         con.close()
+
+
+LONG_MIN, LONG_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def test_winnowing_ids_exact_with_null_and_extreme_ids_in_one_batch(spark):
+    """Round-10 advisor (high): winnowing carried doc_id through
+    mapInPandas, and Spark's Arrow→pandas input conversion upcasts an
+    int64 column with ANY null to float64 — a NULL-id row sharing a
+    batch with a LONG_MIN/LONG_MAX id crashed the output cast
+    ("Failed to convert doc_id float64 to int64") or silently wrapped
+    the id. The mapInArrow port replicates ids via Arrow take over the
+    exact input array; this corpus forces all four rows into ONE
+    partition (coalesce(1) — under session width, the operator's own
+    guard then hash-repartitions, but NULL and LONG_MAX ids still meet
+    whenever their hashes collide, which is exactly the placement
+    lottery the fix removes) and pins bit-exact id round-trips."""
+    docs = spark.createDataFrame(
+        [
+            (LONG_MAX, "the quick brown fox jumps over the lazy dog again"),
+            (None, "the quick brown fox jumps over the lazy dog again"),
+            (LONG_MIN, "completely different text payload with unique tokens"),
+            (None, None),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1)
+    fp = winnowing_fingerprints(docs)
+    ids = {r["doc_id"] for r in fp.select("doc_id").distinct().collect()}
+    # exact extremes present; the valid-text NULL-id doc keeps its NULL
+    # id (a fingerprint row, not a dropped row); no wrapped values
+    assert ids == {LONG_MAX, LONG_MIN, None}, ids
+    # identical texts must still share their fingerprint sets exactly
+    sets = {
+        k: {r["fingerprint"] for r in fp.filter(cond).collect()}
+        for k, cond in (
+            ("max", fp.doc_id == LONG_MAX),
+            ("null", fp.doc_id.isNull()),
+        )
+    }
+    assert sets["max"] == sets["null"] and sets["max"]
+
+
+def test_blocked_gemm_pairs_survive_null_id_vector(spark):
+    """Round-10 advisor audit found a REAL crash/corruptor: _block_pairs
+    packed ids/vectors/norms with three parallel collect_lists, and
+    collect_list SKIPS null elements — one NULL-id vector shortened
+    ``ids`` but not ``vs``, shifting every later id onto the wrong
+    vector (silent wrong pairs off-diagonal; shape-mismatch crash on
+    the diagonal block — repro'd). NULL-id rows now leave the pair
+    space at prep, matching the expression form where ``a.id < b.id``
+    is NULL for them; extreme ids stay bit-exact through the
+    list<int64> packing."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        blocked_cosine_histogram,
+        cosine_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (LONG_MAX, [1.0, 0.0, 0.0]),
+            (None, [0.0, 1.0, 0.0]),
+            (LONG_MAX - 1, [1.0, 0.0, 0.0]),
+            (LONG_MIN, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_pairs(emb, threshold=0.9, n_blocks=1).collect()
+    )
+    assert got == [(LONG_MAX - 1, LONG_MAX, 1.0)], got
+    # histogram over the same corpus: 3 non-null vectors -> 3 pairs,
+    # none involving the null-id vector
+    hist = {
+        r["bucket"]: r["n_pairs"]
+        for r in blocked_cosine_histogram(emb, n_blocks=2).collect()
+    }
+    assert hist == {0: 2, 10: 1}, hist
+
+
+def test_q162_fractional_pre_epoch_lag_uses_trunc_semantics(spark, tmp_path):
+    """Round-10 advisor (low): DuckDB 1.0's date_diff('second') is
+    truncation toward ZERO at negative epochs (measured: -0.5s -> +0.5s
+    gives 0), not floor — and q162's Spark side once computed the floor
+    form, parity-green only because every planted pre-epoch timestamp
+    was a whole second. This corpus plants the divergent case: an event
+    at 1969-12-31 23:59:59.5 arriving after a high-watermark of
+    1970-01-01 00:00:00.5 (lag: trunc says 0 = on-time, floor says 1 =
+    late<=10m). Full registered-query vs registered-oracle parity plus
+    an explicit band assertion pin the trunc semantics."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import assert_pandas_parity
+
+    name = "q162_watermark_lag_profile"
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # negative event_ids (none a multiple of 17) arrive BEFORE the whole
+    # corpus under the arrival = event_id convention, so their hwm stays
+    # in the near-epoch range where trunc and floor diverge
+    plant = [
+        (-100, dt.datetime(1969, 12, 31, 23, 59, 58, 500000)),
+        (-99, dt.datetime(1970, 1, 1, 0, 0, 0, 500000)),
+        (-98, dt.datetime(1969, 12, 31, 23, 59, 59, 500000)),
+    ]
+    extra = spark.createDataFrame(
+        [(eid, ts, None, "probe", 0.0, "{}") for eid, ts in plant],
+        events.schema,
+    )
+    sf = str(tmp_path)
+    events.unionByName(extra).write.parquet(f"{sf}/events.parquet")
+
+    base = {
+        r["lateness"]: r["n_events"]
+        for r in entry.queries()[name](spark, SF_DIR).collect()
+    }
+    got_df = entry.queries()[name](spark, sf).toPandas()
+    got = dict(zip(got_df["lateness"], got_df["n_events"]))
+    # all three planted rows are ON-TIME under trunc (row -98: lag
+    # trunc(0.5) - trunc(-0.5) = 0); the floor form would push -98 into
+    # late<=10m
+    assert got["on-time"] == base["on-time"] + 3, (base, got)
+    assert got.get("late<=10m", 0) == base.get("late<=10m", 0), (base, got)
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{sf}/events.parquet/*.parquet')"
+        )
+        want = con.execute(entry.oracle_sql()[name]).fetchdf()
+        assert_pandas_parity(got_df, want)
+    finally:
+        con.close()

@@ -390,17 +390,107 @@ def test_headline_exchange_counts_pinned(spark):
 def test_latest_committed_bench_reads_driver_format():
     """The driver wraps bench stdout under a 'parsed' key; the gate must
     read that shape (BENCH_r02.json regression: a bare .get('queries')
-    returned {} and silently disarmed the gate)."""
+    returned {} and silently disarmed the gate). A corrupt newest
+    record — BENCH_r09.json committed 'parsed: null' after its stdout
+    line overflowed the driver tail window — must NOT disarm the gate
+    either: the scan skips back to the newest record that parses. On
+    failure this test reports WHICH committed records were skipped,
+    instead of the round-9 AttributeError."""
+    import bench
+
+    committed = bench._committed_bench_paths("/root/repo")
+    if not committed:
+        return
+    parseable = [p for p in committed if bench._parse_bench_record(p)]
+    skipped = [p for p in committed if p not in parseable]
+    assert parseable, (
+        "bench regression gate DISARMED: no committed BENCH_r*.json "
+        f"parses to a queries dict; all skipped as corrupt: {skipped}"
+    )
+    prev = bench._latest_committed_bench("/root/repo")
+    expect = bench._parse_bench_record(parseable[-1])
+    assert prev == expect and prev, (
+        "bench regression gate DISARMED: expected per-query times from "
+        f"{parseable[-1]} (corrupt records skipped: {skipped}), got {prev!r}"
+    )
+
+
+def test_bench_gate_rearms_past_corrupt_newest_record(tmp_path):
+    """The exact BENCH_r09 failure: the newest committed record carries
+    'parsed': null (driver tail-window overflow). The gate must skip
+    it and re-arm from the newest PARSEABLE record — never silently
+    return {} (which disables every regression comparison)."""
     import json
 
     import bench
 
-    prev = bench._latest_committed_bench("/root/repo")
-    committed = sorted(__import__("glob").glob("/root/repo/BENCH_r*.json"))
-    if committed:  # driver records exist -> the gate must be armed
-        raw = json.load(open(committed[-1]))
-        expect = raw.get("parsed", raw).get("queries", {})
-        assert prev == dict(expect) and prev, "gate disarmed"
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 1.0}}})
+    )
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"parsed": None, "tail": '{"truncated mid-json'})
+    )
+    assert bench._latest_committed_bench(str(tmp_path)) == {"q": 1.0}
+    # malformed JSON (not just parsed-null) is skipped the same way
+    (tmp_path / "BENCH_r10.json").write_text('{"not even json')
+    assert bench._latest_committed_bench(str(tmp_path)) == {"q": 1.0}
+    # and a later parseable record wins again
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 2.0}}})
+    )
+    assert bench._latest_committed_bench(str(tmp_path)) == {"q": 2.0}
+
+
+def test_bench_driver_line_fits_tail_window():
+    """The driver captures a 2,000-char stdout tail; round 9's line
+    carried per-rep samples, overflowed it, and was committed as
+    'parsed: null'. Pin the medians-only line (worst case: every
+    headline + streaming key at 4-digit times) under bench's own
+    1,900-char ceiling, and pin that samples NEVER ride the line."""
+    import json
+
+    import bench
+
+    times = {name: 123.456 for name in bench.HEADLINE}
+    stream = {
+        "stream_tumbling_availablenow": 123.456,
+        "stream_session_availablenow": 123.456,
+    }
+    line = bench._driver_json_line(
+        times, stream, 0.1, "BENCH_SAMPLES_r10.json"
+    )
+    assert len(line) <= bench.DRIVER_LINE_MAX_CHARS < 2000, len(line)
+    payload = json.loads(line)
+    assert "samples" not in payload
+    assert payload["queries"] == times
+    assert payload["value"] == round(sum(times.values()), 3)
+
+
+def test_bench_r09_reconstruction_matches_committed_tail():
+    """BENCH_r09_RECONSTRUCTED.json claims to be bit-derivable from the
+    truncated committed artifact: recompute every median from the
+    samples dict preserved in BENCH_r09.json's tail fragment and
+    compare. Also pins that the gate's newest-parseable scan now lands
+    on the reconstruction (same round, lexicographically later), not
+    on the corrupt original."""
+    import json
+
+    import bench
+
+    rec = json.load(open("/root/repo/BENCH_r09.json"))
+    if rec.get("parsed") is not None:  # driver re-wrote the record
+        return
+    tail = rec["tail"]
+    start = tail.index('"samples": {') + len('"samples": ')
+    end = tail.rindex(', "sf"')
+    samples = json.loads(tail[start:end])
+    recon = json.load(open("/root/repo/BENCH_r09_RECONSTRUCTED.json"))["parsed"]
+    assert recon["samples"] == samples
+    medians = {**recon["queries"], **recon["streaming"]}
+    assert medians == {k: bench._lower_median(v) for k, v in samples.items()}
+    assert recon["value"] == round(sum(recon["queries"].values()), 3)
+    newest = bench._latest_committed_bench("/root/repo")
+    assert newest, "gate disarmed"
 
 
 def test_bench_tier_from_min_of_first_two_samples():

@@ -63,18 +63,42 @@ DIRTY: dict[str, list[dict]] = {
          "c_acctbal": NAN, "c_mktsegment": ""},
         {"c_custkey": 990014, "c_name": "inf", "c_nationkey": None,
          "c_acctbal": -INF, "c_mktsegment": "BUILDING"},
+        # round-10 MEASURE-domain probes: finite extremes on the money
+        # axis. DBL_MAX is finite (passes every isfinite guard the ±Inf
+        # probes forced) but absorbs every corpus addend (x + DBL_MAX =
+        # DBL_MAX exactly for |x| < ~1e292), so same-sign group sums
+        # are bit-deterministic in ANY accumulation order — the probe
+        # tests magnitude handling (round/avg/hash at 1e308, squared-
+        # deviation overflow in stddev paths), not engineered drift.
+        # The denormal probes the other end: round(5e-324, k) must be
+        # +0.0 in both engines and the value must survive parquet and
+        # the Arrow bridge without flushing to zero.
+        {"c_custkey": 990040, "c_name": "dbl-max", "c_nationkey": None,
+         "c_acctbal": 1.7976931348623157e308, "c_mktsegment": "MACHINERY"},
+        {"c_custkey": 990041, "c_name": "denormal", "c_nationkey": None,
+         "c_acctbal": 5e-324, "c_mktsegment": "MACHINERY"},
     ],
     "supplier": [
         {"s_suppkey": None, "s_name": None, "s_nationkey": None,
          "s_acctbal": None},
         {"s_suppkey": 990003, "s_name": "", "s_nationkey": None,
          "s_acctbal": -0.0},
+        # round-10 measure probe: smallest NORMAL double — the
+        # denormal/normal boundary where x87-style double-rounding or a
+        # flush-to-zero fast-math build would diverge
+        {"s_suppkey": 990042, "s_name": "min-normal", "s_nationkey": None,
+         "s_acctbal": 2.2250738585072014e-308},
     ],
     "part": [
         {"p_partkey": None, "p_name": None, "p_brand": None,
          "p_type": None, "p_size": None, "p_retailprice": None},
         {"p_partkey": 990004, "p_name": "", "p_brand": "",
          "p_type": "", "p_size": -1, "p_retailprice": NAN},
+        # round-10 measure probe: near-max retail price (finite, half
+        # of DBL_MAX — two of these summed stay finite at 1.98e308,
+        # probing the last representable binade without overflow)
+        {"p_partkey": 990043, "p_name": "near-max", "p_brand": "",
+         "p_type": "", "p_size": 1, "p_retailprice": 9.9e307},
     ],
     "orders": [
         {"o_orderkey": None, "o_custkey": None, "o_orderstatus": None,
@@ -85,6 +109,19 @@ DIRTY: dict[str, list[dict]] = {
         {"o_orderkey": 990011, "o_custkey": 990011, "o_orderstatus": "O",
          "o_totalprice": INF, "o_orderdate": TS1,
          "o_orderpriority": "1-URGENT"},
+        # round-10 measure probe: SAME-SIGN overflow pair — two finite
+        # 1e308 prices in one priority group drive sum(o_totalprice)
+        # to +Inf MID-AGGREGATION (not from a planted Inf literal).
+        # Same-sign makes it order-deterministic: every accumulation
+        # order reaches +Inf, and isfinite guards that drop the Inf
+        # LITERAL probes still admit these rows, so the overflow
+        # happens inside both engines' accumulators identically.
+        {"o_orderkey": 990040, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 1.0e308, "o_orderdate": TS1,
+         "o_orderpriority": "4-NOT SPECIFIED"},
+        {"o_orderkey": 990041, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 1.0e308, "o_orderdate": TS1,
+         "o_orderpriority": "4-NOT SPECIFIED"},
     ],
     "lineitem": [
         {"l_orderkey": None, "l_partkey": None, "l_suppkey": None,
@@ -98,6 +135,39 @@ DIRTY: dict[str, list[dict]] = {
         {"l_orderkey": 990012, "l_partkey": None, "l_suppkey": None,
          "l_linenumber": 1, "l_quantity": 1.0,
          "l_extendedprice": INF, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": TS1},
+        # round-10 measure probes, square-overflow boundary pair:
+        # 1.3e154² = 1.69e308 is FINITE while 1.4e154² overflows — the
+        # exact edge where one-pass variance/stddev/corr accumulators
+        # (Σx² or Welford M2) leave the representable range while the
+        # sum itself stays finite. Both rows are same-sign and mutually
+        # absorbing against corpus prices, so sums stay deterministic.
+        {"l_orderkey": 990042, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 1, "l_quantity": 1.0,
+         "l_extendedprice": 1.3e154, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": TS1},
+        {"l_orderkey": 990043, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 1, "l_quantity": 1.0,
+         "l_extendedprice": 1.4e154, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": TS1},
+        # round-10 ROUNDING-ENVELOPE exit probe: twin quantities of
+        # 2251799813.685248 (= 2^51·2^-20-grid value) in one order
+        # push the GLOBAL sum(l_quantity) to ~4.5036e9 — just past the
+        # round(x,6) parity envelope 2^52·10^-6. Deterministic by
+        # construction: corpus quantities are INTEGERS (verified) and
+        # the twin pair sums exactly (×2 is an exponent bump), so every
+        # partial sum lies exactly on the 2^-20 ulp grid of the total —
+        # no accumulation rounds, no order sensitivity in either
+        # engine. What it probes is the ROUNDING step: round(exact
+        # double, 6) past the envelope, where a multiply-by-1e6-based
+        # round and an exact-decimal-expansion round can disagree.
+        {"l_orderkey": 990044, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 1, "l_quantity": 2251799813.685248,
+         "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": TS1},
+        {"l_orderkey": 990044, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 2, "l_quantity": 2251799813.685248,
+         "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
          "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": TS1},
     ],
     "events": [
@@ -194,6 +264,34 @@ DIRTY: dict[str, list[dict]] = {
         {"event_id": 990039, "ts": pd.Timestamp("1901-06-15 12:00:00"),
          "user_id": 990039, "event_type": "view", "value": 1.0,
          "props": "{}"},
+        # round-10 MEASURE-domain probes on the behavioral axis.
+        # +DBL_MAX passes every isfinite guard the ±Inf probes forced,
+        # absorbs all corpus values (order-deterministic same-sign
+        # sums), and blows one-pass variance accumulators to Inf/NaN.
+        # -9e307 is the negative extreme chosen so that even when a
+        # group/global aggregate combines it with +DBL_MAX the result
+        # (8.977e307) is EXACT in every accumulation order (both values
+        # share the top binades; corpus addends vanish below their
+        # ulp) — unlike a -DBL_MAX twin, which would make finite-sum
+        # groups order-dependent (engineered irreconcilable, not a
+        # probe). It lives at TS0 under its own type so windowed slices
+        # see each extreme alone. 4.9e-324 = the smallest positive
+        # denormal; 5e-7 = the classic round(x,6) half-tie whose
+        # nearest double sits just above the decimal tie (the q172
+        # family's boundary, now planted as a standing probe).
+        {"event_id": 990040, "ts": TS1, "user_id": 990040,
+         "event_type": "view", "value": 1.7976931348623157e308,
+         "props": "{}"},
+        {"event_id": 990041, "ts": TS0, "user_id": 990041,
+         "event_type": "error", "value": -9e307, "props": "{}"},
+        {"event_id": 990042, "ts": TS1, "user_id": 990042,
+         "event_type": "view", "value": 4.9e-324, "props": "{}"},
+        {"event_id": 990043, "ts": TS1, "user_id": 990043,
+         "event_type": "view", "value": 5e-7, "props": "{}"},
+        # square-overflow boundary twin of the lineitem pair, on the
+        # column every percentile/stddev/corr behavioral query reads
+        {"event_id": 990044, "ts": TS1, "user_id": 990044,
+         "event_type": "view", "value": 1.4e154, "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
