@@ -341,6 +341,34 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q168_inter_event_time_profile": 8,
     "q70_user_value_scd2": 8,
     "q107_time_to_convert_percentiles": 8,
+    # round-10 measure-axis program: second-moment statistics now share
+    # operators.prep.MEASURE_DOMAIN_BOUND in both engines (a finite
+    # value past ~1.34e154 overflows the squared deviation: DuckDB
+    # stddev raises OUT OF RANGE, Spark saturates to Inf). Clean-corpus
+    # values identical (no such magnitudes at sf0.01); the certified
+    # plans + oracles changed.
+    "q101_zscore_normalization": 9,
+    "q184_dirty_corpus_robustness": 9,
+    # round-10 advisor (low): q162's lag seconds moved from the
+    # pmod-floor form to plain truncating division — DuckDB's
+    # date_diff('second') truncates toward zero at negative epochs,
+    # not floor (divergent only on fractional pre-epoch timestamps,
+    # which the clean corpus lacks); the certified plan changed.
+    "q162_watermark_lag_profile": 9,
+    # round-10: _block_pairs drops NULL-id vectors before its
+    # collect_list packing (a NULL id misaligned ids against vectors —
+    # crash on the diagonal block, silent wrong pairs off-diagonal).
+    # Clean-corpus values identical (no NULL ids); certified plans of
+    # every blocked-GEMM consumer changed.
+    "q31_embedding_cosine_histogram": 9,
+    "q114_cosine_histogram_sampled": 9,
+    "q115_embedding_near_dup_clusters": 9,
+    # round-10 advisor (high): winnowing_fingerprints ported
+    # mapInPandas→mapInArrow (nullable-int64 id upcast corruption);
+    # identical fingerprints, different certified physical plan.
+    "q79_winnowing_fingerprints": 9,
+    "q85_winnowing_containment_pairs": 9,
+    "q156_exact_substring_containment": 9,
 }
 
 

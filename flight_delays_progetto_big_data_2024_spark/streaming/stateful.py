@@ -27,6 +27,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def round_like_engines(x: float, scale: int = 6) -> float:
+    """Round the way BOTH SQL engines do, for Python-side processor
+    emissions that are compared against engine aggregates.
+
+    Spark's ``round(double, s)`` is HALF_UP over the double's SHORTEST
+    DECIMAL representation (Scala ``BigDecimal(double)`` goes through
+    ``Double.toString``), and DuckDB agrees — so the double nearest
+    0.0000005 (= 4.99999999999999977e-7, BELOW the decimal tie) rounds
+    to 1e-6 in both engines, while Python's ``round``/numpy round the
+    exact binary value to 0.0. The round-10 measure-axis probe planted
+    exactly that value and the streaming processors (this module) were
+    the odd engine out: sessionize and running-totals emitted 0.0
+    against both batch analogs' 1e-6. Python ``repr`` is the same
+    shortest-round-trip decimal, so quantizing it HALF_UP reproduces
+    the engines' result. Non-finite totals pass through (Decimal
+    quantize raises on Inf/NaN; the engines keep them verbatim too)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    if not math.isfinite(x):
+        return x
+    # default context precision (28) makes quantize raise on huge
+    # magnitudes (a DBL_MAX quantized to 1e-6 needs ~315 digits — the
+    # measure-axis probes plant exactly that); widen locally
+    with localcontext() as ctx:
+        ctx.prec = 400
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+            )
+        )
+
+
 OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "num_events bigint, total_value double, closed boolean"
@@ -60,7 +93,7 @@ def _row(
         "session_start": pd.to_datetime(start_us, unit="us"),
         "session_end": pd.to_datetime(last_us, unit="us"),
         "num_events": n,
-        "total_value": None if nn == 0 else round(total, 6),
+        "total_value": None if nn == 0 else round_like_engines(total, 6),
         "closed": closed,
     }
 
@@ -313,7 +346,8 @@ class RunningTotalsProcessor(StatefulProcessor):
                 ),
                 "n": [n],
                 "total": pd.array(
-                    [None if nn == 0 else round(total, 6)], dtype="Float64"
+                    [None if nn == 0 else round_like_engines(total, 6)],
+                    dtype="Float64",
                 ),
                 "batches": [batches],
             }

@@ -992,3 +992,36 @@ def test_watermarked_stream_drops_pre_epoch_event_times(spark, tmp_path):
         "ever starts passing them through, the dirty-sweep batch analogs' "
         "_wm_visible mirror must be removed in the same change"
     )
+
+
+def test_round_like_engines_matches_sql_round_semantics():
+    """Round-10 measure-axis probe: the stateful processors' Python
+    ``round(total, 6)`` rounded the EXACT binary double while Spark and
+    DuckDB both round the SHORTEST DECIMAL representation HALF_UP — so
+    the double nearest 0.0000005 (4.99999999999999977e-7, just below
+    the decimal tie) emitted 0.0 from the stream against 1e-6 from both
+    batch analogs (found live by the planted 5e-7 event value in
+    tools/dirty_sweep.py: sessionize 1 row off, running-totals 1 key
+    off). ``round_like_engines`` reproduces the engines' semantics;
+    these cases were cross-checked against live Spark AND DuckDB."""
+    import math
+
+    from flight_delays_progetto_big_data_2024_spark.streaming.stateful import (
+        round_like_engines,
+    )
+
+    # the probe value: Python round gives 0.0; the engines give 1e-6
+    assert round(5e-7, 6) == 0.0
+    assert round_like_engines(5e-7) == 1e-06
+    assert round_like_engines(-5e-7) == -1e-06
+    # same double written the long way
+    assert round_like_engines(4.9999999999999997e-7) == 1e-06
+    # ordinary accumulator noise is unaffected
+    assert round_like_engines(2498.9700000000003) == 2498.97
+    # measure-domain extremes survive the wide Decimal context
+    assert round_like_engines(1.7976931348623157e308) == 1.7976931348623157e308
+    assert round_like_engines(-9e307) == -9e307
+    assert round_like_engines(4.9e-324) == 0.0
+    # non-finite totals pass through (both engines keep them verbatim)
+    assert math.isinf(round_like_engines(float("inf")))
+    assert math.isnan(round_like_engines(float("nan")))
