@@ -369,6 +369,19 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q79_winnowing_fingerprints": 9,
     "q85_winnowing_containment_pairs": 9,
     "q156_exact_substring_containment": 9,
+    # round-10 dimension probes (a 16-dim vector in the 64-dim corpus
+    # crashed 10 queries): the cosine family now declares the
+    # PAIR-LEVEL dimension domain — NULL-cosine drops in topk scoring,
+    # LSH NULL bucket, IVF filtered cell structs, PCA declared-dim pin,
+    # len-equality join conditions in the oracles. Clean-corpus values
+    # identical (uniform 64-dim); the certified plans + oracles changed.
+    "q30_embedding_topk_cosine": 9,
+    "q35_embedding_lsh_topk": 9,
+    "q44_embedding_ivf_topk": 9,
+    "q120_ivf_recall_at_k": 9,
+    "q161_knn_label_consistency": 9,
+    "q172_hard_negative_mining": 9,
+    "q187_pca_gram_moments": 9,
 }
 
 

@@ -90,6 +90,14 @@ def cosine_topk(
             F.col("id").alias("candidate_id"),
             cosine_prenormed("qv", "v", "qn", "nrm", scale=scale).alias("cosine"),
         )
+        # pair-level dimension domain (round-10 probe): a query/corpus
+        # pair of DIFFERENT dimensions has an undefined cosine —
+        # zip_with pads the short side with NULL and the score comes
+        # out NULL. NULL cannot be ranked (the wave-5 rule); without
+        # this filter the NULL-score rows sort after real candidates
+        # (desc = NULLS LAST) and still enter top-k whenever a query
+        # has fewer than k same-dim candidates.
+        .filter(F.col("cosine").isNotNull())
     )
     return top_k_per_group(
         scored,
@@ -139,17 +147,19 @@ def lsh_topk(
 
     def guarded_bucket(vec_col):
         # a dim mismatch would null-pad the dot products and silently
-        # send EVERY vector to bucket 0 (a full cross product); the guard
-        # lives INSIDE the bucket expression so it can't be pruned
+        # send EVERY vector to bucket 0 (a full cross product); the
+        # guard lives INSIDE the bucket expression so it can't be
+        # pruned. Round-10 dimension probe: it now yields a NULL bucket
+        # instead of raise_error — the inner bucket join never matches
+        # NULL, so a deviant-dimension vector LEAVES the candidate
+        # space (the pair-level dimension domain the whole cosine
+        # family declares: its cosine against the hyperplane dimension
+        # is undefined anyway). One corrupt row in a 100 TB corpus
+        # must not kill the query; it also must not alias into bucket
+        # 0, and NULL does neither.
         return F.when(
-            F.size(vec_col) != dim,
-            F.raise_error(
-                F.concat(
-                    F.lit(f"lsh_topk: expected {dim}-dim embeddings, got "),
-                    F.size(vec_col).cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(hyperplane_bucket(vec_col, planes))
+            F.size(vec_col) == dim, hyperplane_bucket(vec_col, planes)
+        )
 
     c = _prep(corpus, id_col, vec_col).withColumn(
         "bucket", guarded_bucket(F.col("v"))
@@ -261,14 +271,27 @@ def ivf_topk(
         # feeds the same zip_with/aggregate accumulation in the same
         # index order, so every csim double is bit-identical to the
         # joined formulation it replaces.
-        return F.transform(
-            F.col("cents"),
-            lambda z: F.struct(
-                F.round(
-                    dot("v", z["cv"]) / (F.col("nrm") * z["cn"]), scale
-                ).alias("s"),
-                F.bitwise_not(z["cid"]).alias("c"),
+        return F.filter(
+            F.transform(
+                F.col("cents"),
+                lambda z: F.struct(
+                    F.round(
+                        dot("v", z["cv"]) / (F.col("nrm") * z["cn"]), scale
+                    ).alias("s"),
+                    F.bitwise_not(z["cid"]).alias("c"),
+                ),
             ),
+            # pair-level dimension domain (round-10 probe): a
+            # deviant-dim vector's csim against every centroid is NULL
+            # (zip_with pads the short side) — without this filter
+            # array_max/array_sort would rank the NULL-score structs by
+            # the ~cid TIE-BREAK and assign the row to a junk-but-
+            # deterministic cell. Filtered to an EMPTY array instead:
+            # assignment yields a NULL cell (which never equi-joins a
+            # probe) and a probing query explodes to no rows — the
+            # vector leaves the candidate space, exactly like the
+            # GEMM block key and the LSH NULL bucket.
+            lambda st: st["s"].isNotNull(),
         )
 
     cells = (
@@ -547,11 +570,22 @@ def _block_pairs(
     diagonal, repro'd with one null-id row). A null-id vector cannot
     appear in id-keyed pair output anyway — the expression form's
     ``a.id < b.id`` is NULL for it — so dropping is the same semantics
-    the rest of the dirty-row policy declares."""
+    the rest of the dirty-row policy declares.
+
+    The block key includes the VECTOR DIMENSION (round-10 dimension
+    probe): cosine is undefined across dimensions (zip_with pads with
+    NULL; a cross-dim pair can never score), so vectors only ever need
+    to meet vectors of their own dimension — and a ragged block would
+    crash ``np.vstack`` inside the GEMM (repro'd with one 16-dim row
+    in a 64-dim corpus: schema drift, the corruption a 100 TB ingest
+    actually produces). Keying the ONE existing shuffle by (dim, blk)
+    makes every block rectangular by construction and implements the
+    pair-level dimension domain at zero extra cost."""
     prep = _prep(df, id_col, vec_col).filter(F.col("id").isNotNull())
     packed = (
-        prep.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
-        .groupBy("blk")
+        prep.withColumn("dim", F.size("v"))
+        .withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+        .groupBy("dim", "blk")
         .agg(
             F.collect_list("id").alias("ids"),
             F.collect_list("v").alias("vs"),
@@ -560,18 +594,21 @@ def _block_pairs(
         .persist()
     )
     a = packed.select(
+        F.col("dim").alias("da"),
         F.col("blk").alias("ba"),
         F.col("ids").alias("ids_a"),
         F.col("vs").alias("vs_a"),
         F.col("ns").alias("ns_a"),
     )
     b = packed.select(
+        F.col("dim").alias("db"),
         F.col("blk").alias("bb"),
         F.col("ids").alias("ids_b"),
         F.col("vs").alias("vs_b"),
         F.col("ns").alias("ns_b"),
     )
-    return a.join(b, F.col("ba") <= F.col("bb"))
+    # same-dimension blocks only (pair-level dimension domain)
+    return a.join(b, (F.col("da") == F.col("db")) & (F.col("ba") <= F.col("bb")))
 
 
 def blocked_cosine_histogram(
@@ -843,7 +880,15 @@ def pca_gram_moments(
     parts = (
         _prep(emb, id_col, vec_col, keep_zero=True)
         .filter(
-            F.array_max(F.transform("v", lambda x: F.abs(x))) < F.lit(16.0)
+            # moment domain: |x| < 16 (integer-encoding exactness, see
+            # docstring) AND the declared dimension — a deviant-dim
+            # vector is not a d-dim moment input, and a ragged batch
+            # crashes np.stack (round-10 dimension probe: one 16-dim
+            # row in the 64-dim corpus). Enforced identically in the
+            # oracle; the in-worker dim ValueError stays as the
+            # defense-in-depth backstop for direct library callers.
+            (F.size("v") == F.lit(dim))
+            & (F.array_max(F.transform("v", lambda x: F.abs(x))) < F.lit(16.0))
         )
         .select("v")
         .mapInPandas(part, schema="n bigint, s array<bigint>, g array<bigint>")

@@ -343,7 +343,11 @@ _EMB_MOMENT_PREP_SQL = _EMB_PREP_SQL.replace(
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
                round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
-        FROM q JOIN n c ON c.vec_id <> q.vec_id
+        -- pair-level dimension domain (round-10 probe): a cross-dim
+        -- cosine is undefined — Spark's zip_with NULLs it while
+        -- DuckDB's list_dot_product RAISES; the len equality in the
+        -- JOIN keeps the dot off mismatched pairs entirely
+        FROM q JOIN n c ON c.vec_id <> q.vec_id AND len(q.v) = len(c.v)
     )
     SELECT query_id, candidate_id, cosine, CAST(rnk AS INTEGER) AS rank
     FROM (
@@ -367,7 +371,9 @@ def q30_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS ({_EMB_PREP_SQL}),
     pairs AS (
         SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        -- same-dim pairs only (pair-level dimension domain, round-10
+        -- probe; mirrors the GEMM's (dim, blk) block key)
+        FROM n a JOIN n b ON a.vec_id < b.vec_id AND len(a.v) = len(b.v)
     )
     SELECT CAST(floor(cosine * 10) AS BIGINT) AS bucket, count(*) AS n_pairs
     FROM pairs GROUP BY bucket ORDER BY bucket
@@ -941,9 +947,14 @@ def _lsh_topk_oracle_sql(k: int = 5, n_planes: int = 4) -> str:
     return f"""
     WITH n AS ({_EMB_PREP_SQL}),
     b AS (
+        -- len(v) = 64 mirrors lsh_topk's NULL-bucket dimension guard
+        -- (round-10 probe): a vector outside the hyperplane dimension
+        -- has no bucket and leaves the candidate space (DuckDB's
+        -- list_dot_product would RAISE on it; Spark's zip_with would
+        -- silently alias it into bucket 0)
         SELECT vec_id, v, nrm,
                ({bucket})::BIGINT AS bucket
-        FROM n
+        FROM n WHERE len(v) = 64
     ),
     q AS (
         SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
@@ -2318,7 +2329,8 @@ def q109_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
         SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        -- same-dim pairs only (pair-level dimension domain, round-10)
+        FROM n a JOIN n b ON a.vec_id < b.vec_id AND len(a.v) = len(b.v)
     )
     SELECT CAST(floor(cosine * 10) AS BIGINT) AS bucket,
            count(*)::BIGINT AS n_sampled,
@@ -2348,8 +2360,11 @@ def q114_cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame
     sql=f"""
     WITH RECURSIVE n AS ({_EMB_PREP_SQL}),
     p AS (
+        -- same-dim pairs only (pair-level dimension domain, round-10):
+        -- the len equality rides the JOIN so the dot never evaluates
+        -- on a mismatched pair (DuckDB raises there)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        FROM n a JOIN n b ON a.vec_id < b.vec_id AND len(a.v) = len(b.v)
         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
     ),
     e AS (
@@ -3412,7 +3427,8 @@ def q160_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
                round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
-        FROM q JOIN n c ON c.vec_id <> q.vec_id
+        -- same-dim pairs only (pair-level dimension domain, round-10)
+        FROM q JOIN n c ON c.vec_id <> q.vec_id AND len(q.v) = len(c.v)
     ),
     topk AS (
         SELECT query_id, candidate_id FROM (
@@ -3835,7 +3851,8 @@ def q170_jaccard_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                c.vec_id AS candidate_id, cl.label AS c_label,
                round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
         FROM q
-        JOIN n c ON c.vec_id <> q.vec_id
+        -- same-dim pairs only (pair-level dimension domain, round-10)
+        JOIN n c ON c.vec_id <> q.vec_id AND len(q.v) = len(c.v)
         JOIN lab cl ON cl.vec_id = c.vec_id
         WHERE cl.label <> q.label
     ),
@@ -3905,6 +3922,13 @@ def q172_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("candidate_id"),
             cosine_prenormed("qv", "v", "qn", "nrm").alias("cosine"),
         )
+        # pair-level dimension domain (round-10 probe): a cross-dim
+        # pair's cosine is NULL (zip_with pads) — desc sorts NULLs
+        # LAST, so junk rows still took rank 2-3 whenever a query had
+        # fewer than k same-dim negatives, inflating count(*) in the
+        # average's denominator (the oracle's len-equality join never
+        # produces them). NULL cannot be ranked — wave-5 rule.
+        .filter(F.col("cosine").isNotNull())
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
     topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
@@ -4376,7 +4400,8 @@ def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT qv.vec_id AS query_id, c.vec_id AS candidate_id,
                round(list_dot_product(qv.v, c.v) / (qv.nrm * c.nrm), 6) AS cosine
         FROM (SELECT * FROM defined WHERE vec_id < 5) qv
-        JOIN defined c ON c.vec_id <> qv.vec_id
+        -- same-dim pairs only (pair-level dimension domain, round-10)
+        JOIN defined c ON c.vec_id <> qv.vec_id AND len(qv.v) = len(c.v)
     ),
     topk AS (
         SELECT * FROM (

@@ -242,8 +242,12 @@ def q137_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM ({_EMB_MOMENT_PREP_SQL})
         -- moment-domain bound, mirrored from pca_gram_moments: keeps
         -- floor(x_i*x_j*2^20) inside exact int64 territory (numpy
-        -- wraps silently past it; DuckDB's ::BIGINT raises)
+        -- wraps silently past it; DuckDB's ::BIGINT raises). The
+        -- len(v) = 64 pin is the declared-dimension domain (round-10
+        -- dimension probe): a deviant-dim vector is not a d-dim
+        -- moment input, and a ragged Arrow batch crashes np.stack
         WHERE list_aggregate(list_transform(v, x -> abs(x)), 'max') < 16
+          AND len(v) = 64
     ),
     e AS (
         SELECT vec_id, unnest(v) AS x,

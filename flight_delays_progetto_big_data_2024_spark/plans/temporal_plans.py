@@ -177,6 +177,11 @@ _IVF_SQL = """
         SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16
     ),
     assigned AS (
+        -- len(n.v) = len(cv) rides the JOIN (round-10 dimension probe,
+        -- pair-level domain): a vector outside its centroid's
+        -- dimension has an undefined csim — Spark's struct filter
+        -- leaves it an empty cell array (NULL cell, joins nothing)
+        -- and the dot here would RAISE in DuckDB
         SELECT vec_id, v, nrm, cid FROM (
             SELECT n.vec_id, n.v, n.nrm, cent.cid,
                    row_number() OVER (
@@ -184,7 +189,7 @@ _IVF_SQL = """
                        ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC,
                                 cid
                    ) AS rn
-            FROM n, cent
+            FROM n JOIN cent ON len(n.v) = len(cv)
         ) WHERE rn = 1
     ),
     probes AS (
@@ -195,14 +200,15 @@ _IVF_SQL = """
                        ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC,
                                 cid
                    ) AS rn
-            FROM n, cent
+            FROM n JOIN cent ON len(n.v) = len(cv)
             WHERE n.vec_id < 5
         ) WHERE rn <= 4
     ),
     scored AS (
         SELECT p.query_id, a.vec_id AS candidate_id,
                round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cosine
-        FROM probes p JOIN assigned a USING (cid)
+        FROM probes p JOIN assigned a
+          ON p.cid = a.cid AND len(p.qv) = len(a.v)
         WHERE a.vec_id <> p.query_id
     )
     SELECT query_id, candidate_id, cosine, CAST(rnk AS INTEGER) AS rank
@@ -874,7 +880,8 @@ _EXACT_TOPK_SQL = """
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
                round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
-        FROM q JOIN n c ON c.vec_id <> q.vec_id
+        -- same-dim pairs only (pair-level dimension domain, round-10)
+        FROM q JOIN n c ON c.vec_id <> q.vec_id AND len(q.v) = len(c.v)
     )
     SELECT query_id, candidate_id FROM (
         SELECT *, row_number() OVER (

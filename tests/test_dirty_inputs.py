@@ -997,3 +997,73 @@ def test_q162_fractional_pre_epoch_lag_uses_trunc_semantics(spark, tmp_path):
         assert_pandas_parity(got_df, want)
     finally:
         con.close()
+
+
+def test_vector_ops_pair_level_dimension_domain(spark):
+    """Round-10 dimension probe: ONE 16-dim vector in a 64-dim corpus
+    (schema drift — the corruption a 100 TB ingest actually produces)
+    crashed 10 of 20 embedding queries: ragged np.vstack/np.stack in
+    the GEMM and PCA passes, lsh_topk's raise_error guard, and DuckDB's
+    list_dot_product in seven oracles. The declared semantics is the
+    PAIR-LEVEL dimension domain: vectors interact only within their own
+    dimension (a cross-dim cosine is undefined — Spark's zip_with pads
+    with NULL), implemented as the GEMM's (dim, blk) block key, LSH's
+    NULL bucket, IVF's empty filtered cell array, and cosine_topk's
+    NULL-score drop. Two 8-dim twins beside a 4-vector 3-dim corpus pin
+    both directions: the twins pair with each other (positive control)
+    and with nothing else, and nothing crashes."""
+    from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
+        blocked_cosine_histogram,
+        cosine_pairs,
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+        pca_gram_moments,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (100, [0.5] * 8),      # deviant-dimension twins
+        (101, [0.5] * 8),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # blocked GEMM: the 8-dim twins pair with each other only
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in cosine_pairs(emb, 0.9, n_blocks=2).collect()
+    )
+    assert got == [(1, 2), (100, 101)], got
+    hist = {
+        r["bucket"]: r["n_pairs"]
+        for r in blocked_cosine_histogram(emb, n_blocks=2).collect()
+    }
+    # pairs: same-dim only -> C(4,2)=6 three-dim + 1 eight-dim = 7
+    assert sum(hist.values()) == 7, hist
+
+    # exact top-k: an 8-dim query scores only its 8-dim twin
+    topk = cosine_topk(emb, emb.filter(emb.vec_id >= 100), k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r["candidate_id"])
+    assert by_q == {100: [101], 101: [100]}, by_q
+
+    # LSH (64-dim planes): every vector here is outside the plane
+    # dimension -> NULL buckets -> empty result, NOT a raise
+    assert lsh_topk(emb, emb.filter(emb.vec_id < 2), k=3).count() == 0
+
+    # IVF: centroids come from the lowest ids (3-dim); the 8-dim rows
+    # have every csim NULL -> filtered cell structs -> they neither
+    # assign nor probe; the 3-dim family still works
+    ivf = ivf_topk(emb, emb.filter(emb.vec_id == 1), k=3, n_cells=2).collect()
+    assert {r["candidate_id"] for r in ivf} <= {2, 3, 4}
+    assert all(r["cosine"] is not None for r in ivf)
+
+    # PCA moments: the declared dim pins the corpus space
+    cnt = {
+        (r["i"], r["j"]): r["val"]
+        for r in pca_gram_moments(emb, dim=3).collect()
+    }
+    assert cnt[(-1, -1)] == 4  # the four 3-dim vectors only

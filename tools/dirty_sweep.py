@@ -433,6 +433,21 @@ DIRTY: dict[str, list[dict]] = {
         {"vec_id": 2**63 - 1,
          "embedding": [0.25 if (i // 2) % 2 == 0 else -0.25 for i in range(64)],
          "label": 2},
+        # round-10 DIMENSION-drift probes: a 16-dim vector with ordinary
+        # values (schema drift / truncated write — the corruption class
+        # a 100 TB ingest actually produces) and its 16-dim twin. A
+        # deviant-dimension vector has a defined norm (it passes every
+        # NULL/NaN/zero guard) but an UNDEFINED cosine against the
+        # corpus dimension: Spark's zip_with pads the short side with
+        # NULL (silent NULL cosine) while DuckDB's list_dot_product
+        # raises; numpy GEMM/stack paths crash on ragged input. The
+        # declared semantics (pair-level): vectors pair only within
+        # their own dimension, so these two may pair with each other
+        # (cosine 1.0 — a same-dim positive control) and with NOTHING
+        # else. Per the round-7 pairing principle, TWO of them — one
+        # deviant row alone can never exercise the pairing path.
+        {"vec_id": 990040, "embedding": [0.25] * 16, "label": 1},
+        {"vec_id": 990041, "embedding": [0.25] * 16, "label": 2},
     ],
 }
 
