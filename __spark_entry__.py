@@ -382,6 +382,12 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q161_knn_label_consistency": 9,
     "q172_hard_negative_mining": 9,
     "q187_pca_gram_moments": 9,
+    # round-10 JSON value-domain probes: q46's k is now the
+    # integral-regex-gated TRY cast in both engines (Spark's ANSI cast
+    # crashed on a wrong-typed bag; the engines' TRY casts split on
+    # '7.9' — DuckDB rounds, Spark NULLs). Clean-corpus values
+    # identical (every corpus bag is an integral {"k": n}).
+    "q46_event_props_json": 9,
 }
 
 

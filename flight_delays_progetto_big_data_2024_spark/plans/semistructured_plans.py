@@ -19,10 +19,21 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
     "q46_event_props_json",
     sql="""
     -- json_valid guard: DuckDB's ->> hard-errors on malformed/empty
-    -- props where Spark's get_json_object yields NULL (wave-5 finding)
+    -- props where Spark's get_json_object yields NULL (wave-5 finding).
+    -- The integral-pattern gate before the cast is the round-10
+    -- JSON-value-domain contract: the engines' raw ->>/get_json_object
+    -- strings agree byte-for-byte (measured on 10 edge shapes,
+    -- duplicate keys and 1e2 included), but their casts DIVERGE —
+    -- Spark's ANSI cast CRASHES on any non-integral string
+    -- ('2147483648', 'abc', 'true', '[1]', '7.9'), Spark's try_cast
+    -- NULLs '7.9' while DuckDB's TRY_CAST rounds it to 8. Gating both
+    -- engines on ^-?[0-9]+$ and TRY-casting makes k = "the value when
+    -- the bag carries an int32" everywhere (overflow -> NULL via
+    -- try_cast in both).
     WITH j AS (
         SELECT event_type,
                CASE WHEN json_valid(props)
+                         AND regexp_matches(props->>'k', '^-?[0-9]+$')
                     THEN TRY_CAST(props->>'k' AS INTEGER) END AS k
         FROM events
     )
@@ -38,9 +49,17 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 def q46_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property-bag extraction (``get_json_object`` — JVM-side JSON
     path, no UDF) aggregated per event type; count() skips rows whose
-    bag lacks the key, matching SQL NULL semantics."""
+    bag lacks the key, matching SQL NULL semantics.
+
+    Value-domain contract (round-10 JSON probes, see the oracle
+    comment): ``k`` counts only when the bag carries an INTEGRAL number
+    that fits int32 — the regex gate keeps Spark's ANSI cast from
+    crashing on a wrong-typed bag ('{"k": "abc"}' was a full-query
+    abort) and pins the '7.9' rounding split between the engines'
+    TRY_CASTs to a shared NULL."""
     cat = Catalog(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    raw = F.get_json_object("props", "$.k")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw).try_cast("int")
     return (
         cat.events.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -113,12 +113,17 @@ def test_jaccard_pairs_no_cartesian_product(spark):
 
 
 def test_blocked_histogram_joins_only_block_summaries(spark):
-    """q31's only theta join (blk <= blk) must run over the n_blocks-row
-    packed summaries, AFTER the collect_list aggregation, and both join
-    sides must read the PERSISTED packed relation (InMemoryTableScan) —
-    otherwise the corpus is scanned and pack-aggregated twice."""
+    """q31's block-pair join must run over the n_blocks-row packed
+    summaries, AFTER the collect_list aggregation, and both join sides
+    must read the PERSISTED packed relation (InMemoryTableScan) —
+    otherwise the corpus is scanned and pack-aggregated twice. The
+    round-10 (dim, blk) block key upgraded the former theta-only
+    BroadcastNestedLoopJoin to a BroadcastHashJoin on the dim equi-key
+    with ``ba <= bb`` as the residual — pin the better shape (and that
+    the pack relation never falls into a shuffle join)."""
     plan = _plan(registry.QUERIES["q31_embedding_cosine_histogram"](spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan, plan  # bounded block-pair join
+    assert "BroadcastHashJoin" in plan, plan  # dim equi-key block-pair join
+    assert "SortMergeJoin" not in plan, plan
     assert "MapInPandas" in plan, plan
     assert plan.count("InMemoryTableScan") == 2, plan
 

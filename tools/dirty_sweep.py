@@ -292,6 +292,30 @@ DIRTY: dict[str, list[dict]] = {
         # column every percentile/stddev/corr behavioral query reads
         {"event_id": 990044, "ts": TS1, "user_id": 990044,
          "event_type": "view", "value": 1.4e154, "props": "{}"},
+        # round-10 JSON value-domain probes (q46 family): the engines'
+        # raw ->>/get_json_object strings agree byte-for-byte, but the
+        # CASTS diverge — Spark's ANSI cast crashes on any non-integral
+        # string (int32 overflow, 'abc', 'true', '[1]', '7.9'), and
+        # Spark try_cast NULLs '7.9' where DuckDB TRY_CAST rounds to 8.
+        # The integral-regex-gated TRY cast is the shared contract;
+        # '{"k": "7"}' (a QUOTED integer) pins that both engines strip
+        # the quotes and count it; the truncated bag rides json_valid.
+        {"event_id": 990045, "ts": TS1, "user_id": 990045,
+         "event_type": "view", "value": 1.0, "props": '{"k": 2147483648}'},
+        {"event_id": 990046, "ts": TS1, "user_id": 990046,
+         "event_type": "view", "value": 1.0, "props": '{"k": "abc"}'},
+        {"event_id": 990047, "ts": TS1, "user_id": 990047,
+         "event_type": "view", "value": 1.0, "props": '{"k": 7.9}'},
+        {"event_id": 990048, "ts": TS1, "user_id": 990048,
+         "event_type": "view", "value": 1.0, "props": '{"k": true}'},
+        {"event_id": 990049, "ts": TS1, "user_id": 990049,
+         "event_type": "view", "value": 1.0, "props": '{"k": [1]}'},
+        {"event_id": 990050, "ts": TS1, "user_id": 990050,
+         "event_type": "view", "value": 1.0, "props": '{"k": -5}'},
+        {"event_id": 990051, "ts": TS1, "user_id": 990051,
+         "event_type": "view", "value": 1.0, "props": '{"k":'},
+        {"event_id": 990052, "ts": TS1, "user_id": 990052,
+         "event_type": "view", "value": 1.0, "props": '{"k": "7"}'},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
@@ -372,6 +396,20 @@ DIRTY: dict[str, list[dict]] = {
                   "\U0001f30d\U0001f30d caf\u00e9 cafe\u0301 "
                   "a\u00a0b c\u200bd"),
          "lang": "xx", "source": "unicode", "n_chars": 60},
+        # round-10 LENGTH-domain probes: a ~29k-char document of
+        # vocabulary-disjoint tokens (text-length paths \u2014 shingle
+        # arrays, winnowing windows, quality ratios \u2014 at 100x the
+        # corpus's length law without perturbing any pairing family:
+        # every shingle is df=1), and a single unbroken 5k-char "word"
+        # (tokenizer and char-gram paths where token length ~ doc
+        # length; CJK text already probes no-whitespace scripts but
+        # only at ~40 chars)
+        {"doc_id": 990042,
+         "text": " ".join(f"lw{i}q{(i * 7) % 997}z" for i in range(2500)),
+         "lang": "en", "source": "web", "n_chars": 28605},
+        {"doc_id": 990043,
+         "text": "x" + "yqz" * 1666 + "w",
+         "lang": "en", "source": "web", "n_chars": 5000},
     ],
     "embeddings": [
         {"vec_id": None, "embedding": None, "label": None},
