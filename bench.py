@@ -196,6 +196,29 @@ def _lower_median(samples: list[float]) -> float:
     return round(sorted(samples)[(len(samples) - 1) // 2], 3)
 
 
+def _collect_interleaved(runners) -> dict[str, list[float]]:
+    """Interleaved sampling (module docstring): every pending runner
+    takes its sample k before any runner takes sample k+1, so a
+    transient load spike spreads across many queries' sample k —
+    absorbed by each per-query median — instead of concentrating in
+    one query's whole rep block (the r9 +23%-on-unchanged-plans
+    artifact). ``runners`` is (name, run) pairs where run(sample_idx)
+    returns elapsed seconds; the per-query rep-tier policy
+    (_needs_more_samples) is unchanged. Pure given the runners —
+    unit-tested with scripted clocks."""
+    all_samples: dict[str, list[float]] = {name: [] for name, _ in runners}
+    pending = list(runners)
+    while pending:
+        still_pending = []
+        for name, run in pending:
+            samples = all_samples[name]
+            samples.append(round(run(len(samples)), 3))
+            if _needs_more_samples(samples):
+                still_pending.append((name, run))
+        pending = still_pending
+    return all_samples
+
+
 def compare_bench(
     prev: dict[str, float],
     cur: dict[str, float],
@@ -446,21 +469,7 @@ def main() -> int:
             (name, make_batch_runner(BENCH_OVERRIDES.get(name, registry.QUERIES[name])))
             for name in HEADLINE
         ] + _streaming_runners(spark, sf_dir, tmp)
-
-        # interleaved passes (module docstring): every pending runner
-        # takes its next sample before any runner takes another, so a
-        # transient load spike spreads across many queries' sample k
-        # instead of concentrating in one query's whole rep block
-        all_samples: dict[str, list[float]] = {name: [] for name, _ in runners}
-        pending = list(runners)
-        while pending:
-            still_pending = []
-            for name, run in pending:
-                samples = all_samples[name]
-                samples.append(round(run(len(samples)), 3))
-                if _needs_more_samples(samples):
-                    still_pending.append((name, run))
-            pending = still_pending
+        all_samples = _collect_interleaved(runners)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

