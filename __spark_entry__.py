@@ -388,6 +388,18 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # '7.9' — DuckDB rounds, Spark NULLs). Clean-corpus values
     # identical (every corpus bag is an integral {"k": n}).
     "q46_event_props_json": 9,
+    # round-11 advisor (medium): q46's oracle json_valid guard became a
+    # NESTED CASE — DuckDB's adaptive conjunction reordering could run
+    # ->> before json_valid under the AND form (nondeterministic hard
+    # error at sf0.1-scale row counts with malformed bags). Same values
+    # on every valid row; the certified oracle text changed.
+    "q46_event_props_json": 10,
+    # round-11 advisor (low): q101/q184 oracles now INTERPOLATE
+    # operators.prep.MOMENT_MEASUREMENT_SQL (was re-typed inline —
+    # byte-identical predicate, but the certified oracle strings
+    # changed).
+    "q101_zscore_normalization": 10,
+    "q184_dirty_corpus_robustness": 10,
 }
 
 

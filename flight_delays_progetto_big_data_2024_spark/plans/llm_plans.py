@@ -35,6 +35,9 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
 from flight_delays_progetto_big_data_2024_spark.operators.curation import (
     curation_funnel,
 )
+from flight_delays_progetto_big_data_2024_spark.operators.prep import (
+    MOMENT_MEASUREMENT_SQL,
+)
 from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
     PORTABLE_TOKEN_HASH_SQL,
     cross_corpus_containment,
@@ -73,6 +76,12 @@ _NORM_SQL = "trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '
 #: empty tokens filtered, mirroring functions.text.tokens (split of
 #: empty text must yield an EMPTY list, not [''])
 _TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+#: The moment-measurement domain predicate on the events.value column,
+#: interpolated (not re-typed) into every oracle that uses it so the
+#: SQL twin can never drift from operators.prep.is_moment_measurement
+#: (round-10 advice: the constant was documented as the DuckDB twin but
+#: never referenced).
+_MOMENT_VALUE_SQL = MOMENT_MEASUREMENT_SQL.format(col="value")
 
 
 @register(
@@ -1916,7 +1925,7 @@ def q100_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q101_zscore_normalization",
-    sql="""
+    sql=f"""
     WITH ev AS (
         -- z-scores are defined over real MOMENT measurements only:
         -- one Inf value makes DuckDB's stddev_samp raise OUT OF RANGE
@@ -1924,9 +1933,10 @@ def q100_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- FINITE value past ~1.34e154 overflows the squared deviation
         -- the same way (round-10 measure-axis probe: planted +DBL_MAX
         -- crashed this oracle while Spark returned Inf z-scores) —
-        -- both engines share operators.prep.MEASURE_DOMAIN_BOUND
+        -- both engines share operators.prep.MEASURE_DOMAIN_BOUND,
+        -- interpolated here as _MOMENT_VALUE_SQL
         SELECT event_type, value FROM events
-        WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e150
+        WHERE {_MOMENT_VALUE_SQL}
     ),
     stats AS (
         SELECT event_type,
@@ -4437,8 +4447,7 @@ def q183_dup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFra
                -- FIRST-moment sum below keeps the full finite domain:
                -- same-sign absorption is deterministic in both engines
                round(stddev_samp(value) FILTER (
-                   WHERE event_type = 'view' AND value IS NOT NULL
-                     AND isfinite(value) AND abs(value) < 1e150),
+                   WHERE event_type = 'view' AND {_MOMENT_VALUE_SQL}),
                    6) + 0.0 AS view_sigma,
                round(sum(value) FILTER (
                    WHERE event_type = 'view' AND value IS NOT NULL

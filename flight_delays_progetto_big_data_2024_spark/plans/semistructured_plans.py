@@ -31,10 +31,18 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
     -- the bag carries an int32" everywhere (overflow -> NULL via
     -- try_cast in both).
     WITH j AS (
+        -- NESTED CASE, not an AND conjunct: DuckDB's adaptive
+        -- conjunction reordering may evaluate ->> BEFORE json_valid,
+        -- and ->> hard-errors on malformed JSON — with AND the guard
+        -- is not short-circuit-safe and the failure only shows up at
+        -- sf0.1-scale row counts (round-10 advice: 30/30 failures at
+        -- 100k rows with 1% malformed bags, never at <=20k). CASE
+        -- branches evaluate lazily, so ->> only runs on valid rows.
         SELECT event_type,
-               CASE WHEN json_valid(props)
-                         AND regexp_matches(props->>'k', '^-?[0-9]+$')
-                    THEN TRY_CAST(props->>'k' AS INTEGER) END AS k
+               CASE WHEN json_valid(props) THEN
+                    CASE WHEN regexp_matches(props->>'k', '^-?[0-9]+$')
+                         THEN TRY_CAST(props->>'k' AS INTEGER) END
+               END AS k
         FROM events
     )
     SELECT event_type,

@@ -53,7 +53,11 @@ def round_like_engines(x: float, scale: int = 6) -> float:
     # measure-axis probes plant exactly that); widen locally
     with localcontext() as ctx:
         ctx.prec = 400
-        return float(
+        # + 0.0 normalizes signed zero: a tiny negative total (-1e-7)
+        # quantizes to Decimal -0E-6 -> float -0.0, but Spark's round
+        # goes through BigDecimal which has no signed zero and yields
+        # +0.0 (IEEE: -0.0 + 0.0 = +0.0; every other value unchanged)
+        return 0.0 + float(
             Decimal(repr(float(x))).quantize(
                 Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
             )
