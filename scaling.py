@@ -22,9 +22,10 @@ i.e. t ~ sf^alpha across that decade. Reading the numbers honestly:
   blowup (a filter that stopped pushing, a prefix filter that stopped
   pruning) the moment it happens.
 * Timing policy is bench.py's: untimed session + Arrow warmup, caches
-  released between samples, median of the REP_TIERS sample count, the
-  tier picked from the min of the first two samples. Streaming-named
-  queries time their registered batch analogs (same plan family).
+  released between samples, lower median of the uniform N_PASSES
+  sample count (round-11; only a >=30s first sample stays single-shot).
+  Streaming-named queries time their registered batch analogs (same
+  plan family).
 
 Run it ALONE (bench rule: concurrent load makes the numbers garbage):
 

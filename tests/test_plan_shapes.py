@@ -222,10 +222,48 @@ def test_bench_compare_flags_regressions():
 
     prev = {"qa": 2.0, "qb": 2.0, "qc": 0.1, "qd": 3.0, "qf": 0.2}
     cur = {"qa": 5.0, "qb": 6.6, "qc": 4.0, "qd": 3.1, "qe": 9.9, "qf": 0.9}
-    warnings, allowed = compare_bench(prev, cur, allowlist={"qb": "deliberate swap"})
+    warnings, allowed = compare_bench(
+        prev, cur, allowlist={"qb": (9, "deliberate swap")}, baseline_round=9
+    )
     assert sorted(w.split(" ")[2] for w in warnings) == ["qa", "qc"]
     # qb allowed, qd within 2x, qe has no baseline, qf both-small noise
     assert len(allowed) == 1 and "qb" in allowed[0]
+
+
+def test_bench_allowlist_entries_expire_with_their_baseline_round():
+    """Round-10 judge item 2: an allowlist entry documents ONE record
+    discontinuity — it must suppress the comparison only against that
+    round's record. A fresh q34-style regression measured against any
+    NEWER baseline warns loudly; the policy-discontinuity annotation
+    likewise applies only while the baseline predates the policy
+    change, then expires."""
+    from bench import REGRESSION_ALLOWLIST, compare_bench
+
+    allow = {"qb": (2, "r2->r3 hash swap")}
+    prev, cur = {"qb": 1.0}, {"qb": 2.5}
+    # baseline IS the documented round -> allowed
+    _, allowed = compare_bench(prev, cur, allowlist=allow, baseline_round=2)
+    assert len(allowed) == 1 and "allowlisted vs r2" in allowed[0]
+    # newer baseline -> the entry has expired, fresh regression WARNS
+    warnings, allowed = compare_bench(prev, cur, allowlist=allow, baseline_round=10)
+    assert len(warnings) == 1 and not allowed
+    # policy discontinuity: baseline predates the sampling-policy change
+    # -> annotated + allowed, not an unexplained warning ...
+    warnings, allowed = compare_bench(
+        prev, cur, baseline_round=10, policy_changed_at=11
+    )
+    assert not warnings and len(allowed) == 1
+    assert "policy discontinuity" in allowed[0]
+    # ... and self-expires once a current-policy record is the baseline
+    warnings, allowed = compare_bench(
+        prev, cur, baseline_round=11, policy_changed_at=11
+    )
+    assert len(warnings) == 1 and not allowed
+    # the shipped allowlist is (round, reason)-scoped
+    assert all(
+        isinstance(v, tuple) and isinstance(v[0], int)
+        for v in REGRESSION_ALLOWLIST.values()
+    )
 
 
 def test_bench_overrides_stay_in_sync():
@@ -412,12 +450,21 @@ def test_latest_committed_bench_reads_driver_format():
         "bench regression gate DISARMED: no committed BENCH_r*.json "
         f"parses to a queries dict; all skipped as corrupt: {skipped}"
     )
-    prev = bench._latest_committed_bench("/root/repo")
+    prev_round, prev = bench._latest_committed_bench("/root/repo")
     expect = bench._parse_bench_record(parseable[-1])
     assert prev == expect and prev, (
         "bench regression gate DISARMED: expected per-query times from "
         f"{parseable[-1]} (corrupt records skipped: {skipped}), got {prev!r}"
     )
+    assert prev_round == bench._bench_round(parseable[-1])
+    # streaming medians are part of the gated dict (round-10: the
+    # streaming section moved 1.8x with no gate line)
+    import json
+
+    rec = json.load(open(parseable[-1]))
+    parsed = rec.get("parsed", rec)
+    if isinstance(parsed, dict) and isinstance(parsed.get("streaming"), dict):
+        assert set(parsed["streaming"]) <= set(prev)
 
 
 def test_bench_gate_rearms_past_corrupt_newest_record(tmp_path):
@@ -435,15 +482,15 @@ def test_bench_gate_rearms_past_corrupt_newest_record(tmp_path):
     (tmp_path / "BENCH_r09.json").write_text(
         json.dumps({"parsed": None, "tail": '{"truncated mid-json'})
     )
-    assert bench._latest_committed_bench(str(tmp_path)) == {"q": 1.0}
+    assert bench._latest_committed_bench(str(tmp_path)) == (8, {"q": 1.0})
     # malformed JSON (not just parsed-null) is skipped the same way
     (tmp_path / "BENCH_r10.json").write_text('{"not even json')
-    assert bench._latest_committed_bench(str(tmp_path)) == {"q": 1.0}
+    assert bench._latest_committed_bench(str(tmp_path)) == (8, {"q": 1.0})
     # and a later parseable record wins again
     (tmp_path / "BENCH_r11.json").write_text(
         json.dumps({"parsed": {"queries": {"q": 2.0}}})
     )
-    assert bench._latest_committed_bench(str(tmp_path)) == {"q": 2.0}
+    assert bench._latest_committed_bench(str(tmp_path)) == (11, {"q": 2.0})
 
 
 def test_bench_driver_line_fits_tail_window():
@@ -494,31 +541,31 @@ def test_bench_r09_reconstruction_matches_committed_tail():
     medians = {**recon["queries"], **recon["streaming"]}
     assert medians == {k: bench._lower_median(v) for k, v in samples.items()}
     assert recon["value"] == round(sum(recon["queries"].values()), 3)
-    newest = bench._latest_committed_bench("/root/repo")
-    assert newest, "gate disarmed"
+    newest_round, newest = bench._latest_committed_bench("/root/repo")
+    assert newest and newest_round is not None, "gate disarmed"
 
 
-def test_bench_tier_from_min_of_first_two_samples():
-    """A JIT-inflated first sample (8.5s cold, 1.0s steady) must not
-    lock in a single-shot tier — the tier comes from the MIN of the
-    first two samples, with a mandatory second sample under the
-    ceiling. Genuinely expensive queries stay single-shot."""
+def test_bench_uniform_sample_counts():
+    """Round-10 judge item 3: the >=2s REP_TIER recorded a lower median
+    of only 3 uniformly-cold samples — systematically colder and
+    noisier than the 5-sample tier, which produced the un-attributed
+    q32/q34 warnings. Every query now takes the same N_PASSES samples
+    (equal counts -> comparable medians); only a first sample already
+    past the 30s wall-clock ceiling stays single-shot."""
     import bench
 
-    # cold-JIT shape: first sample huge but under the ceiling -> second
-    # sample mandatory; steady state 1.0s -> 5-rep tier
-    assert bench._needs_more_samples([8.5])
-    assert bench._needs_more_samples([8.5, 1.0])
-    assert bench._needs_more_samples([8.5, 1.0, 1.0, 1.0])
-    assert not bench._needs_more_samples([8.5, 1.0, 1.0, 1.0, 1.0])
-    # mid tier: 3 samples
-    assert bench._needs_more_samples([3.0, 3.1])
-    assert not bench._needs_more_samples([3.0, 3.1, 3.0])
-    # genuinely expensive: single shot, no second sample
-    assert not bench._needs_more_samples([12.0])
-    # expensive but under ceiling: second sample confirms the 1-rep tier
-    assert bench._needs_more_samples([5.0])
-    assert not bench._needs_more_samples([5.0, 5.1])
+    # every cost shape under the ceiling gets exactly N_PASSES samples,
+    # including the old mid (3.0s) and expensive (5-12s) tiers
+    for first in (0.4, 1.0, 3.0, 5.0, 8.5, 12.0, 29.9):
+        samples = [first]
+        while bench._needs_more_samples(samples):
+            samples.append(1.0)
+        assert len(samples) == bench.N_PASSES, (first, samples)
+    # genuinely expensive: single shot, bounded wall time
+    assert not bench._needs_more_samples([35.0])
+    # a later slow sample does NOT truncate the pass count (only the
+    # FIRST sample decides single-shot)
+    assert bench._needs_more_samples([1.0, 40.0])
 
 
 def test_bench_sort_key_survives_digitless_round_file(tmp_path):
@@ -533,7 +580,7 @@ def test_bench_sort_key_survives_digitless_round_file(tmp_path):
     (tmp_path / "BENCH_r02.json").write_text(
         json.dumps({"parsed": {"queries": {"q": 1.0}}})
     )
-    assert bench._latest_committed_bench(str(tmp_path)) == {"q": 1.0}
+    assert bench._latest_committed_bench(str(tmp_path)) == (2, {"q": 1.0})
 
 
 def test_bench_samples_are_collected_in_interleaved_passes():
@@ -556,16 +603,17 @@ def test_bench_samples_are_collected_in_interleaved_passes():
         return run
 
     runners = [
-        ("fast_a", runner("fast_a", [0.5])),       # 5-rep tier
-        ("big", runner("big", [12.0])),            # single shot (>= ceiling)
-        ("mid", runner("mid", [3.0])),             # 3-rep tier
-        ("fast_b", runner("fast_b", [0.4])),       # 5-rep tier
+        ("fast_a", runner("fast_a", [0.5])),       # N_PASSES
+        ("big", runner("big", [35.0])),            # single shot (>= ceiling)
+        ("mid", runner("mid", [3.0])),             # N_PASSES (old 3-rep tier)
+        ("fast_b", runner("fast_b", [0.4])),       # N_PASSES
     ]
     samples = bench._collect_interleaved(runners)
-    # tiers respected
-    assert len(samples["fast_a"]) == 5 and len(samples["fast_b"]) == 5
+    # uniform counts: everything under the ceiling gets N_PASSES
+    assert len(samples["fast_a"]) == bench.N_PASSES
+    assert len(samples["fast_b"]) == bench.N_PASSES
+    assert len(samples["mid"]) == bench.N_PASSES
     assert len(samples["big"]) == 1
-    assert len(samples["mid"]) == 3
     # interleaving: all sample-0 runs happen before ANY sample-1 run,
     # and all sample-1 before any sample-2 (pass barriers)
     first_pass_end = max(i for i, (_, k) in enumerate(order) if k == 0)
