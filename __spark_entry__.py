@@ -400,6 +400,28 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # changed).
     "q101_zscore_normalization": 10,
     "q184_dirty_corpus_robustness": 10,
+    # round-11 strings-axis probe finding: DuckDB's SORT-KEY paths
+    # (window sort, large top-level sort, list_sort) treat an embedded
+    # NUL byte as a terminator — 'nul'||chr(0) NONDETERMINISTICALLY
+    # ranked before 'nul' in q59's tie-break (plain comparisons and
+    # min/max are byte-correct; Spark is byte-correct everywhere).
+    # Every oracle that ranks or limits on a free-text term now orders
+    # by hex(term) — hex order IS byte order on every input, so values
+    # are identical on NUL-free data; the certified oracle strings
+    # changed.
+    "q59_tfidf_top_terms": 10,
+    "q76_top_terms_per_source": 10,
+    "q97_vocabulary_table": 10,
+    "q117_zipf_slope": 10,
+    "q134_cms_term_frequency": 10,
+    # round-11 strings-axis finding 2: the engines count levenshtein
+    # steps in different UNITS on non-ASCII text (DuckDB walks BYTES —
+    # an emoji insertion costs 4 — Spark walks code points). q165's
+    # edit distance now carries the ASCII unit domain (code-point
+    # length == octet length in both engines; non-ASCII pairs NULL).
+    # Clean-corpus values identical (generator text is ASCII); the
+    # certified plan + oracle changed.
+    "q165_near_dup_edit_distances": 10,
 }
 
 

@@ -613,8 +613,16 @@ def q58_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
     ),
     r AS (
+        -- hex(term), not term: DuckDB's SORT-KEY paths (window sort,
+        -- large external sort, list_sort) treat an embedded NUL byte
+        -- as a terminator — 'nul' || chr(0) nondeterministically
+        -- ranks before 'nul' (round-11 strings-axis probe; plain
+        -- comparisons and min/max are byte-correct). hex() is
+        -- NUL-free and its lexicographic order IS byte order, so this
+        -- is a pure comparator-encoding swap: identical ranking on
+        -- every input, matching Spark's unsigned-byte window sort.
         SELECT *, row_number() OVER (
-            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+            PARTITION BY doc_id ORDER BY tfidf DESC, hex(term) ASC
         ) AS rank
         FROM w
     )
@@ -1294,8 +1302,9 @@ def q75_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, term, occurrences, CAST(rnk AS INTEGER) AS rank
     FROM (
+        -- hex(term): DuckDB window sort is NUL-blind (see q59)
         SELECT *, row_number() OVER (
-            PARTITION BY source ORDER BY occurrences DESC, term
+            PARTITION BY source ORDER BY occurrences DESC, hex(term)
         ) AS rnk FROM counts
     ) WHERE rnk <= 3
     ORDER BY source, rank
@@ -1767,7 +1776,8 @@ def q85_winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT unnest({_TOKS_SQL}) AS term FROM documents
     ),
     counts AS (SELECT term, count(*) AS occurrences FROM toks GROUP BY term)
-    SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, term) - 1
+    -- hex(term): DuckDB window sort is NUL-blind (see q59)
+    SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, hex(term)) - 1
                 AS INTEGER) AS token_id,
            term, occurrences
     FROM counts
@@ -2491,9 +2501,12 @@ def q116_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT term, count(*)::BIGINT AS freq FROM tok GROUP BY term),
     top AS (
+        -- hex(term): DuckDB's window AND large top-level sorts are
+        -- NUL-blind (see q59) — both the rank and the limit boundary
+        -- must use the byte-order encoding
         SELECT term, freq,
-               row_number() OVER (ORDER BY freq DESC, term) AS rnk
-        FROM tf ORDER BY freq DESC, term LIMIT 100
+               row_number() OVER (ORDER BY freq DESC, hex(term)) AS rnk
+        FROM tf ORDER BY freq DESC, hex(term) LIMIT 100
     )
     SELECT count(*)::BIGINT AS n_terms,
            round(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
@@ -3699,11 +3712,18 @@ def q164_hour_type_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     ),
     cand AS (SELECT * FROM p WHERE jaccard >= 0.5),
-    n AS (SELECT doc_id, {_NORM_SQL} AS nm FROM documents)
+    -- ASCII iff code-point length == byte length: the edit-distance
+    -- UNIT domain (see the docstring)
+    n AS (SELECT doc_id, {_NORM_SQL} AS nm,
+                 len({_NORM_SQL}) = strlen({_NORM_SQL}) AS is_ascii
+          FROM documents)
     SELECT c.id_a, c.id_b, c.jaccard,
-           levenshtein(na.nm, nb.nm)::BIGINT AS edit_distance,
-           round(levenshtein(na.nm, nb.nm)::DOUBLE
-                 / greatest(len(na.nm), len(nb.nm)), 6) AS edit_ratio
+           (CASE WHEN na.is_ascii AND nb.is_ascii
+                 THEN levenshtein(na.nm, nb.nm) END)::BIGINT AS edit_distance,
+           round(CASE WHEN na.is_ascii AND nb.is_ascii
+                      THEN levenshtein(na.nm, nb.nm)::DOUBLE
+                           / greatest(len(na.nm), len(nb.nm)) END,
+                 6) AS edit_ratio
     FROM cand c
     JOIN n na ON na.doc_id = c.id_a
     JOIN n nb ON nb.doc_id = c.id_b
@@ -3717,17 +3737,38 @@ def q165_near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled-word dups (high Jaccard, HIGH edit distance) from
     typo-level copies (both low). Levenshtein is O(len²) DP per pair,
     which is exactly why it runs only on the inverted-index SURVIVORS
-    (a few hundred pairs), never the corpus cross product; both engines
-    implement the same classic definition, so the distances are
-    value-checked."""
+    (a few hundred pairs), never the corpus cross product.
+
+    UNIT domain (round-11 strings-axis finding): the engines count
+    edit steps in DIFFERENT units on non-ASCII text — DuckDB's
+    levenshtein walks BYTES (an emoji insertion costs 4) while Spark's
+    walks code points — so the distance is only engine-defined where
+    the units coincide: BOTH normalized texts ASCII (code-point length
+    == octet length, a pure codegen predicate). Non-ASCII pairs report
+    NULL in both engines; their character-level comparison belongs to
+    the fingerprint/shingle families, which are unit-free."""
     cat = Catalog(spark, sf_dir)
     pairs = jaccard_pairs(cat.documents, "doc_id", "text", k=3, threshold=0.5)
     nm = cat.documents.select(
-        "doc_id", normalize_text("text").alias("nm")
+        "doc_id",
+        normalize_text("text").alias("nm"),
+        (
+            F.length(normalize_text("text"))
+            == F.octet_length(normalize_text("text"))
+        ).alias("is_ascii"),
     )
-    na = nm.select(F.col("doc_id").alias("id_a"), F.col("nm").alias("nm_a"))
-    nb = nm.select(F.col("doc_id").alias("id_b"), F.col("nm").alias("nm_b"))
-    ed = F.levenshtein("nm_a", "nm_b")
+    na = nm.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("nm").alias("nm_a"),
+        F.col("is_ascii").alias("ascii_a"),
+    )
+    nb = nm.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("nm").alias("nm_b"),
+        F.col("is_ascii").alias("ascii_b"),
+    )
+    in_unit_domain = F.col("ascii_a") & F.col("ascii_b")
+    ed = F.when(in_unit_domain, F.levenshtein("nm_a", "nm_b"))
     return (
         pairs.join(na, "id_a")
         .join(nb, "id_b")

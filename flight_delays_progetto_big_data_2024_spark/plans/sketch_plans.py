@@ -159,8 +159,11 @@ def _cms_bucket_duck(term_expr: str, d: int) -> str:
         GROUP BY d, b
     ),
     top AS (
+        -- hex(term): DuckDB's large top-level sort is NUL-blind
+        -- (round-11 strings probe, see q59's oracle comment) — the
+        -- limit boundary must use the byte-order encoding
         SELECT term, exact_count FROM exact
-        ORDER BY exact_count DESC, term LIMIT 20
+        ORDER BY exact_count DESC, hex(term) LIMIT 20
     )
     SELECT t.term, t.exact_count,
            min(c.cell)::BIGINT AS cms_estimate,

@@ -1067,3 +1067,46 @@ def test_vector_ops_pair_level_dimension_domain(spark):
         for r in pca_gram_moments(emb, dim=3).collect()
     }
     assert cnt[(-1, -1)] == 4  # the four 3-dim vectors only
+
+
+def test_term_ranking_parity_with_embedded_nul_terms(spark, tmp_path):
+    """Round-11 strings-axis finding: DuckDB's SORT-KEY paths (window
+    sort, large top-level sort, list_sort) treat an embedded NUL byte
+    as a TERMINATOR — the terms 'nul' and 'nul\\x00' compare equal
+    there, so q59's tfidf tie between them was broken
+    NONDETERMINISTICALLY run-to-run (plain comparisons and min/max are
+    byte-correct; Spark's unsigned-byte window sort always ranks 'nul'
+    first). Text-ranking oracles now order by hex(term), whose
+    lexicographic order IS byte order on every input. This pins parity
+    on a corpus planting exactly that tie, with the oracle executed
+    repeatedly (the old failure surfaced in about half the runs)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import assert_pandas_parity
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    text = "ab\x00cd nul\x00 \x00lead probe token stream nul"
+    extra = spark.createDataFrame(
+        [(990044, text, "en", "web", len(text)),
+         (990045, text, "en", "dirty://", len(text))],
+        base.schema,
+    )
+    sf = str(tmp_path)
+    base.unionByName(extra).write.parquet(f"{sf}/documents.parquet")
+
+    name = "q59_tfidf_top_terms"
+    got = entry.queries()[name](spark, sf).toPandas()
+    # the planted doc's df=2 terms tie on tfidf; rank 3 must be 'nul'
+    # (byte order), never 'nul\x00'
+    mine = got[(got["doc_id"] == 990044) & (got["rank"] == 3)]["term"].tolist()
+    assert mine == ["nul"], mine
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for _ in range(5):  # the old tie-break flipped across executions
+        want = con.execute(entry.oracle_sql()[name]).fetchdf()
+        assert_pandas_parity(got, want)

@@ -410,6 +410,69 @@ DIRTY: dict[str, list[dict]] = {
         {"doc_id": 990043,
          "text": "x" + "yqz" * 1666 + "w",
          "lang": "en", "source": "web", "n_chars": 5000},
+        # round-11 STRING-CONTENT probes (seventh domain axis: ids,
+        # timestamps, measures, dimensions, JSON values, lengths, now
+        # string content). Lone UTF-16 surrogates are NOT plantable:
+        # the parquet string type is validated UTF-8 and pyarrow,
+        # DuckDB and Spark all reject them at the ingest boundary, so
+        # that corruption class cannot reach a query — documented, not
+        # probed. What IS representable:
+        # NUL bytes (valid UTF-8 code point 0, hostile to C-string
+        # paths): mid-token, token-final and token-initial — the \s+
+        # tokenizer must keep "ab\x00cd" ONE token in both engines,
+        # len/quality ratios must count it, and the planted IDENTICAL
+        # TWIN sends NUL-bearing shingles down the dedup PAIRING paths
+        # (round-7 principle). Planted via chr(0) splices (_sql_lit):
+        # a raw NUL in a SQL literal unterminates DuckDB's parser.
+        {"doc_id": 990044,
+         "text": "ab\x00cd nul\x00 \x00lead probe token stream nul",
+         "lang": "en", "source": "web", "n_chars": 39},
+        {"doc_id": 990045,
+         "text": "ab\x00cd nul\x00 \x00lead probe token stream nul",
+         "lang": "en", "source": "dirty://", "n_chars": 39},
+        # ZWJ inside shingle windows: MAN+ZWJ+WOMAN+ZWJ+GIRL is ONE
+        # grapheme but FIVE code points; the sibling doc differs ONLY
+        # by the two invisible U+200D. Both engines' string semantics
+        # are code-point-based, so the pair must surface as a
+        # high-Jaccard NEAR-dup and NEVER as an exact dup — and
+        # char-shingle/winnowing windows must slice the ZWJ bytes
+        # identically in both engines. 50 tokens with ONE differing
+        # (emoji) token -> word-3-shingle J = 46/50 = 0.92, inside
+        # q33's documented corpus invariant (every real near-dup pair
+        # has J >= 0.88, where 16-band/4-row LSH collision probability
+        # is >0.9998 — an earlier 8-token draft sat at J = 0.5, where
+        # the ideal-output oracle legitimately out-recalls banding).
+        # The filler tokens are vocabulary-disjoint (zj..w prefix), so
+        # no other pairing family changes.
+        {"doc_id": 990046,
+         "text": ("family \U0001f468‍\U0001f469‍\U0001f467 zwj probe "
+                  + " ".join(f"zj{i}x{(i * 13) % 89}w" for i in range(46))),
+         "lang": "en", "source": "web",
+         "n_chars": 23 + len(" ".join(f"zj{i}x{(i * 13) % 89}w" for i in range(46)))},
+        {"doc_id": 990047,
+         "text": ("family \U0001f468\U0001f469\U0001f467 zwj probe "
+                  + " ".join(f"zj{i}x{(i * 13) % 89}w" for i in range(46))),
+         "lang": "en", "source": "web",
+         "n_chars": 21 + len(" ".join(f"zj{i}x{(i * 13) % 89}w" for i in range(46)))},
+        # locale/special case folds beyond dotted-İ: KELVIN SIGN
+        # (U+212A, engine lower() -> 'k'), ANGSTROM SIGN (U+212B ->
+        # 'å'), a Cherokee pair (U+13A0/U+AB70 — casing added in
+        # Unicode 8; older fold tables miss it), and a DESERET pair
+        # (U+10400/U+10428 — an ASTRAL-plane case mapping that a
+        # UTF-16-code-UNIT lowercase mangles). The repo's fold keys
+        # are explicit translate alphabets (functions.text ascii/
+        # extended), so all four must pass through UNFOLDED and
+        # IDENTICALLY in both engines — the probe proves no engine
+        # lower() leaks into any key path. Identical twins ride the
+        # pairing paths.
+        {"doc_id": 990048,
+         "text": ("Kelvin Ångstrom Ꭰꭰ "
+                  "\U00010400\U00010428 fold probe sigma"),
+         "lang": "xx", "source": "unicode", "n_chars": 38},
+        {"doc_id": 990049,
+         "text": ("Kelvin Ångstrom Ꭰꭰ "
+                  "\U00010400\U00010428 fold probe sigma"),
+         "lang": "xx", "source": "unicode", "n_chars": 38},
     ],
     "embeddings": [
         {"vec_id": None, "embedding": None, "label": None},
@@ -505,7 +568,26 @@ def _sql_lit(v, typ: str) -> str:
     if isinstance(v, pd.Timestamp):
         return f"TIMESTAMP '{v}'"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # control characters can't ride a quoted literal (a raw NUL
+        # unterminates the parser's string scan) — splice them in as
+        # chr(n) concatenations; verified NUL round-trips DuckDB ->
+        # parquet -> both engines intact (round-11 strings axis)
+        pieces: list[str] = []
+        buf: list[str] = []
+
+        def _flush() -> None:
+            if buf:
+                pieces.append("'" + "".join(buf).replace("'", "''") + "'")
+                buf.clear()
+
+        for ch in v:
+            if ord(ch) < 32 and ch not in "\n\t":
+                _flush()
+                pieces.append(f"chr({ord(ch)})")
+            else:
+                buf.append(ch)
+        _flush()
+        return " || ".join(pieces) if pieces else "''"
     if isinstance(v, list):
         elem = typ[:-2] if typ.endswith("[]") else "DOUBLE"
         inner = ", ".join(_sql_lit(float(x), elem) for x in v)
