@@ -137,7 +137,7 @@ def test_committed_times_are_bench_consistent():
     import bench
 
     rec = _scaling_record()
-    prev = bench._latest_committed_bench(REPO)
+    _round, prev = bench._latest_committed_bench(REPO)
     if not prev:
         return
     for name, t_bench in prev.items():
