@@ -422,6 +422,20 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # Clean-corpus values identical (generator text is ASCII); the
     # certified plan + oracle changed.
     "q165_near_dup_edit_distances": 10,
+    # round-11 strings-axis, events extension: q151's trigram ranking
+    # now orders by hex(trigram) at its LIMIT boundary (the q59
+    # NUL-blind-sort fix applied where a planted NUL event_type
+    # reaches it). Identical on NUL-free data; certified oracle text
+    # changed.
+    "q151_session_path_trigrams": 10,
+    # round-11 constant-group probe (a planted event_type whose every
+    # measurement is identical): zero-variance groups make sigma /
+    # SS_total exactly 0 and the z-score / eta-squared UNDEFINED —
+    # ANSI Spark's plain '/' aborted the whole query where DuckDB's
+    # x/0 yields NULL. Both now try_divide (NULL on the degenerate
+    # group). Clean-corpus values identical; certified plans changed.
+    "q101_zscore_normalization": 10,
+    "q167_seasonality_variance_share": 10,
 }
 
 

@@ -593,9 +593,13 @@ def q150_funnel_chain_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
                    AS trigram
         FROM paths WHERE len(path) >= 3
     )
+    -- hex(trigram): DuckDB's large top-level sort is NUL-blind (the
+    -- round-11 strings-axis finding, see q59's oracle comment), and a
+    -- planted NUL-bearing event_type reaches this LIMIT boundary —
+    -- hex order IS byte order, matching Spark's sort on every input
     SELECT trigram, count(*) AS n
     FROM tri GROUP BY trigram
-    ORDER BY n DESC, trigram LIMIT 15
+    ORDER BY n DESC, hex(trigram) LIMIT 15
     """,
 )
 def q151_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,11 +875,18 @@ def q167_seasonality_variance_share(spark: SparkSession, sf_dir: str) -> DataFra
         cell.join(F.broadcast(tot), "event_type")
         .groupBy("event_type", "ss", "n_tot", "gm")
         .agg(
+            # try_divide: a ZERO-VARIANCE type (all values identical —
+            # round-11 constant-group probe) has SS_total exactly 0 in
+            # both engines' identical algebra, and eta-squared is then
+            # UNDEFINED — DuckDB's x/0 yields NULL where ANSI Spark's
+            # plain '/' aborts the query on one degenerate group.
             F.round(
-                F.sum(
-                    F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
-                )
-                / (F.col("ss") - F.col("n_tot") * F.col("gm") * F.col("gm")),
+                F.try_divide(
+                    F.sum(
+                        F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+                    ),
+                    F.col("ss") - F.col("n_tot") * F.col("gm") * F.col("gm"),
+                ),
                 6,
             ).alias("eta_squared"),
             F.count(F.lit(1)).alias("n_cells"),

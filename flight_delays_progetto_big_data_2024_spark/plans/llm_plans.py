@@ -1999,8 +1999,14 @@ def q101_zscore_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
+    # try_divide: a ZERO-VARIANCE group (every measurement identical —
+    # the round-11 constant-valued event_type probe) has sigma = 0 and
+    # an UNDEFINED z; DuckDB's double x/0 yields NULL, ANSI Spark's
+    # plain '/' aborts the whole query on one such group. NULL z rows
+    # still count toward n (count(*) semantics in both engines).
     normed = ev.join(F.broadcast(stats), "event_type").select(
-        "event_type", ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z")
+        "event_type",
+        F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")).alias("z"),
     )
     return (
         normed.groupBy("event_type")

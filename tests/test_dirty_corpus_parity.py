@@ -65,6 +65,9 @@ PINNED = {
     # round-9 zero-vector positive-control find
     "q180_residual_quantization_gain": "planted zero vector: coarse COSINE over the Euclidean keep-zero domain — ANSI div0 abort vs DuckDB x/0->NULL parking it in the lowest cell",
     "q58_near_dup_clusters": "positive control: planted dup pair + unicode 3-clique must cluster identically",
+    # round-11 strings-axis finds
+    "q59_tfidf_top_terms": "NUL tfidf tie: DuckDB window sort is NUL-blind -> oracle ranks by hex(term)",
+    "q151_session_path_trigrams": "NUL event_type inside trigrams at the LIMIT boundary: NUL-blind large sort -> hex(trigram)",
 }
 
 
@@ -132,6 +135,13 @@ def test_positive_control_pairs_surface(spark, dirty_env):
         assert pair not in pairs or pairs[pair] < 1.0, (
             f"one-token-changed variant {pair} surfaced as an exact dup"
         )
+    # round-11 strings-axis controls: the NUL twins and the case-fold
+    # twins are byte-identical (J=1.0 through the NUL/astral shingle
+    # hashing), and the ZWJ pair differs ONLY by two invisible U+200D
+    # in one token of fifty — a true near-dup (J = 46/50), never exact
+    assert pairs.get((990044, 990045)) == 1.0, "NUL twins"
+    assert pairs.get((990048, 990049)) == 1.0, "case-fold twins"
+    assert pairs.get((990046, 990047)) == 0.92, "ZWJ pair"
 
 
 def test_rows_only_queries_survive_dirty_corpus(spark, dirty_env):

@@ -316,6 +316,37 @@ DIRTY: dict[str, list[dict]] = {
          "event_type": "view", "value": 1.0, "props": '{"k":'},
         {"event_id": 990052, "ts": TS1, "user_id": 990052,
          "event_type": "view", "value": 1.0, "props": '{"k": "7"}'},
+        # round-11 STRING-CONTENT probes on the events axis: NUL-bearing
+        # event_type strings ride every keyed aggregation, the lag/
+        # session sequence paths (q92 transitions, q151 trigrams), and
+        # the streaming section's grouped state. One user's session
+        # alternates an embedded-NUL type with real types so NUL bytes
+        # land INSIDE q151's concatenated trigram strings (whose oracle
+        # ranking hits DuckDB's NUL-blind large-sort at the LIMIT
+        # boundary — ranked by hex(trigram) now, the q59 fix); a second
+        # user emits "view"||chr(0) -> "view", two types differing only
+        # by the invisible trailing NUL, which byte-based grouping must
+        # keep as SEPARATE groups and a SEPARATE transition in both
+        # engines.
+        {"event_id": 990060, "ts": TS1, "user_id": 990060,
+         "event_type": "v\x00w", "value": 1.0, "props": "{}"},
+        {"event_id": 990061, "ts": TS1 + pd.Timedelta(minutes=5),
+         "user_id": 990060, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990062, "ts": TS1 + pd.Timedelta(minutes=10),
+         "user_id": 990060, "event_type": "v\x00w", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990063, "ts": TS1 + pd.Timedelta(minutes=15),
+         "user_id": 990060, "event_type": "click", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990064, "ts": TS1 + pd.Timedelta(minutes=20),
+         "user_id": 990060, "event_type": "v\x00w", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990065, "ts": TS1, "user_id": 990061,
+         "event_type": "view\x00", "value": 1.0, "props": "{}"},
+        {"event_id": 990066, "ts": TS1 + pd.Timedelta(minutes=5),
+         "user_id": 990061, "event_type": "view", "value": 1.0,
+         "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
