@@ -436,6 +436,9 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # group). Clean-corpus values identical; certified plans changed.
     "q101_zscore_normalization": 10,
     "q167_seasonality_variance_share": 10,
+    # same class, timeline form: a unique type whose every inter-event
+    # gap is exactly 0 makes q168's cv the 0/0 case — try_divide.
+    "q168_inter_event_time_profile": 10,
 }
 
 

@@ -946,7 +946,13 @@ def q168_inter_event_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("gap_s").alias("n_gaps"),
             F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
             F.round(F.stddev_samp("gap_s"), 4).alias("sd_gap_s"),
-            F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 6).alias("cv"),
+            # try_divide: a type whose every gap is exactly 0 (three
+            # same-ts events of a unique type — round-11 constant-group
+            # probe, timeline form) makes cv the 0/0 degenerate case:
+            # DuckDB's x/0 yields NULL, ANSI '/' aborted the query
+            F.round(
+                F.try_divide(F.stddev_samp("gap_s"), F.avg("gap_s")), 6
+            ).alias("cv"),
             F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
         )
         .orderBy("event_type")

@@ -347,6 +347,19 @@ DIRTY: dict[str, list[dict]] = {
         {"event_id": 990066, "ts": TS1 + pd.Timedelta(minutes=5),
          "user_id": 990061, "event_type": "view", "value": 1.0,
          "props": "{}"},
+        # round-11 constant-group probe, timeline form: three SAME-ts
+        # events of a type unique to one user make every inter-event
+        # gap of that type exactly 0 — avg(gap) = 0 AND stddev(gap) =
+        # 0, so a coefficient-of-variation (stddev/avg) is the 0/0
+        # degenerate case (the q101/q167 zero-variance class on the
+        # GAP measure), and the tie rides the q41/q130 total-order
+        # session paths for a NUL-bearing type at the same time.
+        {"event_id": 990067, "ts": TS1, "user_id": 990062,
+         "event_type": "z\x00ero", "value": 1.0, "props": "{}"},
+        {"event_id": 990068, "ts": TS1, "user_id": 990062,
+         "event_type": "z\x00ero", "value": 2.0, "props": "{}"},
+        {"event_id": 990069, "ts": TS1, "user_id": 990062,
+         "event_type": "z\x00ero", "value": 3.0, "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
