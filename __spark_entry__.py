@@ -439,6 +439,21 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # same class, timeline form: a unique type whose every inter-event
     # gap is exactly 0 makes q168's cv the 0/0 case — try_divide.
     "q168_inter_event_time_profile": 10,
+    # round-11 whitespace-unit finding: Java's \s includes VERTICAL TAB,
+    # RE2's does not — every oracle \s is now the explicit shared class
+    # _WS_SQL (= Java's set, so NO Spark plan changed). The oracle text
+    # of all ~58 _TOKS_SQL/_NORM_SQL consumers changed; re-windowing
+    # them all would displace the r6 evidence drain for queries whose
+    # driver-corpus values are IDENTICAL BY CONSTRUCTION (the classes
+    # differ only on VT, absent from the driver corpus; the changed
+    # semantics on VT text is certified corpus-wide by the
+    # DIRTY_SWEEP_r11 artifacts, which execute every query's new
+    # oracle against planted VT twins). Re-windowed here: the tokenizer
+    # family head and the two queries whose oracle carried its own
+    # inline \s (q78's BPE negated class, q103's rev2 normalize).
+    "q24_token_stats_by_lang": 10,
+    "q78_bpe_ish_token_budget": 10,
+    "q103_corpus_snapshot_diff": 10,
 }
 
 

@@ -70,12 +70,22 @@ from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
 
 #: DuckDB needs the 'g' flag for global regexp_replace (Spark replaces
 #: all occurrences by default).
+#: Explicit ASCII whitespace class for every oracle regex that must
+#: mirror a Spark-side \s: Java's \s is [ \t\n\x0B\f\r] but RE2's is
+#: [ \t\n\f\r] — NO VERTICAL TAB — so under bare '\s+' a VT-separated
+#: document tokenized DIFFERENTLY in the two engines (round-11 strings
+#: probe: Spark split 'a'||chr(11)||'b' into two tokens, the oracle
+#: kept one — a silent split in every token-derived query). The
+#: explicit class IS Java's \s set, so the Spark side (F.split /
+#: regexp_replace over r"\s+") is unchanged by definition, and Python
+#: mirrors keep re.ASCII \s (the identical set).
+_WS_SQL = "[ \\t\\n\\x0b\\f\\r]"
 #: portable ASCII fold — mirrors functions.text.ascii_lower (Unicode
 #: lower() diverges between Java and utf8proc; round-6 probe)
-_NORM_SQL = "trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))"
+_NORM_SQL = f"trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{_WS_SQL}+', ' ', 'g'))"
 #: empty tokens filtered, mirroring functions.text.tokens (split of
 #: empty text must yield an EMPTY list, not [''])
-_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_TOKS_SQL = f"list_filter(string_split_regex(trim(text), '{_WS_SQL}+'), t -> t <> '')"
 #: The moment-measurement domain predicate on the events.value column,
 #: interpolated (not re-typed) into every oracle that uses it so the
 #: SQL twin can never drift from operators.prep.is_moment_measurement
@@ -1419,8 +1429,11 @@ def q77_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFr
     WITH per_doc AS (
         SELECT source,
                len({_TOKS_SQL}) AS ws_tokens,
+               -- negated class spells Java's \\s out (RE2 \\s has no
+               -- VT — see _WS_SQL): [^...\\s'] must EXCLUDE the same
+               -- whitespace set in both engines
                len(regexp_extract_all(text,
-                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0b\\f\\r'']+'
                )) AS bpe_tokens
         FROM documents
     )
@@ -2108,7 +2121,7 @@ def q102_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFr
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 0
                     THEN md5(trim(regexp_replace(translate(text || ' rev2', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
-                                                 '\\s+', ' ', 'g')))
+                                                 '{_WS_SQL}+', ' ', 'g')))
                     ELSE md5({_NORM_SQL}) END AS h
         FROM documents WHERE doc_id % 10 <> 0 AND doc_id IS NOT NULL
     )

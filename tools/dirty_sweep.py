@@ -517,6 +517,23 @@ DIRTY: dict[str, list[dict]] = {
          "text": ("Kelvin Ångstrom Ꭰꭰ "
                   "\U00010400\U00010428 fold probe sigma"),
          "lang": "xx", "source": "unicode", "n_chars": 38},
+        # whitespace-variety probe (the round-11 finding that forced
+        # _WS_SQL): VERTICAL TAB separates tokens under Java/Python \s
+        # but NOT under RE2's — bare '\s+' oracles kept
+        # 'vt'||chr(11)||'split' as ONE token while Spark split it, a
+        # silent divergence in every token-derived query. FF and CR
+        # separators are agreement controls (both engines split); NEL
+        # (U+0085) and LINE SEPARATOR (U+2028) sit INSIDE tokens as the
+        # other direction's controls (both ASCII-\s engines keep
+        # them). Identical twins ride the pairing paths.
+        {"doc_id": 990050,
+         "text": ("vt\x0bsplit ff\x0cized cr\rjoined "
+                  "ne\x85l ls\u2028ep probe end"),
+         "lang": "en", "source": "web", "n_chars": 47},
+        {"doc_id": 990051,
+         "text": ("vt\x0bsplit ff\x0cized cr\rjoined "
+                  "ne\x85l ls\u2028ep probe end"),
+         "lang": "en", "source": "dirty://", "n_chars": 47},
     ],
     "embeddings": [
         {"vec_id": None, "embedding": None, "label": None},
