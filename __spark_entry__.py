@@ -271,189 +271,74 @@ def _newest_green_round(records_dir: str | None = None) -> dict[str, int]:
 #: evidence certified the old canonicalizer default that stripped bare
 #: ``ref`` — the round-6 default keeps it (content-addressing), so the
 #: dedup families can genuinely differ and the query must re-verify.
+# ONE entry per query (round-11 advisor: the literal previously carried
+# repeated keys whose earlier entries were dead later-wins code; a
+# uniqueness lint now guards this — tests/test_oracle_parity.py). Each
+# value is the newest round whose evidence is stale for that query; the
+# per-round change history lives in COVERAGE.md and the commit log
+# (r9: PCA keep-zero, IVF broadcast-centroid, min_by/argmax rewrites,
+# id/ts-domain integer-µs fixes; r10: MEASURE_DOMAIN_BOUND moments,
+# NULL-id GEMM packing, mapInArrow winnowing, pair-level dimension
+# domain, JSON TRY-cast gating; r11: nested-CASE json_valid, hex(term)
+# NUL-blind-sort comparators, ASCII levenshtein unit domain, try_divide
+# zero-variance groups, _WS_SQL whitespace pinning). Entries self-retire
+# once a newer green CORRECTNESS record lands.
 PLAN_CHANGED_AFTER: dict[str, int] = {
-    # (all 13 round-8 entries re-verified green in CORRECTNESS_r08.json
-    # and left the dict.)
-    # round-9 advisor fix: the PCA pass now KEEPS zero-norm vectors
-    # (keep_zero=True in similarity._prep + the _EMB_MOMENT_PREP_SQL
-    # oracle mirror) — zero is a defined moment input (it shifts mean
-    # and covariance, MLlib RowMatrix semantics); only the COSINE
-    # divide is undefined on it. Values on the clean driver corpus are
-    # identical (no zero embeddings at sf0.01), but r8 evidence
-    # certified the zero-dropping plan — re-window both PCA queries.
-    "q137_embedding_pca_variance": 8,
-    "q187_pca_gram_moments": 8,
-    # round-9 judge item 6: ivf_topk's coarse quantizer is now ONE row
-    # carrying the centroid set as an array<struct> (bounded n_cells
-    # entries), broadcast to both sides — assignment/probing became
-    # pure projections (no 16x row blow-up, no argmax window shuffle).
-    # csim arithmetic is bit-identical (same zip_with dot, same round),
-    # so values are unchanged — but r8 evidence certified the joined
-    # plan; re-window both ivf_topk callers.
-    "q44_embedding_ivf_topk": 8,
-    "q120_ivf_recall_at_k": 8,
-    # round-9: argmax/argmin windows over candidate relations replaced
-    # with min_by/max_by over TOTAL-order structs (same rounded-key +
-    # id tie order as the oracles' row_number, so values are identical;
-    # the N·k-row sort+window shuffle becomes a map-side-combining hash
-    # aggregate). Touches kmeans_lloyd's assignment (q80, and q152/q153
-    # via pq_encode/pq_adc_topk) and q180's coarse cosine stage.
-    "q80_kmeans_clusters": 8,
-    "q152_pq_codebook_quality": 8,
-    "q153_pq_adc_search": 8,
-    "q180_residual_quantization_gain": 8,
-    # round-9 id-domain probes (LONG_MIN/LONG_MAX vec_ids): the
-    # half-split `id * 2 <= mx` is an int64 overflow in BOTH engines —
-    # now `id <= (mx >> 1)` (arithmetic shift = floor(mx/2), exactly
-    # equivalent for integer ids) in Spark AND the oracles; q163 also
-    # gains the `+ 0.0` negative-zero normalization on centroid_cosine
-    # (reachable since the near-orthogonal probe vectors). Clean-corpus
-    # values identical; r8 evidence certified the *2 plans.
-    "q163_label_centroid_drift": 8,
-    "q158_term_drift_between_halves": 8,
-    # round-9 id-domain probes part 2 (documents): the multimodal
-    # family moved from mapInPandas to mapInArrow (a NULL id in a batch
-    # upcast the pandas id column to float64, corrupting ids past 2^53)
-    # and q133's batch split became the overflow-free granule-16 form.
-    # Clean-corpus values identical; the certified plans changed.
-    "q37_multimodal_decode_metadata": 8,
-    "q38_multimodal_frame_sample": 8,
-    "q52_multimodal_feature_stats": 8,
-    "q53_multimodal_resize_plan": 8,
-    "q133_vocab_novelty_curve": 8,
-    # round-9 id-domain probes part 3 (events): q55's oracle now
-    # computes pmod portably (((x%4)+4)%4); q162's redelivery plant
-    # saturates at the top-500 band and its lag runs in integer µs;
-    # q143 pins NULL sort direction on every ntile level (both
-    # engines); q154's oracle floors the weekly cohort division.
-    "q55_kafka_feed_progress": 8,
-    "q162_watermark_lag_profile": 8,
-    "q143_rfm_segments": 8,
-    "q154_cohort_retention_matrix": 8,
-    # round-9 ts-domain probes part 4: every event-time difference now
-    # runs in INTEGER microseconds (F.unix_micros) instead of
-    # double-cast seconds (µs-blind past ~2^33 s). Clean-corpus values
-    # identical (exact-second data); the certified plans changed.
-    "q130_daily_peak_concurrency": 8,
-    "q151_session_path_trigrams": 8,
-    "q150_funnel_chain_attribution": 8,
-    "q171_session_depth_conversion": 8,
-    "q168_inter_event_time_profile": 8,
-    "q70_user_value_scd2": 8,
-    "q107_time_to_convert_percentiles": 8,
-    # round-10 measure-axis program: second-moment statistics now share
-    # operators.prep.MEASURE_DOMAIN_BOUND in both engines (a finite
-    # value past ~1.34e154 overflows the squared deviation: DuckDB
-    # stddev raises OUT OF RANGE, Spark saturates to Inf). Clean-corpus
-    # values identical (no such magnitudes at sf0.01); the certified
-    # plans + oracles changed.
-    "q101_zscore_normalization": 9,
-    "q184_dirty_corpus_robustness": 9,
-    # round-10 advisor (low): q162's lag seconds moved from the
-    # pmod-floor form to plain truncating division — DuckDB's
-    # date_diff('second') truncates toward zero at negative epochs,
-    # not floor (divergent only on fractional pre-epoch timestamps,
-    # which the clean corpus lacks); the certified plan changed.
-    "q162_watermark_lag_profile": 9,
-    # round-10: _block_pairs drops NULL-id vectors before its
-    # collect_list packing (a NULL id misaligned ids against vectors —
-    # crash on the diagonal block, silent wrong pairs off-diagonal).
-    # Clean-corpus values identical (no NULL ids); certified plans of
-    # every blocked-GEMM consumer changed.
-    "q31_embedding_cosine_histogram": 9,
-    "q114_cosine_histogram_sampled": 9,
-    "q115_embedding_near_dup_clusters": 9,
-    # round-10 advisor (high): winnowing_fingerprints ported
-    # mapInPandas→mapInArrow (nullable-int64 id upcast corruption);
-    # identical fingerprints, different certified physical plan.
-    "q79_winnowing_fingerprints": 9,
-    "q85_winnowing_containment_pairs": 9,
-    "q156_exact_substring_containment": 9,
-    # round-10 dimension probes (a 16-dim vector in the 64-dim corpus
-    # crashed 10 queries): the cosine family now declares the
-    # PAIR-LEVEL dimension domain — NULL-cosine drops in topk scoring,
-    # LSH NULL bucket, IVF filtered cell structs, PCA declared-dim pin,
-    # len-equality join conditions in the oracles. Clean-corpus values
-    # identical (uniform 64-dim); the certified plans + oracles changed.
-    "q30_embedding_topk_cosine": 9,
-    "q35_embedding_lsh_topk": 9,
-    "q44_embedding_ivf_topk": 9,
-    "q120_ivf_recall_at_k": 9,
-    "q161_knn_label_consistency": 9,
-    "q172_hard_negative_mining": 9,
-    "q187_pca_gram_moments": 9,
-    # round-10 JSON value-domain probes: q46's k is now the
-    # integral-regex-gated TRY cast in both engines (Spark's ANSI cast
-    # crashed on a wrong-typed bag; the engines' TRY casts split on
-    # '7.9' — DuckDB rounds, Spark NULLs). Clean-corpus values
-    # identical (every corpus bag is an integral {"k": n}).
-    "q46_event_props_json": 9,
-    # round-11 advisor (medium): q46's oracle json_valid guard became a
-    # NESTED CASE — DuckDB's adaptive conjunction reordering could run
-    # ->> before json_valid under the AND form (nondeterministic hard
-    # error at sf0.1-scale row counts with malformed bags). Same values
-    # on every valid row; the certified oracle text changed.
-    "q46_event_props_json": 10,
-    # round-11 advisor (low): q101/q184 oracles now INTERPOLATE
-    # operators.prep.MOMENT_MEASUREMENT_SQL (was re-typed inline —
-    # byte-identical predicate, but the certified oracle strings
-    # changed).
-    "q101_zscore_normalization": 10,
-    "q184_dirty_corpus_robustness": 10,
-    # round-11 strings-axis probe finding: DuckDB's SORT-KEY paths
-    # (window sort, large top-level sort, list_sort) treat an embedded
-    # NUL byte as a terminator — 'nul'||chr(0) NONDETERMINISTICALLY
-    # ranked before 'nul' in q59's tie-break (plain comparisons and
-    # min/max are byte-correct; Spark is byte-correct everywhere).
-    # Every oracle that ranks or limits on a free-text term now orders
-    # by hex(term) — hex order IS byte order on every input, so values
-    # are identical on NUL-free data; the certified oracle strings
-    # changed.
-    "q59_tfidf_top_terms": 10,
-    "q76_top_terms_per_source": 10,
-    "q97_vocabulary_table": 10,
-    "q117_zipf_slope": 10,
-    "q134_cms_term_frequency": 10,
-    # round-11 strings-axis finding 2: the engines count levenshtein
-    # steps in different UNITS on non-ASCII text (DuckDB walks BYTES —
-    # an emoji insertion costs 4 — Spark walks code points). q165's
-    # edit distance now carries the ASCII unit domain (code-point
-    # length == octet length in both engines; non-ASCII pairs NULL).
-    # Clean-corpus values identical (generator text is ASCII); the
-    # certified plan + oracle changed.
-    "q165_near_dup_edit_distances": 10,
-    # round-11 strings-axis, events extension: q151's trigram ranking
-    # now orders by hex(trigram) at its LIMIT boundary (the q59
-    # NUL-blind-sort fix applied where a planted NUL event_type
-    # reaches it). Identical on NUL-free data; certified oracle text
-    # changed.
-    "q151_session_path_trigrams": 10,
-    # round-11 constant-group probe (a planted event_type whose every
-    # measurement is identical): zero-variance groups make sigma /
-    # SS_total exactly 0 and the z-score / eta-squared UNDEFINED —
-    # ANSI Spark's plain '/' aborted the whole query where DuckDB's
-    # x/0 yields NULL. Both now try_divide (NULL on the degenerate
-    # group). Clean-corpus values identical; certified plans changed.
-    "q101_zscore_normalization": 10,
-    "q167_seasonality_variance_share": 10,
-    # same class, timeline form: a unique type whose every inter-event
-    # gap is exactly 0 makes q168's cv the 0/0 case — try_divide.
-    "q168_inter_event_time_profile": 10,
-    # round-11 whitespace-unit finding: Java's \s includes VERTICAL TAB,
-    # RE2's does not — every oracle \s is now the explicit shared class
-    # _WS_SQL (= Java's set, so NO Spark plan changed). The oracle text
-    # of all ~58 _TOKS_SQL/_NORM_SQL consumers changed; re-windowing
-    # them all would displace the r6 evidence drain for queries whose
-    # driver-corpus values are IDENTICAL BY CONSTRUCTION (the classes
-    # differ only on VT, absent from the driver corpus; the changed
-    # semantics on VT text is certified corpus-wide by the
-    # DIRTY_SWEEP_r11 artifacts, which execute every query's new
-    # oracle against planted VT twins). Re-windowed here: the tokenizer
-    # family head and the two queries whose oracle carried its own
-    # inline \s (q78's BPE negated class, q103's rev2 normalize).
-    "q24_token_stats_by_lang": 10,
-    "q78_bpe_ish_token_budget": 10,
-    "q103_corpus_snapshot_diff": 10,
+    # round-11 strings-axis re-windows still awaiting their post-change
+    # green record (the r11 window cleared q24/q46/q59/q76/q78/q97/
+    # q101/q103/q117/q134/q151/q165/q167/q168/q184 — those entries
+    # retired):
+    #
+    # round-12 (judge item 2): the _WS_SQL whitespace pinning in round
+    # 11 changed the oracle TEXT of all 55 _TOKS_SQL/_NORM_SQL
+    # consumers but only re-windowed the family head + inline-\s
+    # oracles; the other 36 without a post-change green record are
+    # front-loaded here so the r12 window clears them deliberately
+    # (driver-corpus values identical by construction — VT is absent —
+    # but an interpolation typo would otherwise surface only when
+    # rotation reached the query, up to two rounds later).
+    "q23_dedup_exact_documents": 10,
+    "q25_doc_quality_scores": 10,
+    "q27_doc_fingerprints": 10,
+    "q32_ngram_jaccard_pairs": 10,
+    "q33_minhash_lsh_near_dups": 10,
+    "q54_char_shingle_jaccard": 10,
+    "q56_benchmark_decontamination": 10,
+    "q57_hash_split_stats": 10,
+    "q58_near_dup_clusters": 10,
+    "q60_bm25_keyword_search": 10,
+    "q61_curation_funnel": 10,
+    "q63_pmi_term_pairs": 10,
+    "q64_sequence_packing_stats": 10,
+    "q71_doc_repetition_quality": 10,
+    "q72_heavy_hitter_terms": 10,
+    "q79_winnowing_fingerprints": 10,
+    "q85_winnowing_containment_pairs": 10,
+    "q98_training_mixture_plan": 10,
+    "q100_quality_weighted_sample": 10,
+    "q102_cluster_best_representative": 10,
+    "q104_sliding_window_chunks": 10,
+    "q108_source_kl_divergence": 10,
+    "q126_minhash_calibration": 10,
+    "q133_vocab_novelty_curve": 10,
+    "q139_incremental_ingest_dedup": 10,
+    "q140_bigram_surprisal": 10,
+    "q147_bloom_decontamination": 10,
+    "q156_exact_substring_containment": 10,
+    "q159_full_curation_pipeline": 10,
+    "q170_jaccard_pair_histogram": 10,
+    "q173_alpha_smoothed_mixture": 10,
+    "q175_length_quality_heatmap": 10,
+    "q181_quality_budget_curve": 10,
+    "q183_dup_cluster_quality_spread": 10,
+    # round-12 advisor (medium): q182's and q158's rank ORDER BYs still
+    # sorted raw terms — the same NUL-blind DuckDB window sort the q59
+    # fix targeted, reachable at their rk<=30 / rk<=100 boundaries on
+    # NUL-bearing ties — now hex(term) like every other term ranking.
+    # Identical on NUL-free data; the certified oracle text changed in
+    # round 12, so evidence <= r11 is stale.
+    "q182_source_vocab_overlap": 11,
+    "q158_term_drift_between_halves": 11,
 }
 
 

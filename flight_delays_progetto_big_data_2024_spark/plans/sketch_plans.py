@@ -822,9 +822,13 @@ def q153_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT half, term, count(*) AS c FROM toks GROUP BY half, term
     ),
     ranked AS (
+        -- hex(term): DuckDB window sort is NUL-blind (see q59); rk
+        -- feeds avg_rank_shift and the rk<=100 boundary, so a
+        -- NUL-bearing tie anywhere in the top-100 would otherwise rank
+        -- differently than Spark's byte-order sort
         SELECT half, term, c,
                row_number() OVER (PARTITION BY half
-                                  ORDER BY c DESC, term) AS rk
+                                  ORDER BY c DESC, hex(term)) AS rk
         FROM counts
     ),
     top AS (SELECT half, term, rk FROM ranked WHERE rk <= 100),

