@@ -66,6 +66,69 @@ def test_compact_splits_when_over_target(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == events.count()
 
 
+def test_swap_into_place_commit(tmp_path):
+    """Round-12 advisor: the two-rename commit left a window with
+    NOTHING at the table path. On Linux the commit now goes through
+    renameat2(RENAME_EXCHANGE) — one atomic syscall, old tree out /
+    new tree in — and the helper must behave identically through
+    either route: new content at path, no stray suffixed dirs."""
+    import os
+
+    from flight_delays_progetto_big_data_2024_spark.sources.maintenance import (
+        _rename_exchange,
+        _swap_into_place,
+    )
+
+    # fresh target (no existing table): plain rename
+    new1 = tmp_path / "new1"
+    new1.mkdir()
+    (new1 / "a.parquet").write_text("new")
+    _swap_into_place(str(tmp_path / "table"), str(new1))
+    assert (tmp_path / "table" / "a.parquet").read_text() == "new"
+
+    # existing table: swapped, old removed, nothing stranded
+    new2 = tmp_path / "new2"
+    new2.mkdir()
+    (new2 / "a.parquet").write_text("newer")
+    _swap_into_place(str(tmp_path / "table"), str(new2))
+    assert (tmp_path / "table" / "a.parquet").read_text() == "newer"
+    leftovers = [d for d in os.listdir(tmp_path) if d != "table"]
+    assert leftovers == [], leftovers
+
+    # the atomic syscall itself: both trees intact after an EXCHANGE
+    a, b = tmp_path / "xa", tmp_path / "xb"
+    a.mkdir(), b.mkdir()
+    (a / "f").write_text("A")
+    (b / "f").write_text("B")
+    if _rename_exchange(str(a), str(b)):  # this box is Linux: expect True
+        assert (a / "f").read_text() == "B" and (b / "f").read_text() == "A"
+    else:  # pragma: no cover - non-Linux fallback env
+        assert (a / "f").read_text() == "A"
+
+
+def test_write_zorder_empty_octants_are_documented_gaps(spark, tmp_path):
+    """Round-12 advisor: on skewed input an octant with no rows writes
+    no file — 'at most one file per octant', not an error. All data in
+    one curve octant -> exactly one output file, content preserved."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from flight_delays_progetto_big_data_2024_spark.sources.maintenance import (
+        write_zorder,
+    )
+
+    # every key in [0, 128)²: the low octants of a 10-bit curve; the
+    # top 3 key bits are all zero -> only octant 0 is populated
+    rows = [Row(i=i, x=i % 128, y=(i * 7) % 128) for i in range(512)]
+    zpath = str(tmp_path / "zskew")
+    write_zorder(spark.createDataFrame(rows), zpath, ["x", "y"], bits=10, num_files=8)
+    names = sorted(f.rsplit("/", 1)[-1] for f in _parquet_files(zpath))
+    assert names == ["part-oct00000-000.parquet"]
+    got = spark.read.parquet(zpath)
+    assert got.count() == 512
+    assert got.agg(F.sum("i")).first()[0] == sum(r.i for r in rows)
+
+
 def test_write_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     from pyspark.sql import Row
     from pyspark.sql import functions as F
