@@ -144,6 +144,26 @@ def test_positive_control_pairs_surface(spark, dirty_env):
     assert pairs.get((990046, 990047)) == 0.92, "ZWJ pair"
 
 
+def test_calendar_probes_reach_the_leap_window(spark, dirty_env):
+    """Round-12 calendar-axis positive control: parity on the extended
+    corpus is vacuous if the planted leap-window cluster never reaches
+    q91's RANGE frame. The clean corpus has NO orders in Feb/Mar 2024,
+    so the planted trio is the whole window: from 2024-03-01 the
+    6-days-preceding bound must INCLUDE the 02-29 leap day and EXCLUDE
+    02-23; from 02-29 it must still include 02-23 (exactly 6 days)."""
+    tmp, _ = dirty_env
+    got = entry.queries()["q91_trailing_week_order_volume"](spark, tmp).toPandas()
+    rows = {r["day"]: r for _, r in got.iterrows()}
+    assert rows["2024-02-23"]["trailing_7d_orders"] == 1
+    assert rows["2024-02-29"]["trailing_7d_orders"] == 2  # 02-23 + leap day
+    assert rows["2024-03-01"]["trailing_7d_orders"] == 2  # leap day + 03-01
+    assert rows["2024-03-01"]["trailing_7d_avg_value"] == 250.0  # (200+300)/2
+    # and the leap-day midnight pair sessions as ONE session (15-minute
+    # gap) while splitting across to_date day buckets in both engines
+    sess = entry.queries()["q41_user_session_windows"](spark, tmp).toPandas()
+    assert (sess["user_id"] == 990073).sum() == 1, "leap-midnight pair split"
+
+
 def test_q165_codepoint_distance_on_zwj_pair(spark, dirty_env):
     """Round-12 judge item 3: the round-11 byte-vs-codepoint parity fix
     NULLed q165's distance on non-ASCII pairs in BOTH engines — the

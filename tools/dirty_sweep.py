@@ -122,6 +122,35 @@ DIRTY: dict[str, list[dict]] = {
         {"o_orderkey": 990041, "o_custkey": None, "o_orderstatus": "O",
          "o_totalprice": 1.0e308, "o_orderdate": TS1,
          "o_orderpriority": "4-NOT SPECIFIED"},
+        # round-12 CALENDAR probes on the order-date axis: a leap-window
+        # cluster for the trailing-7d RANGE frame (q91). From 2024-03-01
+        # the 6-days-preceding bound reaches back to 02-24: it must
+        # INCLUDE the 02-29 leap day and EXCLUDE 02-23 in both engines
+        # (Spark counts days-since-epoch via unix_date; DuckDB applies
+        # INTERVAL 6 DAY to a DATE — any month-length-naive subtraction
+        # diverges exactly here). The 12-31 23:59 order pins the
+        # year/month-trunc edge (must stay 2024 / December), and the
+        # Sunday order rides q12's isodow-vs-weekday+1 convention.
+        {"o_orderkey": 990042, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 100.0,
+         "o_orderdate": pd.Timestamp("2024-02-23 12:00:00"),
+         "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": 990043, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 200.0,
+         "o_orderdate": pd.Timestamp("2024-02-29 12:00:00"),
+         "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": 990044, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 300.0,
+         "o_orderdate": pd.Timestamp("2024-03-01 12:00:00"),
+         "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": 990045, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 400.0,
+         "o_orderdate": pd.Timestamp("2024-12-31 23:59:59"),
+         "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 990046, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 500.0,
+         "o_orderdate": pd.Timestamp("2024-01-07 12:00:00"),
+         "o_orderpriority": "3-MEDIUM"},
     ],
     "lineitem": [
         {"l_orderkey": None, "l_partkey": None, "l_suppkey": None,
@@ -169,6 +198,21 @@ DIRTY: dict[str, list[dict]] = {
          "l_linenumber": 2, "l_quantity": 2251799813.685248,
          "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
          "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": TS1},
+        # round-12 CALENDAR probes on the ship-date axis: leap-day
+        # shipment (rides q69's promo window arithmetic and q89's
+        # datediff lead-time path) and the last second of the year —
+        # date_trunc('year') must keep it in 2024 for the q94 grouping
+        # sets, not spill to 2025
+        {"l_orderkey": 990045, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 1, "l_quantity": 1.0,
+         "l_extendedprice": 10.0, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": pd.Timestamp("2024-02-29 12:00:00")},
+        {"l_orderkey": 990046, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 1, "l_quantity": 1.0,
+         "l_extendedprice": 20.0, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": pd.Timestamp("2024-12-31 23:59:59")},
     ],
     "events": [
         {"event_id": None, "ts": None, "user_id": None,
@@ -360,6 +404,67 @@ DIRTY: dict[str, list[dict]] = {
          "event_type": "z\x00ero", "value": 2.0, "props": "{}"},
         {"event_id": 990069, "ts": TS1, "user_id": 990062,
          "event_type": "z\x00ero", "value": 3.0, "props": "{}"},
+        # round-12 CALENDAR-ARITHMETIC probes (judge item 5). The
+        # session is UTC-pinned in both engines, so none of these
+        # instants is special IN UTC — each becomes special only if an
+        # engine consults a local-time rule somewhere (parse, trunc,
+        # strftime, Java chrono vs ICU):
+        # - US spring-forward gap instant (02:30 on 2024-03-10 does not
+        #   exist in America/*), US fall-back ambiguous instant (01:30
+        #   on 2024-11-03 occurs twice), EU spring-forward gap
+        #   (2024-03-31 02:30) — a tz-leaking parse/trunc shifts or
+        #   double-counts exactly these rows.
+        {"event_id": 990070, "ts": pd.Timestamp("2024-03-10 02:30:00"),
+         "user_id": 990070, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990071, "ts": pd.Timestamp("2024-11-03 01:30:00"),
+         "user_id": 990071, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990072, "ts": pd.Timestamp("2024-03-31 02:30:00"),
+         "user_id": 990072, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        # - leap-day midnight crossing (one user, 15-minute gap over
+        #   2024-02-28 -> 02-29): session paths must MERGE the pair
+        #   while to_date/date_trunc('day') paths split it on the
+        #   correct sides of the leap day in both engines
+        {"event_id": 990073, "ts": pd.Timestamp("2024-02-28 23:50:00"),
+         "user_id": 990073, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990074, "ts": pd.Timestamp("2024-02-29 00:05:00"),
+         "user_id": 990073, "event_type": "click", "value": 2.0,
+         "props": "{}"},
+        # - last microsecond of the leap day: date_trunc('day'/'hour')
+        #   must keep it on 02-29 (a double-seconds rounding path would
+        #   spill it to 03-01); also the OHLC close of its hour bucket
+        {"event_id": 990075,
+         "ts": pd.Timestamp("2024-02-29 23:59:59.999999"),
+         "user_id": 990075, "event_type": "purchase", "value": 3.0,
+         "props": "{}"},
+        # - century leap day (valid only under the /400 rule: 1900-02-29
+        #   does not exist, 2000-02-29 does)
+        {"event_id": 990076, "ts": pd.Timestamp("2000-02-29 12:00:00"),
+         "user_id": 990076, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        # - ISO-week-vs-week-of-year edge: 2024-12-30 is a Monday in
+        #   ISO week 1 of 2025 but week-of-year 53 of 2024; rides the
+        #   dayofweek cells (Spark dayofweek is 1=Sun, DuckDB 0=Sun —
+        #   parity holds because 'how' is an injective GROUPING key,
+        #   never an output value; this probe keeps that claim tested)
+        #   and the 2024-01-01-anchored datediff/7 week buckets
+        {"event_id": 990077, "ts": pd.Timestamp("2024-12-30 00:00:00"),
+         "user_id": 990077, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        # - Sunday->Monday midnight boundary pair at the anchored-week
+        #   edge (2024-01-01 is a Monday, so 01-08 00:00:00 is the
+        #   first instant of anchored week 1 and 01-07 23:59:59 the
+        #   last second of week 0): weekday/isodow off-by-one and any
+        #   trunc-vs-floor split in the /7 bucketing lands exactly here
+        {"event_id": 990078, "ts": pd.Timestamp("2024-01-07 23:59:59"),
+         "user_id": 990078, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 990079, "ts": pd.Timestamp("2024-01-08 00:00:00"),
+         "user_id": 990078, "event_type": "click", "value": 2.0,
+         "props": "{}"},
     ],
     "documents": [
         {"doc_id": None, "text": None, "lang": None, "source": None,
