@@ -339,6 +339,21 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # round 12, so evidence <= r11 is stale.
     "q182_source_vocab_overlap": 11,
     "q158_term_drift_between_halves": 11,
+    # round-12 degenerate-relation sweep fixes (judge item 6): empty /
+    # single-row corpora found five latent defects — q158's empty
+    # global aggregate (sum NULL vs count 0, plus a 0/0 jaccard),
+    # ANSI-abort 0/0 divides in q81 (empty funnel stage), q174 (empty
+    # table ratio) and q180 (single vector PQ-encodes itself exactly),
+    # and the grouping-sets empty-input split (Spark's Expand emits no
+    # rows, DuckDB emits the standard count-0 grand total) mirrored in
+    # q47/q66's oracles via HAVING count(*) > 0. Clean-corpus values
+    # identical everywhere (non-empty inputs, nonzero denominators);
+    # the certified plans/oracles changed in round 12.
+    "q81_conversion_funnel": 11,
+    "q174_encoding_advisor": 11,
+    "q180_residual_quantization_gain": 11,
+    "q47_nation_priority_rollup": 11,
+    "q66_returnflag_status_cube": 11,
 }
 
 

@@ -1678,15 +1678,19 @@ def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
     )
+    # try_divide: an empty funnel stage makes the next rate 0/0 —
+    # DuckDB yields NULL where ANSI '/' aborts the whole query
+    # (round-12 degenerate-relation sweep: empty corpus, and a
+    # single-event corpus with no clicks)
     return counts.select(
         "viewed",
         "clicked_after_view",
         "purchased_after_click",
-        F.round(F.col("clicked_after_view") / F.col("viewed"), 6).alias(
+        F.round(F.try_divide("clicked_after_view", "viewed"), 6).alias(
             "view_to_click"
         ),
         F.round(
-            F.col("purchased_after_click") / F.col("clicked_after_view"), 6
+            F.try_divide("purchased_after_click", "clicked_after_view"), 6
         ).alias("click_to_purchase"),
     )
 

@@ -82,6 +82,12 @@ def q65_orders_month_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFra
            round(sum(l_quantity), 2)      AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- empty-input mirror: Spark's Expand emits no grouping-set rows
+    -- from an empty relation where DuckDB emits the standard count-0
+    -- grand total; real cube groups always aggregate >= 1 row, so the
+    -- clause only removes the empty-input artifact (round-12 sweep,
+    -- see q47)
+    HAVING count(*) > 0
     ORDER BY returnflag, linestatus
     """,
 )
@@ -617,11 +623,14 @@ def q174_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'l_suppkey', d_l_suppkey"
         ") AS (col, n_distinct)",
     )
+    # try_divide: an empty table makes every ratio 0/0 — DuckDB yields
+    # NULL (and NULL < 0.1 stays NULL) where ANSI '/' aborts
+    # (round-12 degenerate-relation sweep)
     return rows.select(
         "col",
         "n_distinct",
-        F.round(F.col("n_distinct") / F.col("n"), 6).alias("distinct_ratio"),
-        (F.col("n_distinct") / F.col("n") < 0.1).alias("dict_encode"),
+        F.round(F.try_divide("n_distinct", "n"), 6).alias("distinct_ratio"),
+        (F.try_divide("n_distinct", "n") < 0.1).alias("dict_encode"),
     ).orderBy("col")
 
 

@@ -91,6 +91,13 @@ def q46_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+    -- Spark's Expand-based grouping sets emit NO rows over an empty
+    -- input (0 input rows -> 0 expanded rows), while DuckDB follows
+    -- the SQL-standard '()' set and emits a count-0 grand total. The
+    -- engine semantics is Spark's; every real rollup group aggregates
+    -- >= 1 row, so this clause ONLY removes the empty-input artifact
+    -- (round-12 degenerate-relation sweep).
+    HAVING count(*) > 0
     ORDER BY nation, priority
     """,
 )

@@ -884,12 +884,16 @@ def q158_term_drift_between_halves(spark: SparkSession, sf_dir: str) -> DataFram
     b = top.filter(F.col("half") == 1).select("term", F.col("rk").alias("rk_b"))
     joined = a.join(b, "term", "full_outer")
     shared = F.col("rk_a").isNotNull() & F.col("rk_b").isNotNull()
+    # count(when(...)) not sum(cast): on an EMPTY corpus a global sum is
+    # NULL where the oracle's count(*) FILTER is 0 (round-12 degenerate-
+    # relation sweep); and try_divide for the 0/0 jaccard of two empty
+    # top lists (DuckDB x/0 -> NULL, ANSI '/' aborts)
     return joined.agg(
-        F.sum(shared.cast("long")).alias("n_shared"),
-        F.sum(F.col("rk_b").isNull().cast("long")).alias("n_dropped"),
-        F.sum(F.col("rk_a").isNull().cast("long")).alias("n_new"),
+        F.count(F.when(shared, 1)).alias("n_shared"),
+        F.count(F.when(F.col("rk_b").isNull(), 1)).alias("n_dropped"),
+        F.count(F.when(F.col("rk_a").isNull(), 1)).alias("n_new"),
         F.round(
-            F.sum(shared.cast("long")) / F.count(F.lit(1)), 6
+            F.try_divide(F.count(F.when(shared, 1)), F.count(F.lit(1))), 6
         ).alias("jaccard_top100"),
         F.round(
             F.avg(F.when(shared, F.abs(F.col("rk_a") - F.col("rk_b")))), 4
@@ -1103,7 +1107,12 @@ def q180_residual_quantization_gain(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.round(F.avg("raw_d2"), 4).alias("raw_err"),
             F.round(F.avg("res_d2"), 4).alias("residual_err"),
-            F.round(F.avg("res_d2") / F.avg("raw_d2"), 6).alias("err_ratio"),
+            # try_divide: a single-vector corpus PQ-encodes itself
+            # exactly (raw error 0), making the gain ratio 0/0 —
+            # DuckDB NULL vs ANSI abort (round-12 degenerate sweep)
+            F.round(F.try_divide(F.avg("res_d2"), F.avg("raw_d2")), 6).alias(
+                "err_ratio"
+            ),
         )
         .orderBy("sub")
     )
