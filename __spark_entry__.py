@@ -301,8 +301,6 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q25_doc_quality_scores": 10,
     "q27_doc_fingerprints": 10,
     "q32_ngram_jaccard_pairs": 10,
-    "q33_minhash_lsh_near_dups": 10,
-    "q54_char_shingle_jaccard": 10,
     "q56_benchmark_decontamination": 10,
     "q57_hash_split_stats": 10,
     "q58_near_dup_clusters": 10,
@@ -313,7 +311,6 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q71_doc_repetition_quality": 10,
     "q72_heavy_hitter_terms": 10,
     "q79_winnowing_fingerprints": 10,
-    "q85_winnowing_containment_pairs": 10,
     "q98_training_mixture_plan": 10,
     "q100_quality_weighted_sample": 10,
     "q102_cluster_best_representative": 10,
@@ -324,7 +321,6 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q139_incremental_ingest_dedup": 10,
     "q140_bigram_surprisal": 10,
     "q147_bloom_decontamination": 10,
-    "q156_exact_substring_containment": 10,
     "q159_full_curation_pipeline": 10,
     "q170_jaccard_pair_histogram": 10,
     "q173_alpha_smoothed_mixture": 10,
@@ -354,6 +350,26 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q180_residual_quantization_gain": 11,
     "q47_nation_priority_rollup": 11,
     "q66_returnflag_status_cube": 11,
+    # round-12 Heaps-decade OOM fix: the candidate→document decorate
+    # joins in jaccard_pairs_prefix (q54), minhash_near_dups (q33),
+    # q156's substring verify and q165's edit-distance enrichment now
+    # carry shuffle_hash hints — the static planner broadcast those
+    # corpus-sized array/text sides off default-width size estimates
+    # and OOMed the 50k-doc Heaps corpus. Values are identical (join
+    # strategy only); the certified physical plans changed in round 12.
+    # (q33/q54/q156 were already windowed at 10 for the VT oracle-text
+    # change — superseded by these entries.)
+    "q33_minhash_lsh_near_dups": 11,
+    "q54_char_shingle_jaccard": 11,
+    "q156_exact_substring_containment": 11,
+    "q165_near_dup_edit_distances": 11,
+    # round-12 Heaps-decade finding: q85's full fingerprint self-join
+    # enumerated Σdf² rows — quadratic on any corpus with a stationary
+    # stopword head (df ≈ 35k docs for single head fingerprints at 50k
+    # docs). Rewritten as a rarest-prefix containment probe + exact
+    # array-intersect verify (identical result by the prefix-filter
+    # theorem; the brute-force oracle is unchanged).
+    "q85_winnowing_containment_pairs": 11,
 }
 
 

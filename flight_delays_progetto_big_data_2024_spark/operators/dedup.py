@@ -285,9 +285,18 @@ def jaccard_pairs_prefix(
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.col("n_a") + F.col("n_b") - inter
+    # shuffle_hash, never broadcast: this side is ONE ROW PER CORPUS
+    # DOCUMENT carrying its full shingle-hash array. The static size
+    # estimate for it is the parquet scan bytes scaled by per-type
+    # DEFAULT widths — blind to the ~10-100x text→char-k-gram-array
+    # expansion — so the planner broadcasts a "small" table whose real
+    # build is GBs (the Heaps-decade 50k-doc corpus OOMed the 8g driver
+    # exactly here), and at 100 TB a corpus-sized build side must hash-
+    # partition regardless of what the estimate says. SHJ builds per-
+    # partition tables bounded by corpus_bytes / shuffle_partitions.
     return (
-        cands.join(da, "id_a")
-        .join(db, "id_b")
+        cands.join(da.hint("shuffle_hash"), "id_a")
+        .join(db.hint("shuffle_hash"), "id_b")
         # try_divide: an undefined J (0/0 on empty shingle sets) must
         # not ANSI-abort the whole query on one dirty candidate
         .withColumn("jaccard", F.round(F.try_divide(inter, union), scale))
@@ -495,9 +504,14 @@ def minhash_near_dups(
     db = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # shuffle_hash, never broadcast: one row per corpus document with
+    # its full shingle STRING array — the static estimate uses default
+    # complex-type widths and misses the text→shingle-array expansion,
+    # so the planner would broadcast a corpus-sized build (see
+    # jaccard_pairs_prefix's verify join for the measured OOM).
     return (
-        cands.join(da, "id_a")
-        .join(db, "id_b")
+        cands.join(da.hint("shuffle_hash"), "id_a")
+        .join(db.hint("shuffle_hash"), "id_b")
         # try_divide: an undefined J (0/0 on empty shingle sets) must
         # not ANSI-abort the whole query on one dirty candidate
         .withColumn("jaccard", F.round(F.try_divide(inter, union), scale))

@@ -1736,51 +1736,155 @@ def q85_winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     whose shared-fingerprint count covers >= 80% of the smaller doc's
     fingerprint set (the copy/quote detector — asymmetric, unlike
     Jaccard, so a short doc embedded in a long one still scores 1.0).
-    Inverted-index self-join on fingerprint (the jaccard_pairs shape):
-    pair candidates are generated per posting list, never by document
-    crossJoin.
 
-    Measured regime note (round-8 sf1 decade, SCALING.md): the postings
-    join enumerates Σdf² co-occurrences; on the fixed ~31-type testdata
-    vocabulary df ~ n/V, so candidates grow as n²/V — alpha 2.21 across
-    the real 5k→50k decade, within the documented degenerate ceiling
-    (2.4). That is the PROBLEM's growth in this regime (true pairs grow
-    ~n² too), not a lost prune; on Heaps-law text the same stage is
-    gated sub-quadratic (tests/test_scaling_evidence.py's
-    postings-candidate gate, added round 8)."""
+    Candidate generation is a RAREST-PREFIX PROBE (the AllPairs/PPJoin
+    principle, adapted to the containment metric), not a full postings
+    self-join. Correctness: containment >= t against the smaller set S
+    (|S| = n) means at most n - ceil(t·n) of S's fingerprints are
+    unshared, so under ANY global fingerprint order the pair must share
+    at least k of S's first n - ceil(t·n) + k fingerprints (pigeonhole;
+    k=1 is the classic prefix filter, k=2 here); rarest-first
+    (df, fingerprint) makes that prefix the cheapest possible probe.
+    Only the SMALLER side's prefix is indexed (n_a < n_b, id
+    tie-break) against the larger side's full postings, candidates are
+    verified by exact intersection of the per-doc fingerprint arrays.
+
+    Why not the plain Σdf² self-join (this query's former shape, still
+    q32's — appropriate there for word-3-grams): winnowing mins are
+    biased toward globally small hash values, so a corpus with a
+    stationary stopword head (ALL real text) concentrates df in a few
+    head fingerprints — on the 50k-doc Heaps corpus single stopword-
+    pair fingerprints reach df ≈ 35k docs, putting ~10⁹ rows through
+    the join for a LINEAR true-pair count. The head fingerprints are
+    exactly the ones the rarest-first prefix never indexes.
+
+    Measured regime note (round-8 sf1 decade, SCALING.md): on the fixed
+    ~31-type testdata vocabulary df ~ n/V for every fingerprint — even
+    the prefix's candidate space grows as n²/V there (alpha measured
+    within the documented degenerate ceiling 2.4); the realistic-text
+    sub-quadratic claim is MEASURED on the Heaps-law decade
+    (SCALING.md round 12)."""
+    from pyspark.sql.window import Window
+
     from flight_delays_progetto_big_data_2024_spark.operators.dedup import (
         winnowing_fingerprints,
     )
 
+    t_eff = 0.8 - 1e-6  # match the rounded >= 0.8 admit rule at the edge
+    k_pf = 6  # generalized pigeonhole: among S's rarest u+k fps (u =
+    # allowed unshared), at most u are unshared, so >= k must be
+    # shared. Each +1 of k costs ONE extra prefix posting per doc and
+    #(on tiny-vocab corpora, where random rare-fp overlap is common)
+    # roughly halves the candidate mass: measured at sf0.1, k=1 -> 6.6M
+    # candidate pairs, k=2 -> 3.4M, k=4 -> 759k, k=6 -> 140k at equal
+    # join+aggregate cost. On Heaps-law text candidates are near-linear
+    # for any k >= 1; k=6 is for the degenerate regime's verify bill.
     cat = Catalog(spark, sf_dir)
-    fp = winnowing_fingerprints(cat.documents).persist()
+    # fingerprints are 8 hex chars: convert LOSSLESSLY to int64 before
+    # anything joins/aggregates/intersects on them — long compares in
+    # the posting join and the array verify, ~4x less data (the q54
+    # convention; unlike q54's xxhash64 this is collision-free, and the
+    # global (df, fingerprint) rank order just becomes numeric order,
+    # any total order works for the prefix theorem)
+    fp = (
+        winnowing_fingerprints(cat.documents)
+        .select(
+            "doc_id",
+            F.conv("fingerprint", 16, 10).cast("long").alias("fingerprint"),
+        )
+        .persist()
+    )
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    dfreq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        fp.join(dfreq, "fingerprint")
+        .join(sizes, "doc_id")
         .withColumn(
-            "containment",
-            F.round(F.col("shared") / F.least("n_fp_a", "n_fp_b"), 6),
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "fingerprint")
+            ),
         )
-        .filter(F.col("shared") / F.least("n_fp_a", "n_fp_b") >= 0.8)
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n_fp") - F.ceil(F.lit(t_eff) * F.col("n_fp")) + k_pf
+    ).select(
+        F.col("doc_id").alias("id_s"),
+        F.col("n_fp").alias("n_s"),
+        F.col("rk").alias("rk_s"),
+        "fingerprint",
+    )
+    full = ranked.select(
+        F.col("doc_id").alias("id_l"),
+        F.col("n_fp").alias("n_l"),
+        F.col("rk").alias("rk_l"),
+        "fingerprint",
+    )
+    # smaller-side prefix ⋈ larger-side full postings; ties on n fall to
+    # the lower id so every unordered pair probes exactly one direction.
+    # Positional filter, GROUPED form (q54's pruning, containment
+    # bound): shared fingerprints uncounted by the probe come AFTER
+    # every counted match in the global (df, fingerprint) order — in
+    # BOTH docs' rank sequences — so O ≤ o_pf + min(n_s - p_s,
+    # n_l - p_l) with p the last matched ranks; admit only pairs whose
+    # bound reaches ceil(t·n_s). On tiny-vocab degenerate corpora this
+    # aggregate (not the array verify) is what absorbs the ~n²
+    # candidate mass, exactly as in q54.
+    cands = (
+        prefix.join(full, "fingerprint")
+        .filter(
+            (F.col("n_s") < F.col("n_l"))
+            | ((F.col("n_s") == F.col("n_l")) & (F.col("id_s") < F.col("id_l")))
+        )
+        .groupBy("id_s", "id_l")
+        .agg(
+            F.count(F.lit(1)).alias("o_pf"),
+            F.max("rk_s").alias("p_s"),
+            F.max("rk_l").alias("p_l"),
+            F.first("n_s").alias("n_s"),
+            F.first("n_l").alias("n_l"),
+        )
+        .filter(
+            # pigeonhole count: shared-in-prefix >= min(k, ceil(t·n_s))
+            # (the min handles prefixes that cover the whole small set)
+            (
+                F.col("o_pf")
+                >= F.least(
+                    F.lit(k_pf), F.ceil(F.lit(t_eff) * F.col("n_s"))
+                )
+            )
+            # positional bound: counted matches + joint suffix allowance
+            # must reach the required shared count
+            & (
+                F.col("o_pf")
+                + F.least(
+                    F.col("n_s") - F.col("p_s"), F.col("n_l") - F.col("p_l")
+                )
+                >= F.ceil(F.lit(t_eff) * F.col("n_s"))
+            )
+        )
+        .select(
+            F.least("id_s", "id_l").alias("doc_a"),
+            F.greatest("id_s", "id_l").alias("doc_b"),
+        )
+    )
+    # exact verification on per-doc fingerprint arrays (distinct within
+    # a doc by construction, so array_intersect == the shared count).
+    # shuffle_hash, never broadcast: one row per corpus document with
+    # its full fingerprint array — the jaccard_pairs_prefix verify-join
+    # OOM class (default-width estimates hide the array volume).
+    arrs = fp.groupBy("doc_id").agg(F.collect_list("fingerprint").alias("arr"))
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    shared = F.size(F.array_intersect("arr_a", "arr_b"))
+    n_min = F.least(F.size("arr_a"), F.size("arr_b"))
+    return (
+        cands.join(aa.hint("shuffle_hash"), "doc_a")
+        .join(ab.hint("shuffle_hash"), "doc_b")
+        .withColumn("shared", shared.cast("long"))
+        .filter(F.col("shared") / n_min >= 0.8)
+        .withColumn("containment", F.round(F.col("shared") / n_min, 6))
         .select("doc_a", "doc_b", "shared", "containment")
         .orderBy("doc_a", "doc_b")
     )
@@ -3251,11 +3355,21 @@ def q156_exact_substring_containment(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("got") == F.col("need"))
         .select("id_contained", "id_container")
     )
+    # shuffle_hash, never broadcast: the nm sides carry one row per
+    # corpus document with its FULL normalized text; the static size
+    # estimate uses the default string width and misses the real
+    # volume, so the planner would broadcast a corpus-sized relation
+    # (the jaccard_pairs_prefix verify-join OOM class; at 100 TB this
+    # side must hash-partition regardless of the estimate).
     verified = cands.join(
-        nm.select(F.col("doc_id").alias("id_contained"), F.col("nm").alias("nm_in")),
+        nm.select(
+            F.col("doc_id").alias("id_contained"), F.col("nm").alias("nm_in")
+        ).hint("shuffle_hash"),
         "id_contained",
     ).join(
-        nm.select(F.col("doc_id").alias("id_container"), F.col("nm").alias("nm_out")),
+        nm.select(
+            F.col("doc_id").alias("id_container"), F.col("nm").alias("nm_out")
+        ).hint("shuffle_hash"),
         "id_container",
     )
     return (
@@ -3826,9 +3940,13 @@ def q165_near_dup_edit_distances(
                 "edit_distance_codepoints"
             )
         )
+    # shuffle_hash, never broadcast: na/nb are one row per corpus doc
+    # with the full normalized text; default-width size estimates would
+    # let the planner broadcast a corpus-sized side (the
+    # jaccard_pairs_prefix verify-join OOM class).
     return (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
+        pairs.join(na.hint("shuffle_hash"), "id_a")
+        .join(nb.hint("shuffle_hash"), "id_b")
         .select(*cols)
         .orderBy("id_a", "id_b")
     )

@@ -403,7 +403,13 @@ HEADLINE_EXCHANGE_PINS = {
     "q30_embedding_topk_cosine": 2,
     "q31_embedding_cosine_histogram": 5,
     "q32_ngram_jaccard_pairs": 8,
-    "q33_minhash_lsh_near_dups": 10,
+    # r12: 10 -> 12. The two verify-stage decorate joins (candidate
+    # pairs back to per-doc shingle arrays) are pinned shuffle_hash —
+    # their broadcast form OOMed on the 50k-doc Heaps corpus (complex-
+    # type width defaults hide the text->array expansion) and a
+    # corpus-sized build side must hash-partition at scale. +1 shuffle
+    # per decorate side, a conscious trade.
+    "q33_minhash_lsh_near_dups": 12,
     "q34_simhash_near_dups": 3,
     "q39_tumbling_hourly_events": 2,
     "q41_user_session_windows": 2,
