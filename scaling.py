@@ -134,9 +134,9 @@ SF1_QUERIES = [
 #: with the good case proven on the Heaps corpus instead of here.
 SF1_BOUNDS: dict[str, tuple[float, str]] = {
     "q54_char_shingle_jaccard": (2.4, EXPONENT_BOUNDS["q54_char_shingle_jaccard"][1]),
-    "q156_exact_substring_containment": (2.4, "documented degenerate-vocab regime (Sigma-df^2 = n^2/V here; sub-quadratic on real text — Heaps probe-candidate gate)"),
+    "q156_exact_substring_containment": (2.4, "documented degenerate-vocab regime (Sigma-df^2 = n^2/V here; sub-quadratic on real text — MEASURED on the Heaps decade below)"),
     "q34_simhash_near_dups": (1.7, EXPONENT_BOUNDS["q34_simhash_near_dups"][1]),
-    "q85_winnowing_containment_pairs": (2.4, "documented degenerate-vocab regime (Sigma-df^2 = n^2/V here; sub-quadratic on real text — Heaps postings-candidate gate)"),
+    "q85_winnowing_containment_pairs": (2.4, "documented degenerate-vocab regime (Sigma-df^2 = n^2/V here; sub-quadratic on real text — MEASURED on the Heaps decade below)"),
 }
 SF1_N_DOCS = 50_000
 SF1_GENERATOR_VERSION = "sf1-resample-v1"
@@ -178,7 +178,8 @@ HEAPS_BOUNDS: dict[str, tuple[float, str]] = {
         2.0, "sub-quadratic on realistic text: PPJoin prefix filter over "
         "a Heaps-growing char-5 vocabulary"),
     "q85_winnowing_containment_pairs": (
-        2.0, "sub-quadratic on realistic text: winnowed postings join"),
+        2.0, "sub-quadratic on realistic text: rarest-prefix containment "
+        "probe over winnowing fingerprints"),
     "q156_exact_substring_containment": (
         2.0, "sub-quadratic on realistic text: rarest-fingerprints probe"),
     "q33_minhash_lsh_near_dups": (
@@ -514,7 +515,7 @@ SF1_HEADLINE_BOUND_OVERRIDES: dict[str, tuple[float, str]] = {
     "q32_ngram_jaccard_pairs": (
         2.4,
         "documented degenerate-vocab regime on the sf1 resample "
-        "(Σdf² = n²/V; sub-quadratic on real text — Heaps gate)",
+        "(Σdf² = n²/V; sub-quadratic on real text — measured on the Heaps decade, SCALING.md r12)",
     ),
     "q33_minhash_lsh_near_dups": (
         2.4,
