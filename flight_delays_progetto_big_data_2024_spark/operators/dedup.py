@@ -37,6 +37,9 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
     fingerprint,
     word_shingles,
 )
+from flight_delays_progetto_big_data_2024_spark.sources.readers import (
+    ensure_scan_width,
+)
 
 #: Modulus for the MinHash permutation family. 2^31-1 (Mersenne prime):
 #: products a*x stay < 2^62, inside signed-64 range — no overflow UDF
@@ -57,14 +60,12 @@ def _shingle_docs(
     recomputes the base once per array element — measured as ~half of
     q32's runtime. Unknown shingle fns fall back to the embedded form.
 
-    Width guard: a small parquet scan arrives as ONE partition, which
-    would run all normalization/shingling single-threaded before the
-    first exchange. One doc-level repartition restores session width;
-    at real corpus scale the scan is already wide and nothing happens.
+    Width guard (sources.readers.ensure_scan_width): a small parquet
+    scan arrives as ONE partition, which would run all normalization/
+    shingling single-threaded before the first exchange; at real corpus
+    scale the scan is already wide and nothing happens.
     """
-    sess_width = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < sess_width:
-        df = df.repartition(sess_width, id_col)
+    df = ensure_scan_width(df, id_col)
     prep = SHINGLE_PREP.get(shingle_fn)
     if prep is None:
         return df.select(
@@ -600,7 +601,12 @@ def simhash_signatures(
     # driver-side py4j round-trips at ANY data size (measured), while a
     # string parses JVM-side in one call. shiftleft(1L, 63) is the
     # sign-bit mask (the min-long literal itself doesn't parse).
-    hashes = df.select(
+    # width guard (ensure_scan_width, round-12): the tokenize + explode
+    # + 64 partial bit-count sums all run BEFORE the groupBy exchange —
+    # on a narrow scan that whole signature pass was one task while 31
+    # cores idled (measured: q34 drops ~27% with the guard; no-op on a
+    # wide scan).
+    hashes = ensure_scan_width(df, id_col).select(
         F.col(id_col).alias("id"), tokens(text_col).alias("toks")
     ).selectExpr(
         "id", f"explode_outer(transform(toks, t -> {token_hash_sql})) AS h"
@@ -740,14 +746,12 @@ def winnowing_fingerprints(
     normed = docs.select(
         id_col, *extra_cols, normalize_text(text_col).alias("__nm")
     )
-    # width guard: a small parquet scan arrives as ONE partition, which
-    # would serialize the hash+winnow work AND leave downstream joins
-    # over the (often persisted) output single-task. One doc-level
-    # shuffle restores the session width; at real corpus scale the scan
-    # is already wide and this is a no-op (no shuffle added).
-    sess_width = normed.sparkSession.sparkContext.defaultParallelism
-    if normed.rdd.getNumPartitions() < sess_width:
-        normed = normed.repartition(sess_width, id_col)
+    # width guard (ensure_scan_width): a small parquet scan arrives as
+    # ONE partition, which would serialize the hash+winnow work AND
+    # leave downstream joins over the (often persisted) output
+    # single-task; at real corpus scale the scan is already wide and
+    # this is a no-op (no shuffle added).
+    normed = ensure_scan_width(normed, id_col)
     hashed = normed.select(
         id_col, *extra_cols, kgram_hashes_of(F.col("__nm"), k).alias("__h")
     )

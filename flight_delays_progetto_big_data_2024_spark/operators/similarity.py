@@ -30,6 +30,9 @@ from flight_delays_progetto_big_data_2024_spark.functions.vectors import (
 from flight_delays_progetto_big_data_2024_spark.operators.relational import (
     top_k_per_group,
 )
+from flight_delays_progetto_big_data_2024_spark.sources.readers import (
+    ensure_scan_width,
+)
 
 
 def _prep(
@@ -76,10 +79,12 @@ def cosine_topk(
     id tiebreak so ordering is reproducible across engines.
 
     Plan shape: broadcast(queries) nested-loop against the corpus scan —
-    a single distributed pass over the corpus, no corpus shuffle; the
-    only shuffle is the per-query top-k window over k·|queries| rows.
+    a single distributed pass over the corpus; the only shuffles are
+    the per-query top-k window over k·|queries| rows and the
+    ensure_scan_width guard (round-12: |queries| dot products per
+    corpus row ran single-task on a narrow scan; no-op at scale).
     """
-    c = _prep(corpus, id_col, vec_col)
+    c = _prep(ensure_scan_width(corpus, id_col), id_col, vec_col)
     q = _prep(queries, id_col, vec_col).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -161,7 +166,9 @@ def lsh_topk(
             F.size(vec_col) == dim, hyperplane_bucket(vec_col, planes)
         )
 
-    c = _prep(corpus, id_col, vec_col).withColumn(
+    # ensure_scan_width (round-12): the n_planes dot products per
+    # corpus row ran single-task on a narrow scan; no-op at scale
+    c = _prep(ensure_scan_width(corpus, id_col), id_col, vec_col).withColumn(
         "bucket", guarded_bucket(F.col("v"))
     )
     q = (
@@ -230,7 +237,10 @@ def ivf_topk(
     Recall < 1 when a true neighbor lives in an unprobed cell; raising
     ``n_probe`` trades scan cost for recall (n_probe == n_cells is
     exact brute force)."""
-    c = _prep(corpus, id_col, vec_col)
+    # ensure_scan_width (round-12): cell assignment is n_cells dot
+    # products per corpus row — single-task on a narrow scan (q44
+    # dropped ~27% with the guard); no-op at scale
+    c = _prep(ensure_scan_width(corpus, id_col), id_col, vec_col)
     # Coarse quantizer: the n_cells lowest-id corpus vectors by RANK,
     # not by value predicate — a value filter (id < n_cells) silently
     # yields an empty/short centroid set for sparse, offset, or

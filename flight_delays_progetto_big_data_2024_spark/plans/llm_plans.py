@@ -66,7 +66,10 @@ from flight_delays_progetto_big_data_2024_spark.operators.similarity import (
     lsh_topk,
 )
 from flight_delays_progetto_big_data_2024_spark.plans.registry import register
-from flight_delays_progetto_big_data_2024_spark.sources.readers import Catalog
+from flight_delays_progetto_big_data_2024_spark.sources.readers import (
+    Catalog,
+    ensure_scan_width,
+)
 
 #: DuckDB needs the 'g' flag for global regexp_replace (Spark replaces
 #: all occurrences by default).
@@ -173,14 +176,34 @@ def q24_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristics (length/diversity/punctuation) —
-    all higher-order column expressions, zero UDFs."""
+    all higher-order column expressions, zero UDFs.
+
+    Round-12: the token array is materialized ONCE in its own
+    projection and every measure reads it (the ``*_of`` forms) — the
+    single-select form re-tokenized the text per reference (~12 splits
+    per row in the physical Project; CollapseProject keeps a non-cheap
+    multiply-referenced column separate, so this is one split per
+    row). Combined with the scan-width guard: 0.61s → 0.28s at sf0.1,
+    bit-identical output."""
+    from flight_delays_progetto_big_data_2024_spark.functions.text import (
+        avg_token_length_of,
+        lexical_diversity_of,
+        quality_score_of,
+        tokens,
+    )
+
     cat = Catalog(spark, sf_dir)
-    return cat.documents.select(
-        "doc_id",
-        token_count("text").cast("long").alias("n_tokens"),
-        F.round(avg_token_length("text"), 6).alias("avg_token_len"),
-        F.round(lexical_diversity("text"), 6).alias("diversity"),
-        quality_score("text").alias("quality"),
+    toks = F.col("__toks")
+    return (
+        ensure_scan_width(cat.documents, "doc_id")
+        .select("doc_id", "text", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(avg_token_length_of(toks), 6).alias("avg_token_len"),
+            F.round(lexical_diversity_of(toks), 6).alias("diversity"),
+            quality_score_of(toks, "text").alias("quality"),
+        )
     )
 
 
@@ -198,8 +221,12 @@ def q26_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same deterministic heuristic — the parity check validates the
     expression, independent of whether predictions match the lang tag.)"""
     cat = Catalog(spark, sf_dir)
+    # ensure_scan_width (round-12): the five stopword-alternation
+    # regex counts per row are the dominant cost and ran single-task
+    # on the narrow scan (0.74s → 0.43s at sf0.1); no-op at scale
     return (
-        cat.documents.select(lang_id("text").alias("predicted_lang"))
+        ensure_scan_width(cat.documents, "doc_id")
+        .select(lang_id("text").alias("predicted_lang"))
         .groupBy("predicted_lang")
         .agg(F.count("*").alias("num_docs"))
         .orderBy("predicted_lang")

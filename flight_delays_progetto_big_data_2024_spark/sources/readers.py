@@ -145,6 +145,33 @@ class Catalog:
             self.table(name).createOrReplaceTempView(name)
 
 
+def ensure_scan_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Width guard for expression-heavy prep over narrow scans.
+
+    A small parquet scan (or a single-row-group file, which Spark
+    cannot split) arrives as ONE partition, so any expensive per-row
+    expression work before the first exchange runs single-threaded
+    while the rest of the session idles. One hash repartition restores
+    session width; at real corpus scale the scan is already wide and
+    this is a no-op (no shuffle added). Apply ONLY where the per-row
+    work measurably dominates the extra exchange — cheap columnar
+    scans (plain filters/joins/aggregations) are FASTER narrow than
+    paying the shuffle (measured r12: q01/q04/q07/q13/q17/q39/q41/q43
+    all regress 40-90% under a blanket width guard, while the
+    regex/shingle/signature preps gain 25-45%).
+
+    Extracted from the identical inline guards in operators.dedup
+    (_shingle_docs, winnowing_fingerprints). ``keys`` should be the
+    row identity column(s): hash repartitioning by a real key avoids
+    the local sort a keyless round-robin repartition pays
+    (spark.sql.execution.sortBeforeRepartition) and keeps the
+    assignment deterministic under task retries."""
+    sess_width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < sess_width:
+        return df.repartition(sess_width, *keys) if keys else df.repartition(sess_width)
+    return df
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -399,8 +399,14 @@ HEADLINE_EXCHANGE_PINS = {
     "q20_nation_pagerank": 1,
     "q21_nation_triangle_count": 36,
     "q23_dedup_exact_documents": 1,
-    "q25_doc_quality_scores": 0,
-    "q30_embedding_topk_cosine": 2,
+    # r12: 0 -> 1. ensure_scan_width on the quality-scoring scan: the
+    # per-row measure expressions ran single-task on the unsplittable
+    # single-row-group parquet (0.61s -> 0.28s at sf0.1); no-op on a
+    # wide scan, so the ceiling only reflects the local guard.
+    "q25_doc_quality_scores": 1,
+    # r12: 2 -> 3. ensure_scan_width on the corpus side of cosine_topk
+    # (|queries| dot products per corpus row were single-task).
+    "q30_embedding_topk_cosine": 3,
     "q31_embedding_cosine_histogram": 5,
     "q32_ngram_jaccard_pairs": 8,
     # r12: 10 -> 12. The two verify-stage decorate joins (candidate
@@ -410,14 +416,22 @@ HEADLINE_EXCHANGE_PINS = {
     # corpus-sized build side must hash-partition at scale. +1 shuffle
     # per decorate side, a conscious trade.
     "q33_minhash_lsh_near_dups": 12,
-    "q34_simhash_near_dups": 3,
+    # r12: 3 -> 4. ensure_scan_width ahead of the signature pass (the
+    # tokenize + explode + 64 partial sums were single-task; q34
+    # -27% at sf0.1); no-op on a wide scan.
+    "q34_simhash_near_dups": 4,
     "q39_tumbling_hourly_events": 2,
     "q41_user_session_windows": 2,
     "q43_purchase_asof_last_click": 3,
     # r9: centroid set collapsed to one broadcast array row; the two
     # argmax window exchanges are gone (2 cent broadcasts + probed
     # broadcast + the final per-query top-k exchange remain)
-    "q44_embedding_ivf_topk": 4,
+    # r12: 4 -> 7. ensure_scan_width on the ivf corpus feeds the cell
+    # assignment AND the centroid orderBy/limit subtree (which repeats
+    # textually on both the corpus and query sides), so one guard
+    # surfaces as three more Exchange strings in the initial plan;
+    # q44 -27% at sf0.1, no-op on a wide scan.
+    "q44_embedding_ivf_topk": 7,
     "q59_tfidf_top_terms": 5,
     "q69_promo_window_shipments": 7,
     "q72_heavy_hitter_terms": 6,
