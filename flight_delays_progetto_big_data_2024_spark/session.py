@@ -46,6 +46,25 @@ def get_spark(
         # silently swap sizeOfNull/cast/divide behavior underneath them.
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition coalescing keeps parallelismFirst semantics but
+        # clamps the per-partition target at minPartitionSize (default
+        # 1m). In the CPU-bound/small-bytes regime — dedup signatures,
+        # shingle joins, regex scoring, anything where a partition's
+        # ROWS are expensive but its BYTES are few — that 1 MB floor
+        # coalesces the shuffle to one or two reducers and serializes
+        # every downstream stage (measured r12 at sf0.1: q32 -45%,
+        # q34 -40%, q41 -36%, q33 -27% from lifting it). "1b" defers
+        # entirely to parallelismFirst: the target stays
+        # total_bytes / defaultParallelism, so in the byte-bound
+        # regime (per-core bytes >= the 64 MB advisory — any real
+        # 100 TB shuffle) the floor never bound anyway and behavior is
+        # unchanged. Env-overridable for deployments whose scheduler
+        # overhead makes many tiny tasks more expensive than the lost
+        # parallelism (the only case the 1m default protects).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1b"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
