@@ -47,6 +47,9 @@ from flight_delays_progetto_big_data_2024_spark.functions.text import (
 from flight_delays_progetto_big_data_2024_spark.operators.relational import (
     top_k_per_group,
 )
+from flight_delays_progetto_big_data_2024_spark.sources.readers import (
+    ensure_scan_width,
+)
 
 
 def term_frequencies(
@@ -210,6 +213,11 @@ def bm25_search(
     """
     qtf = Counter(str(t) for t in query_terms)
     terms = list(qtf)
+    # ensure_scan_width (round-12): the corpus is tokenized twice (tf
+    # pass + dl pass) and both tokenizations sit before their first
+    # exchange — single-task on a narrow scan (q60 1.43s -> 1.09s at
+    # sf0.1); no-op at scale
+    df = ensure_scan_width(df, id_col)
     # explicit schema: an EMPTY query must mean zero candidates (an
     # empty result), not a schema-inference crash on the empty local
     # relation

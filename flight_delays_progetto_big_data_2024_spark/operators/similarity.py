@@ -509,7 +509,13 @@ def kmeans_lloyd(
     # scans across its two PQ trainings before this). This is the
     # MLlib convention: cache the training input, iterate over the
     # cache. Centroids stay tiny and recompute freely.
-    e = clean.select(
+    #
+    # ensure_scan_width (round-12): the persisted relation INHERITS the
+    # input partitioning — from a narrow scan the cache is one block
+    # and EVERY iteration's assignment/update partial aggregates run
+    # single-task for the whole training. Widen before the persist;
+    # no-op on a wide input.
+    e = ensure_scan_width(clean, id_col).select(
         F.col(id_col), F.posexplode("__v").alias("pos", "val")
     ).persist()
     cent = e.filter(F.col(id_col) < k).select(
@@ -888,7 +894,12 @@ def pca_gram_moments(
             )
 
     parts = (
-        _prep(emb, id_col, vec_col, keep_zero=True)
+        # ensure_scan_width (round-12): one fixed-size partial row per
+        # partition — a narrow scan ran the whole quantized-product
+        # pass through one task. Integer per-cell sums are associative,
+        # so the partial split cannot change any value (the docstring's
+        # quantization contract); re-verified against the oracle.
+        _prep(ensure_scan_width(emb, id_col), id_col, vec_col, keep_zero=True)
         .filter(
             # moment domain: |x| < 16 (integer-encoding exactness, see
             # docstring) AND the declared dimension — a deviant-dim
@@ -1002,7 +1013,16 @@ def pca_variance_profile(
     # over the corpus (advisor finding, round 2)
     parts = (
         _prep(
-            emb.withColumn("__row_id", F.monotonically_increasing_id()),
+            # ensure_scan_width (round-12): the mean+Gram pass is one
+            # numpy accumulation per input partition — a narrow scan ran
+            # the whole corpus through one task. Widening multiplies the
+            # partial rows (one per partition), which the posexplode
+            # reduction absorbs. Keyless (round-robin) on purpose: this
+            # operator takes no id column; sortBeforeRepartition (on by
+            # default) keeps the assignment retry-deterministic.
+            ensure_scan_width(emb).withColumn(
+                "__row_id", F.monotonically_increasing_id()
+            ),
             "__row_id",
             vec_col,
             keep_zero=True,
@@ -1105,10 +1125,17 @@ def pq_encode(
     # the same relation — unpersisted, each slice re-derives the whole
     # upstream (for residual inputs that is the entire coarse-assign
     # pipeline, m times over)
-    df = df.filter(
-        l2_norm(full).isNotNull()
-        & ~F.isnan(l2_norm(full))
-        & (l2_norm(full) < F.lit(EUCLID_NORM_BOUND))
+    # ensure_scan_width (round-12): the persisted relation inherits the
+    # input partitioning, and all m subspace trainings read it — from a
+    # narrow scan every slice's whole pipeline was single-task (and
+    # kmeans_lloyd's own guard would otherwise repartition m times).
+    df = ensure_scan_width(
+        df.filter(
+            l2_norm(full).isNotNull()
+            & ~F.isnan(l2_norm(full))
+            & (l2_norm(full) < F.lit(EUCLID_NORM_BOUND))
+        ),
+        id_col,
     ).persist()
     parts = []
     for s in range(m):

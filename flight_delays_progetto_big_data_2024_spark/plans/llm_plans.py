@@ -2621,10 +2621,12 @@ def q116_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     values round at 1e-6 before the source average so both engines
     aggregate identical multisets."""
     cat = Catalog(spark, sf_dir)
+    # ensure_scan_width (round-12): tokenize + explode + the map-side
+    # partial of the (doc, term) count all precede the first exchange —
+    # single-task on the narrow scan (1.27s -> 0.82s at sf0.1)
     tf = (
-        cat.documents.select(
-            "source", "doc_id", F.explode(tokens("text")).alias("term")
-        )
+        ensure_scan_width(cat.documents, "doc_id")
+        .select("source", "doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("source", "doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -2935,7 +2937,9 @@ def q124_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     the per-token mean; rounding at 1e-6 before the source average
     keeps both engines aggregating identical multisets. At 100 TB the
     vocab table is Zipf-bounded (≪ corpus) and broadcasts."""
-    docs = Catalog(spark, sf_dir).documents
+    # ensure_scan_width (round-12): the tokenize+explode partial-agg
+    # pass was single-task on the narrow scan (2.15s -> 1.33s at sf0.1)
+    docs = ensure_scan_width(Catalog(spark, sf_dir).documents, "doc_id")
     # the doc-term count relation feeds BOTH the vocab rollup and the
     # scoring join; lineage truncation (the tfidf() pattern) stops
     # Catalyst from planning the explode+groupBy subtree twice
@@ -4132,7 +4136,10 @@ def q172_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     emb = cat.embeddings
     labels = emb.select("vec_id", "label")
-    c = _prep(emb, "vec_id", "embedding").join(
+    # ensure_scan_width (round-12): |anchors| dot products per corpus
+    # row ran single-task on the narrow scan (3.5s -> 1.2s at sf0.1);
+    # no-op at scale — same guard as cosine_topk's corpus side
+    c = _prep(ensure_scan_width(emb, "vec_id"), "vec_id", "embedding").join(
         labels.select(F.col("vec_id").alias("id"), F.col("label").alias("c_label")),
         "id",
     )
