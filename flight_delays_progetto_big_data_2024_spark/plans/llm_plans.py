@@ -255,14 +255,33 @@ def q27_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-count profile of join/grouping keys."""
+    """Exact distinct-count profile of join/grouping keys.
+
+    Plan shape (round-12, same rewrite as q188): one independent
+    two-level-distinct branch per column folded by 1-row broadcast
+    cross joins, instead of four countDistinct in ONE aggregate —
+    Catalyst plans the latter as an Expand that multiplies every input
+    row 5x before the distinct shuffle (1.13s -> 0.70s at sf0.1; each
+    branch scan also prunes to a single column, and no expansion enters
+    any shuffle at any scale). The isNotNull filters mirror
+    count(DISTINCT c)'s NULL-skipping exactly and push to the scan."""
     cat = Catalog(spark, sf_dir)
-    return cat.lineitem.agg(
-        F.countDistinct("l_orderkey").alias("n_orderkeys"),
-        F.countDistinct("l_partkey").alias("n_partkeys"),
-        F.countDistinct("l_suppkey").alias("n_suppkeys"),
-        F.countDistinct("l_returnflag").alias("n_returnflags"),
-        F.count("*").alias("total_rows"),
+    out = cat.lineitem.agg(F.count("*").alias("total_rows"))
+    for c, alias in [
+        ("l_orderkey", "n_orderkeys"),
+        ("l_partkey", "n_partkeys"),
+        ("l_suppkey", "n_suppkeys"),
+        ("l_returnflag", "n_returnflags"),
+    ]:
+        d = (
+            cat.lineitem.select(c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+        out = out.crossJoin(F.broadcast(d))
+    return out.select(
+        "n_orderkeys", "n_partkeys", "n_suppkeys", "n_returnflags", "total_rows"
     )
 
 
@@ -323,17 +342,38 @@ def q188_hll_error_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's value hash. The estimate itself stays rows-only in q29 BY
     DESIGN (HLL registers are engine-internal); what becomes
     driver-checked here is everything checkable: the exact
-    cardinalities and the bound certificate. Single pass: one agg
-    computes all six aggregates, stack() unpivots to the 3-row
-    certificate — no second scan, no collect."""
+    cardinalities and the bound certificate.
+
+    Plan shape (round-12 rewrite): one independent two-level-distinct
+    branch per key column plus one HLL branch, folded by 1-row
+    broadcast cross joins. The previous single-agg form put all three
+    ``countDistinct`` in ONE aggregate, which Catalyst plans as an
+    Expand — every input row triples before the distinct shuffle — and
+    measured 3.65s vs 0.75s at sf0.1. The branches are also the better
+    100 TB plan: each scan prunes to a single column (same total scan
+    bytes as the one 3-column scan), no 3x row expansion enters any
+    shuffle, and the independent stages schedule concurrently."""
     cat = Catalog(spark, sf_dir)
-    agg = cat.lineitem.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_o"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_p"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("a_s"),
-        F.countDistinct("l_orderkey").alias("e_o"),
-        F.countDistinct("l_partkey").alias("e_p"),
-        F.countDistinct("l_suppkey").alias("e_s"),
+    parts = []
+    for c, tag in [("l_orderkey", "o"), ("l_partkey", "p"), ("l_suppkey", "s")]:
+        # isNotNull mirrors count(DISTINCT c) exactly — the bare
+        # distinct would count a NULL group that count(DISTINCT) skips
+        # — and pushes to the scan, so NULL rows never enter the
+        # distinct shuffle
+        exact = (
+            cat.lineitem.select(c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(f"e_{tag}"))
+        )
+        approx = cat.lineitem.agg(
+            F.approx_count_distinct(c, rsd=0.02).alias(f"a_{tag}")
+        )
+        parts.append(exact.crossJoin(F.broadcast(approx)))
+    agg = (
+        parts[0]
+        .crossJoin(F.broadcast(parts[1]))
+        .crossJoin(F.broadcast(parts[2]))
     )
     rows = agg.selectExpr(
         "stack(3, 'l_orderkey', a_o, e_o, 'l_partkey', a_p, e_p, "

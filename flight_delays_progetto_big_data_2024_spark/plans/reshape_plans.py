@@ -600,19 +600,27 @@ def q174_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     reward sorting/dictionaries before a rewrite."""
     cat = Catalog(spark, sf_dir)
     li = cat.lineitem
-    agg = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.count_distinct(c).alias(f"d_{c}")
-            for c in [
-                "l_returnflag",
-                "l_linestatus",
-                "l_suppkey",
-                "l_partkey",
-                "l_extendedprice",
-            ]
-        ],
-    )
+    # round-12 (same rewrite as q188/q28): one independent two-level-
+    # distinct branch per column instead of five count_distinct in ONE
+    # aggregate — the multi-distinct form plans as an Expand that
+    # multiplies every input row 6x before the distinct shuffle. Each
+    # branch prunes its scan to a single column; the isNotNull filter
+    # mirrors count(DISTINCT c)'s NULL skipping and pushes to the scan.
+    agg = li.agg(F.count(F.lit(1)).alias("n"))
+    for c in [
+        "l_returnflag",
+        "l_linestatus",
+        "l_suppkey",
+        "l_partkey",
+        "l_extendedprice",
+    ]:
+        d = (
+            li.select(c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(f"d_{c}"))
+        )
+        agg = agg.crossJoin(F.broadcast(d))
     rows = agg.selectExpr(
         "n",
         "stack(5, "
