@@ -341,9 +341,9 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     "q100_quality_weighted_sample": 11,  # bumped r12: quality_score let-binding plan change
     "q102_cluster_best_representative": 11,  # bumped r12: quality_score let-binding plan change
     "q140_bigram_surprisal": 11,  # bumped r12: ensure_scan_width plan change
-    "q159_full_curation_pipeline": 11,  # bumped r12: quality_score let-binding plan change
+    # q159/q183 (r12 quality_score let-binding) bumped in place to the
+    # round-13 CC block below.
     "q181_quality_budget_curve": 11,  # bumped r12: quality_score let-binding plan change
-    "q183_dup_cluster_quality_spread": 11,  # bumped r12: quality_score let-binding plan change
     # round-12 advisor (medium): q182's and q158's rank ORDER BYs still
     # sorted raw terms — the same NUL-blind DuckDB window sort the q59
     # fix targeted, reachable at their rk<=30 / rk<=100 boundaries on
@@ -409,7 +409,10 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # passes (q140 bumped in place above; q60's marker lives in the
     # round-13 debt block with the VT cohort). Values re-MATCHed
     # the oracle at sf0.01 in-session; plans changed in r12.
-    "q136_winsorized_price_stats": 11,
+    # q136 bumped to 12 in r13: the width-guard/filter order swap
+    # (r12 advisor) changes the analyzed plan (executed plan identical
+    # — Catalyst already pushed the filter below the repartition).
+    "q136_winsorized_price_stats": 12,
     # round-12 optimization batch 4: ensure_scan_width ahead of the
     # kmeans_lloyd / pq_encode persists (a narrow-scan cache block
     # serialized every training iteration) and the PCA mean+Gram
@@ -427,10 +430,8 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # the oracle at sf0.01 in-session.
     "q28_cardinality_profile": 11,
     "q188_hll_error_certificate": 11,
-    "q58_near_dup_clusters": 11,
-    "q115_embedding_near_dup_clusters": 11,
-    "q121_dup_rate_by_source": 11,
-    "q127_corpus_health_report": 11,
+    # q58/q115/q121/q127 (r12 batch-5 CC pointer jumping) bumped in
+    # place to the round-13 CC block below.
     "q172_hard_negative_mining": 11,
     "q116_token_entropy_by_source": 11,
     "q124_unigram_surprisal_filter": 11,
@@ -441,6 +442,26 @@ PLAN_CHANGED_AFTER: dict[str, int] = {
     # array-intersect verify (identical result by the prefix-filter
     # theorem; the brute-force oracle is unchanged).
     "q85_winnowing_containment_pairs": 11,
+    # round-13 optimization: q43's click side no longer runs the mirror
+    # groupBy(user_id, ts) max(value) pre-aggregation (asof_join's
+    # greatest-carry tie-break selects the identical row); one fewer
+    # Exchange. Values re-MATCHed the oracle at sf0.001/sf0.01
+    # in-session; the certified plan changed in round 13.
+    "q43_purchase_asof_last_click": 12,
+    # round-13 optimization: connected_components' pointer jump now
+    # resolves against the previous round's materialized labels and the
+    # convergence probe rides a __changed flag inside the checkpointed
+    # pass (one neighbor-min join per round instead of two; probe join
+    # removed). Identical fixed point; all seven CC consumers re-MATCHed
+    # the oracle at sf0.001/sf0.01 in-session; their analyzed plans
+    # carry the reworked checkpoint lineage.
+    "q58_near_dup_clusters": 12,
+    "q115_embedding_near_dup_clusters": 12,
+    "q121_dup_rate_by_source": 12,
+    "q123_cluster_safe_split": 12,
+    "q127_corpus_health_report": 12,
+    "q159_full_curation_pipeline": 12,
+    "q183_dup_cluster_quality_spread": 12,
 }
 
 

@@ -310,13 +310,15 @@ def connected_components(
     match NULL) and a NULL component id is meaningless — the one
     deliberate divergence from pagerank's NULL-vertex bookkeeping.
 
-    Min-label propagation WITH POINTER JUMPING (round-12): each round
-    every vertex takes the minimum of its own label, its neighbors'
-    labels, and — the jump — its current label's label
-    (``comp(v) ← min(comp(v), comp(comp(v)))``, one extra O(|V|) hash
-    join per round). Labels only ever decrease and are bounded below by
+    Min-label propagation WITH POINTER JUMPING (round-12; probe/jump
+    plumbing reworked round-13): each round every vertex takes the
+    minimum of its own label, its neighbors' labels, and — the jump —
+    the PREVIOUS round's label of its tentative label
+    (``comp(v) ← min(comp(v), prev_comp(comp(v)))``, one extra O(|V|)
+    hash join per round against the already-materialized previous
+    mapping). Labels only ever decrease and are bounded below by
     the component minimum, and the fixed point (each label equal to its
-    neighborhood-and-parent minimum) is unique — the same component-min
+    neighborhood minimum) is unique — the same component-min
     labeling plain propagation reaches, so output is identical; the
     jump contracts label chains geometrically, turning O(diameter)
     rounds into O(log diameter). Measured r12 on q115's 0.35-cosine
@@ -355,40 +357,50 @@ def connected_components(
         )
         step = labels.join(nbr_min, labels["id"] == nbr_min["u"], "left").select(
             "id",
+            F.col("comp").alias("__old"),
             F.least(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
             ).alias("comp"),
         )
-        # pointer jump: comp(v) ← min(comp(v), comp(comp(v))). Every
-        # comp value IS a vertex id (labels start at id and only take
-        # mins of ids), so the self-join always resolves; left join +
-        # coalesce keeps the row if a comp points at a vertex filtered
-        # from the vertex set (possible only with a caller-supplied
-        # ``vertices`` narrower than the edge endpoints).
-        jump = step.select(
+        # pointer jump: comp(v) ← min(comp(v), prev_comp(comp(v))),
+        # resolved against the PREVIOUS round's materialized labels
+        # (round-13, r12 advisor): jumping through ``step`` itself fed
+        # the un-materialized labels⋈nbr_min join into BOTH sides of
+        # the jump join, so the neighbor-min join executed twice per
+        # round; the previous mapping is already checkpointed, costs
+        # nothing to re-read, and prev_comp(x) ≥ comp(x) keeps the
+        # descent monotone with the same unique fixed point (labels
+        # only take mins of labels, so chains still contract
+        # geometrically — O(log diameter) rounds). Every comp value IS
+        # a vertex id (labels start at id and only take mins of ids),
+        # so the join resolves; left join + coalesce keeps the row if
+        # a comp points at a vertex filtered from the vertex set
+        # (possible only with a caller-supplied ``vertices`` narrower
+        # than the edge endpoints).
+        jump = labels.select(
             F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+        )
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("__jcomp"), F.col("comp"))
         )
         # eager checkpoint every round: the round's shuffle output is
         # O(|V|) and both the convergence probe and the next round read
-        # it — materializing once beats recomputing the join chain twice
+        # it. The probe rides a __changed flag computed IN the
+        # checkpointed pass (round-13): the old probe re-joined
+        # new_labels against labels — two more exchanges per round just
+        # to ask "did anything move"; the flag turns it into a
+        # pushed-filter limit-1 scan of the already-cached partitions.
         new_labels = (
             step.join(jump, step["comp"] == jump["__jid"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("__jcomp"), F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp != F.col("__old")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     sym.unpersist()

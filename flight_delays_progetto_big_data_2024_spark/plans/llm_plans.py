@@ -4995,10 +4995,25 @@ def q186_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (canonicalize_url_sql) shares the same RE2 patterns — driver-hash
     parity pins both the regex semantics and the dedup.
 
-    Scale: canonicalization is a map; the survivor pick is one shuffle
-    on canonical_url (exact dedup's shape); the decorate-back join
-    shuffles once more or broadcasts when the survivor side is small.
+    Scale (round-13 rewrite): the former single groupBy carried two
+    grouped count(DISTINCT)s, which plan as an Expand that triples
+    every row ahead of the shuffle, plus a survivor decorate-back join.
+    Rewritten as four independent branches over one checkpointed crawl
+    relation (canonicalize runs once): per-source row counts; distinct
+    (source, url) pairs then a count; distinct (source, canonical_url)
+    pairs then a count; and the kept count via a min-over-family window
+    + filter (exactly the oracle's ``doc_id = keep_doc_id`` row
+    semantics, no join). Each branch shuffles ~N narrow rows once with
+    no expansion, the branches schedule concurrently, and the decorate
+    join is gone — strictly fewer shuffled rows at any scale (guide
+    §2.3/§2.4; same mechanism as the r12 q28/q174/q188 unrolls, grouped
+    form). Rows whose canonical_url is NULL (only reachable via a NULL
+    source/doc_id making the synthesized url NULL) are filtered once up
+    front — the oracle's equality join drops them from every aggregate,
+    so the filter is the join's exact NULL semantics.
     """
+    from pyspark.sql.window import Window
+
     from flight_delays_progetto_big_data_2024_spark.functions.text import (
         canonicalize_url,
     )
@@ -5020,21 +5035,43 @@ def q186_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.concat(base, F.lit("/page#section-2")))
         .otherwise(F.concat(base, F.lit("/page?id=1&utm_campaign=x")))
     )
-    crawl = cat.documents.select(
-        "doc_id", "source", url.alias("url")
-    ).withColumn("canonical_url", canonicalize_url("url"))
-    survivors = crawl.groupBy("canonical_url").agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count("*").alias("family_size"),
+    crawl = (
+        cat.documents.select("doc_id", "source", url.alias("url"))
+        .withColumn("canonical_url", canonicalize_url("url"))
+        .filter(F.col("canonical_url").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    raw = crawl.groupBy("source").agg(F.count("*").alias("raw_urls"))
+    distinct_raw = (
+        crawl.select("source", "url")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("url").alias("distinct_raw"))
+    )
+    distinct_canonical = (
+        crawl.select("source", "canonical_url")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("canonical_url").alias("distinct_canonical"))
+    )
+    kept = (
+        crawl.withColumn(
+            "__keep", F.min("doc_id").over(Window.partitionBy("canonical_url"))
+        )
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .groupBy("source")
+        .agg(F.count("*").alias("docs_kept"))
     )
     return (
-        crawl.join(survivors, "canonical_url")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("raw_urls"),
-            F.countDistinct("url").alias("distinct_raw"),
-            F.countDistinct("canonical_url").alias("distinct_canonical"),
-            F.sum((F.col("doc_id") == F.col("keep_doc_id")).cast("long")).alias(
+        raw.join(distinct_raw, "source", "left")
+        .join(distinct_canonical, "source", "left")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "raw_urls",
+            "distinct_raw",
+            "distinct_canonical",
+            F.coalesce(F.col("docs_kept"), F.lit(0).cast("long")).alias(
                 "docs_kept"
             ),
         )

@@ -335,9 +335,12 @@ def q136_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 600k prices on the narrow scan (4.0s -> 3.1s at sf0.1); exact
     # percentiles are partitioning-invariant, and the avg round-trip
     # was re-verified against the oracle. No-op at scale.
-    li = ensure_scan_width(cat.lineitem, "l_orderkey").filter(
-        ~F.isnan("l_extendedprice")
-    )  # isnan: see oracle
+    # Round-13 (r12 advisor): filter BEFORE the guard so the isnan
+    # predicate pushes to the parquet scan and NaN rows never pay the
+    # repartition shuffle. (isnan: see oracle)
+    li = ensure_scan_width(
+        cat.lineitem.filter(~F.isnan("l_extendedprice")), "l_orderkey"
+    )
     with_bounds = winsorize_bounds(li, "l_extendedprice", 0.01, 0.99)
     price = F.col("l_extendedprice")
     return (

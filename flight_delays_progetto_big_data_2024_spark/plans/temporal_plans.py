@@ -111,8 +111,11 @@ def q42_sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT * FROM events WHERE event_type = 'purchase') a
     ASOF LEFT JOIN (
         -- tie-free right side: DuckDB ASOF picks an ARBITRARY row among
-        -- duplicate (user_id, ts); pre-aggregating makes both engines
-        -- deterministic (Spark side mirrors this groupBy)
+        -- duplicate (user_id, ts); pre-aggregating makes the oracle
+        -- deterministic. The Spark side needs NO mirror groupBy:
+        -- asof_join tie-breaks equal (key, ts) right rows by greatest
+        -- carried struct = (value, ts) with ts equal = max(value) —
+        -- the same row this aggregate selects.
         SELECT user_id, ts, max(value) AS value
         FROM events WHERE event_type = 'click'
         GROUP BY user_id, ts
@@ -125,17 +128,22 @@ def q43_purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase picks up the same user's most
     recent click at-or-before it (union + forward-fill idiom — one
     shuffle, no theta-join blow-up; operators.temporal.asof_join).
-    Hash-checked against DuckDB's native ASOF JOIN."""
+    Hash-checked against DuckDB's native ASOF JOIN.
+
+    Round-13: the click side feeds asof_join RAW. The former mirror
+    ``groupBy(user_id, ts).agg(max(value))`` was redundant — asof_join
+    documents that equal (key, ts) right rows tie-break by GREATEST
+    carried struct, and the carry is (value, ts_click) with ts_click
+    equal inside a tie, so the forward-fill already selects exactly the
+    max-value click (NULL value sorts below any value in struct order,
+    matching max()'s NULL-skipping). Dropping the aggregate removes an
+    Exchange + two HashAggregates — one less shuffle of the click
+    stream at any scale (guide §2.4)."""
     cat = Catalog(spark, sf_dir)
     ev = cat.events
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
-    )
     joined = asof_join(
         ev.filter(F.col("event_type") == "purchase"),
-        clicks,
+        ev.filter(F.col("event_type") == "click"),
         on=["user_id"],
         ts_col="ts",
         right_cols=["value"],

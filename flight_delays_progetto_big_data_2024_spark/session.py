@@ -53,17 +53,22 @@ def get_spark(
         # ROWS are expensive but its BYTES are few — that 1 MB floor
         # coalesces the shuffle to one or two reducers and serializes
         # every downstream stage (measured r12 at sf0.1: q32 -45%,
-        # q34 -40%, q41 -36%, q33 -27% from lifting it). "1b" defers
-        # entirely to parallelismFirst: the target stays
-        # total_bytes / defaultParallelism, so in the byte-bound
-        # regime (per-core bytes >= the 64 MB advisory — any real
-        # 100 TB shuffle) the floor never bound anyway and behavior is
-        # unchanged. Env-overridable for deployments whose scheduler
-        # overhead makes many tiny tasks more expensive than the lost
-        # parallelism (the only case the 1m default protects).
+        # q34 -40% from lifting it to "1b"). Round-13 re-measurement
+        # REVERSED that verdict: the r12 A/B predates the
+        # ensure_scan_width guards, which moved the expensive per-row
+        # work ahead of the first exchange — with the guards in place a
+        # JIT-warmed interleaved A/B over all 21 headline queries shows
+        # "1b" WORST on every one (totals: 1b 15.31s, 64k 11.82s,
+        # 256k 12.12s at sf0.1) because sub-64KB reducers are pure
+        # task-scheduling overhead. 64k keeps the CPU-bound wins (the
+        # guards, not the floor, now carry them), restores a sane
+        # tiny-task floor, and at scale binds even less often than the
+        # stock 1m (the floor is irrelevant whenever per-core shuffle
+        # bytes reach the 64 MB advisory — any real 100 TB shuffle).
+        # Env-overridable either direction.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1b"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

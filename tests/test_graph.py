@@ -199,6 +199,26 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping must keep long-chain convergence sub-linear in
+    the diameter. Round-13 reworked the jump to resolve against the
+    PREVIOUS round's materialized labels (one execution of the
+    neighbor-min join per round instead of two); the contraction is
+    then Fibonacci-like rather than doubling, still geometric — a
+    300-vertex chain (diameter 299) must converge inside the default
+    max_iter=25, where plain propagation would need 299 rounds. Also
+    asserts the labeling itself (all vertices collapse to the chain
+    minimum)."""
+    from flight_delays_progetto_big_data_2024_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    n = 300
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_shortest_hops_golden_path_graph(spark):
     """Path a->b->c->d plus a shortcut a->c and an unreachable island:
     hop counts must be the true minima and the island absent."""

@@ -422,7 +422,11 @@ HEADLINE_EXCHANGE_PINS = {
     "q34_simhash_near_dups": 4,
     "q39_tumbling_hourly_events": 2,
     "q41_user_session_windows": 2,
-    "q43_purchase_asof_last_click": 3,
+    # r13: 3 -> 2. The click side's mirror groupBy(user_id, ts) was
+    # redundant (asof_join's greatest-carry tie-break already selects
+    # the max-value click); dropping it removes that aggregate's
+    # Exchange, leaving the window shuffle + the final orderBy.
+    "q43_purchase_asof_last_click": 2,
     # r9: centroid set collapsed to one broadcast array row; the two
     # argmax window exchanges are gone (2 cent broadcasts + probed
     # broadcast + the final per-query top-k exchange remain)
